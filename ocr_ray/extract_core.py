@@ -1,0 +1,163 @@
+"""Per-page extraction core: payload dispatch -> paragraphs -> final text.
+
+This is the single source of truth for WHAT gets extracted; both the
+single-process oracle (:mod:`ocr_ray.reference`) and the Ray actor stage
+(:mod:`ocr_ray.stages.extract`) call :func:`extract_page`, which is how the
+engine guarantees byte-identical output regardless of parallelism.
+
+Flow per page (mirrors /root/reference pipeline lifecycle, SURVEY §3):
+
+1. payload sniff — ``%PDF-`` magic vs HTML (parsers/__init__.py:173-191)
+2. stage 1 detect — DOM block segmentation (HTML) or layout parse (PDF)
+3. stage 2 extract — typed paragraphs with section stacks / classification
+4. post-process — skip headers & page numbers, footnote handling
+   (paragraphs_processing.py:255-312), per-document exact + near-dup span
+   filtering (base_ocr.py:679-725)
+5. assemble — paragraphs joined with '\\n\\n' (parser.py:31-37)
+
+Error policy: malformed payloads yield ``status='error'`` rows, never an
+exception that poisons a whole batch (the reference logs-and-drops,
+utils/threading/stream.py:338-345).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from . import html_extract, minipdf, pdf_extract
+from .functions.metrics import is_near_duplicate
+
+NEAR_DUP_THRESHOLD = 0.2   # base_ocr.py:716-723
+NEAR_DUP_WINDOW = 5        # compare against the last k emitted spans
+
+
+def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
+    """Per-document exact + near-dup span filter (base_ocr.py:679-725).
+
+    State (the emitted set + last-k window) is scoped to one document —
+    never actor-global — so results cannot depend on batch composition
+    (SURVEY §2.4 T5).
+    """
+    emitted: set[str] = set()
+    last: list[str] = []
+    out = []
+    for p in paragraphs:
+        if p["type"] != "text":
+            out.append(p)
+            continue
+        text = p["text"]
+        if text in emitted:
+            continue
+        if any(is_near_duplicate(text, prev, NEAR_DUP_THRESHOLD) for prev in last):
+            continue
+        emitted.add(text)
+        last.append(text)
+        if len(last) > NEAR_DUP_WINDOW:
+            last.pop(0)
+        out.append(p)
+    return out
+
+
+def insert_footnotes(paragraphs: list[dict]) -> list[dict]:
+    """Footnote join: footnote paragraphs keyed (page, index) merged into the
+    referencing paragraph at its ``^n`` marker
+    (paragraphs_processing.py:292-302,314-334, mode='insert')."""
+    notes = {
+        (p.get("page", 0), p.get("footnote_index", 0)): p
+        for p in paragraphs
+        if p.get("is_footnote")
+    }
+    out = []
+    for p in paragraphs:
+        if p.get("is_footnote"):
+            continue
+        text = p["text"]
+        for idx in p.get("footnotes", ()):
+            note = notes.get((p.get("page", 0), idx))
+            if note is None:
+                continue
+            formatted = " Footnote: " + note["text"].replace(
+                "^{}".format(idx), "", 1
+            ).lstrip()
+            text = text.replace("^{}".format(idx), formatted)
+        if text != p["text"]:
+            p = dict(p, text=text)
+        out.append(p)
+    return out
+
+
+def assemble_text(
+    paragraphs: list[dict],
+    *,
+    skip_header: bool = True,
+    skip_page_number: bool = True,
+    footnote_mode: str = "keep",   # keep | skip | insert
+) -> tuple[str, list[dict]]:
+    """Post-process + join (the process_paragraphs defaults,
+    paragraphs_processing.py:255-312)."""
+    paras = paragraphs
+    if skip_header:
+        paras = [p for p in paras if not p.get("is_header")]
+    if skip_page_number:
+        paras = [p for p in paras if not p.get("is_page_number")]
+    if footnote_mode == "skip":
+        paras = [p for p in paras if not p.get("is_footnote")]
+        paras = [
+            dict(p, text=_strip_markers(p["text"], p.get("footnotes", ()))) for p in paras
+        ]
+    elif footnote_mode == "insert":
+        paras = insert_footnotes(paras)
+    paras = filter_duplicate_spans(paras)
+    text = "\n\n".join(p["text"] for p in paras if p.get("text")).strip()
+    return text, paras
+
+
+def _strip_markers(text: str, footnotes) -> str:
+    for idx in footnotes:
+        text = text.replace("^{}".format(idx), "")
+    return text
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def extract_page(
+    url: str, payload: bytes, *, lang: str = "", footnote_mode: str = "keep"
+) -> dict:
+    """One page -> one EXTRACTED-schema row (dict)."""
+    try:
+        if not payload:
+            return _row(url, "", "", 0, "empty", "error", "empty payload", lang)
+        if minipdf.is_pdf(payload):
+            objs = minipdf.read_text_objects(payload)
+            paragraphs = pdf_extract.extract_pdf_paragraphs(objs)
+            title = ""
+            kind = "pdf"
+        else:
+            html = payload.decode("utf-8")  # non-UTF8 -> error row
+            page = html_extract.extract_html_page(html)
+            paragraphs = page["paragraphs"]
+            title = page["title"]
+            kind = "html"
+        text, kept = assemble_text(paragraphs, footnote_mode=footnote_mode)
+        return _row(url, text, title, len(kept), kind, "ok", "", lang)
+    except Exception as exc:  # malformed payload -> error row (never a crash)
+        return _row(
+            url, "", "", 0, "error", "error",
+            "{}: {}".format(type(exc).__name__, exc), lang,
+        )
+
+
+def _row(url, extracted, title, n_blocks, kind, status, error, lang) -> dict:
+    return {
+        "url": url,
+        "extracted": extracted,
+        "title": title,
+        "n_blocks": n_blocks,
+        "kind": kind,
+        "status": status,
+        "error": error,
+        "digest": sha256_hex(extracted) if status == "ok" else "",
+        "lang": lang,
+    }

@@ -1,0 +1,1 @@
+"""Pure, deterministic per-record/per-batch kernels (no Ray imports)."""

@@ -1,0 +1,195 @@
+"""The flagship extraction pipeline.
+
+    read_parquet(pages, columns=[url, html, lang])
+      -> map_batches(add url-hash partition_id)            # vectorized
+      -> [resume] anti-join vs completed manifest           # broadcast set
+      -> map_batches(PageExtractor, actor pool)             # detect+extract
+      -> write_parquet(out, partition_cols=[partition_id])  # resumable layout
+      -> commit per-partition manifests
+
+Design notes for 100 TB (SURVEY §4):
+
+- the ``html`` binary column is read once, parsed once, and never crosses a
+  shuffle; the only wide op in the exploded variant is ``groupby('url')``
+  over *post-extraction* text rows (small relative to the input payloads).
+- ``partition_id = crc32(url) % P`` breaks host-level clustering (hot hosts
+  arrive contiguously in crawl order); P is the resume granule, sized so a
+  partition ≈ a few GB at production scale.
+- the extractor is an actor pool: parser setup per actor, not per batch;
+  ``batch_size`` is small because page payloads are wide (memory-aware).
+- error rows flow through as ``status='error'`` instead of poisoning a
+  batch; retries therefore never see a half-written partition (writes land
+  under ``partition_id=...`` dirs; the manifest commit is the atomic gate).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sources.io import read_pages
+from ..stages.extract import BlockExtractor, PageExtractor, assemble_group
+from ..state import manifest as mf
+
+PAGE_COLUMNS = ["url", "html", "lang"]
+
+
+def default_concurrency():
+    """Autoscaling actor-pool bounds sized to the cluster: (1, total CPUs).
+
+    Leaves the scheduler room for read/write tasks — pool actors reserve one
+    CPU each only while busy, so the pool never starves the other stages.
+    """
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n = 4
+    return (1, max(2, n))
+
+
+def add_partition_id(batch: pa.Table, *, n_partitions: int) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    pids = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % n_partitions for u in urls),
+        dtype=np.int64,
+        count=len(urls),
+    )
+    return batch.append_column("partition_id", pa.array(pids, pa.int64()))
+
+
+def extract_pages(
+    ds: ray.data.Dataset,
+    *,
+    mode: str = "fused",
+    footnote_mode: str = "keep",
+    batch_size: int = 64,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """pages Dataset -> EXTRACTED Dataset (no sink).
+
+    ``mode='fused'``: one row in, one row out, zero shuffles.
+    ``mode='exploded'``: block rows + groupby(url) reassembly — the north
+    rule's document-reassembly shuffle, byte-identical to fused.
+    """
+    if concurrency is None:
+        concurrency = default_concurrency()
+    if mode == "fused":
+        return ds.map_batches(
+            PageExtractor,
+            fn_constructor_kwargs={"footnote_mode": footnote_mode},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    if mode == "exploded":
+        blocks = ds.map_batches(
+            BlockExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        return blocks.groupby("url").map_groups(
+            assemble_group,
+            batch_format="pyarrow",
+            fn_kwargs={"footnote_mode": footnote_mode},
+        )
+    raise ValueError(mode)
+
+
+def run_extraction(
+    source,
+    output_dir: str,
+    *,
+    n_partitions: int = 32,
+    mode: str = "fused",
+    footnote_mode: str = "keep",
+    batch_size: int = 64,
+    concurrency=None,
+    resume: bool = True,
+) -> dict:
+    """Resumable end-to-end run: pages -> partitioned Parquet + manifests.
+
+    Returns run stats ``{'extracted': n, 'skipped_partitions': k}``.
+    """
+    ds = read_pages(source, columns=PAGE_COLUMNS)
+    ds = ds.map_batches(
+        add_partition_id,
+        fn_kwargs={"n_partitions": n_partitions},
+        batch_format="pyarrow",
+    )
+
+    done: dict[int, dict] = mf.completed_partitions(output_dir) if resume else {}
+    if done:
+        done_ids = frozenset(done)
+
+        def _skip_done(batch: pa.Table) -> pa.Table:
+            mask = [pid not in done_ids for pid in batch.column("partition_id").to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        ds = ds.map_batches(_skip_done, batch_format="pyarrow")
+
+    out = extract_pages(
+        ds,
+        mode=mode,
+        footnote_mode=footnote_mode,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    # extractor stages rebuild the schema, so re-derive partition_id from url
+    # (cheap, deterministic) for the partitioned write.
+    out = out.map_batches(
+        add_partition_id, fn_kwargs={"n_partitions": n_partitions}, batch_format="pyarrow"
+    )
+    out.write_parquet(output_dir, partition_cols=["partition_id"])
+
+    new_partitions = _commit_manifests(output_dir, skip=frozenset(done))
+    n_rows = sum(e["n_docs"] for e in new_partitions.values())
+    return {"extracted": n_rows, "skipped_partitions": len(done)}
+
+
+def _commit_manifests(output_dir: str, *, skip=frozenset()) -> dict[int, dict]:
+    """Read back written partition dirs (digest column only — columnar, tiny)
+    and commit one manifest entry per partition."""
+    new: dict[int, dict] = {}
+    for name in sorted(os.listdir(output_dir)):
+        if not name.startswith("partition_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if pid in skip:
+            continue
+        pdir = os.path.join(output_dir, name)
+        tbl = pq.read_table(pdir, columns=["url", "digest"])
+        out_digest = mf.combine_digests(tbl.column("digest").to_pylist())
+        in_digest = "{:016x}".format(
+            _xor_crc(tbl.column("url").to_pylist())
+        )
+        mf.commit_partition(
+            output_dir,
+            pid,
+            n_docs=tbl.num_rows,
+            input_digest=in_digest,
+            output_digest=out_digest,
+        )
+        new[pid] = {"n_docs": tbl.num_rows}
+    return new
+
+
+def _xor_crc(urls) -> int:
+    acc = 0
+    for u in urls:
+        acc ^= zlib.crc32(u.encode("utf-8"))
+    return acc
+
+
+def read_extracted(output_dir: str) -> pa.Table:
+    """Driver-side read-back of a finished run, sorted by url (test helper)."""
+    tbl = pq.read_table(output_dir)
+    return tbl.sort_by("url")

@@ -1,0 +1,177 @@
+"""Extraction stages for ``map_batches`` actor pools.
+
+The reference pays model construction once per process via its
+``ModelInstances`` singleton (models/interfaces/base_model.py:30-54); the
+Ray-idiomatic equivalent is a callable CLASS on an actor pool — setup in
+``__init__`` (once per actor), work in ``__call__`` (per Arrow batch).
+
+Two shapes are provided:
+
+- :class:`PageExtractor` — fused detect+extract: one pages row in, one
+  EXTRACTED row out.  The default path: no shuffle at all.
+- :class:`BlockExtractor` + :func:`assemble_group` — the exploded path:
+  stage 1 emits one row per paragraph block, a ``groupby('url')``
+  reassembles documents in document order (the north rule's one true
+  shuffle, SURVEY §2.6 G12).  Byte-identical to the fused path; used when
+  giant documents must be split across tasks.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..extract_core import assemble_text, extract_page, sha256_hex
+from ..schema import EXTRACTED
+from .. import html_extract, minipdf, pdf_extract
+
+
+class PageExtractor:
+    """Fused per-page detect+extract. Arrow in, Arrow out.
+
+    The per-row Python work (an HTML/PDF parse) IS the useful compute —
+    the analog of model inference — so a Python loop over rows here is the
+    kernel, not overhead; everything around it stays columnar.
+    """
+
+    def __init__(self, footnote_mode: str = "keep"):
+        self.footnote_mode = footnote_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(urls)
+        )
+        rows = [
+            extract_page(u, p, lang=l, footnote_mode=self.footnote_mode)
+            for u, p, l in zip(urls, payloads, langs)
+        ]
+        return pa.Table.from_pylist(rows, schema=EXTRACTED)
+
+
+_BLOCK_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("order", pa.int32()),
+        ("type", pa.string()),
+        ("text", pa.string()),
+        ("page", pa.int32()),
+        ("is_footnote", pa.bool_()),
+        ("is_header", pa.bool_()),
+        ("is_page_number", pa.bool_()),
+        ("footnote_index", pa.int32()),
+        ("footnotes", pa.list_(pa.int32())),
+        ("title", pa.string()),
+        ("kind", pa.string()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+class BlockExtractor:
+    """Stage 1 of the exploded path: pages -> one row per paragraph block.
+
+    Emits a sentinel row (order = -1) per document so empty/error documents
+    survive the groupby."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(urls)
+        )
+        for url, payload, lang in zip(urls, payloads, langs):
+            base = {
+                "url": url, "order": -1, "type": "", "text": "", "page": 0,
+                "is_footnote": False, "is_header": False, "is_page_number": False,
+                "footnote_index": 0, "footnotes": [], "title": "",
+                "kind": "", "status": "ok", "error": "", "lang": lang,
+            }
+            try:
+                if not payload:
+                    rows.append(dict(base, kind="empty", status="error", error="empty payload"))
+                    continue
+                if minipdf.is_pdf(payload):
+                    paragraphs = pdf_extract.extract_pdf_paragraphs(
+                        minipdf.read_text_objects(payload)
+                    )
+                    title, kind = "", "pdf"
+                else:
+                    page = html_extract.extract_html_page(payload.decode("utf-8"))
+                    paragraphs, title, kind = page["paragraphs"], page["title"], "html"
+                rows.append(dict(base, title=title, kind=kind))
+                for p in paragraphs:
+                    rows.append(
+                        dict(
+                            base,
+                            order=int(p["order"]),
+                            type=p["type"],
+                            text=p["text"],
+                            page=int(p.get("page", 0)),
+                            is_footnote=bool(p.get("is_footnote", False)),
+                            is_header=bool(p.get("is_header", False)),
+                            is_page_number=bool(p.get("is_page_number", False)),
+                            footnote_index=int(p.get("footnote_index", 0)),
+                            footnotes=[int(x) for x in p.get("footnotes", ())],
+                            title=title,
+                            kind=kind,
+                        )
+                    )
+            except Exception as exc:
+                rows.append(
+                    dict(base, kind="error", status="error",
+                         error="{}: {}".format(type(exc).__name__, exc))
+                )
+        return pa.Table.from_pylist(rows, schema=_BLOCK_SCHEMA)
+
+
+def assemble_group(group: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
+    """``groupby('url').map_groups`` fn: block rows -> one EXTRACTED row.
+
+    Order is derived from the data (the explicit ``order`` column), never
+    from executor block order (SURVEY §4 ordering row)."""
+    rows = group.sort_by("order").to_pylist()
+    head = rows[0]
+    url, lang = head["url"], head["lang"]
+    if head["status"] == "error":
+        out = {
+            "url": url, "extracted": "", "title": "", "n_blocks": 0,
+            "kind": head["kind"], "status": "error", "error": head["error"],
+            "digest": "", "lang": lang,
+        }
+        return pa.Table.from_pylist([out], schema=EXTRACTED)
+    paragraphs = [
+        {
+            "type": r["type"],
+            "text": r["text"],
+            "page": r["page"],
+            "is_footnote": r["is_footnote"],
+            "is_header": r["is_header"],
+            "is_page_number": r["is_page_number"],
+            "footnote_index": r["footnote_index"],
+            "footnotes": r["footnotes"] or [],
+            "order": r["order"],
+        }
+        for r in rows
+        if r["order"] >= 0
+    ]
+    text, kept = assemble_text(paragraphs, footnote_mode=footnote_mode)
+    out = {
+        "url": url,
+        "extracted": text,
+        "title": head["title"],
+        "n_blocks": len(kept),
+        "kind": head["kind"],
+        "status": "ok",
+        "error": "",
+        "digest": sha256_hex(text),
+        "lang": lang,
+    }
+    return pa.Table.from_pylist([out], schema=EXTRACTED)

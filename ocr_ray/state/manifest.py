@@ -1,0 +1,84 @@
+"""Per-partition lineage manifests: the resume/dedup database.
+
+The reference keeps a single shared ``map.json`` ``{filename -> infos}`` dict
+for skip-if-done (models/ocr/base_ocr.py:142-144, utils/callbacks/
+file_saver.py:145-192) and a keyed one-file-per-entry ``JSONDir`` store
+(utils/databases/json_dir.py:18-138).  At 10^12 rows a url-level map cannot
+live in RAM, so here the pattern is made **partition-granular**: one small
+JSON file per completed url-hash partition, written atomically (tmp +
+rename) after the partition's Parquet output lands, holding
+
+    partition_id, n_docs, input_digest, output_digest, status
+
+Resume = read the manifest dir (tiny: one file per partition), broadcast the
+completed-id set, and anti-join the input inside ``map_batches``
+(SURVEY §2.5 J1).  The manifest is append-only; a killed run leaves at worst
+one partition unrecorded, which is simply recomputed (extraction is
+deterministic, so recompute == the reference's re-parse-on-cache-miss).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+
+def url_partition(url: str, n_partitions: int) -> int:
+    """Deterministic url-hash partition id (crc32; NEVER Python's salted hash)."""
+    return zlib.crc32(url.encode("utf-8")) % n_partitions
+
+
+def manifest_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "_manifest")
+
+
+def completed_partitions(output_dir: str) -> dict[int, dict]:
+    """Read all committed partition entries. Missing dir -> empty."""
+    mdir = manifest_dir(output_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, dict] = {}
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            entry = json.load(f)
+        if entry.get("status") == "done":
+            out[int(entry["partition_id"])] = entry
+    return out
+
+
+def commit_partition(
+    output_dir: str,
+    partition_id: int,
+    *,
+    n_docs: int,
+    input_digest: str,
+    output_digest: str,
+) -> None:
+    """Atomically record a finished partition (write tmp, rename)."""
+    mdir = manifest_dir(output_dir)
+    os.makedirs(mdir, exist_ok=True)
+    entry = {
+        "partition_id": int(partition_id),
+        "n_docs": int(n_docs),
+        "input_digest": input_digest,
+        "output_digest": output_digest,
+        "status": "done",
+    }
+    final = os.path.join(mdir, "part-{:06d}.json".format(partition_id))
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, final)
+
+
+def combine_digests(hex_digests) -> str:
+    """Order-insensitive digest combine (xor of per-row sha256 prefixes) so a
+    partition digest doesn't depend on task scheduling order."""
+    acc = 0
+    for d in hex_digests:
+        if d:
+            acc ^= int(d[:16], 16)
+    return "{:016x}".format(acc)

@@ -1,0 +1,274 @@
+"""Deterministic synthetic `pages` generator (the FIXTURES.md corpus).
+
+Two generators, both pure functions of their arguments (fixed seeds, no wall
+clock, no network):
+
+- :func:`pages_from_documents` wraps each row of the driver-generated
+  ``documents`` table into a chrome-laden HTML page whose correct extraction
+  is exactly the original ``text`` column — the identity round-trip used by
+  the DuckDB oracle (`oracle_sql`), ``entry()`` and the benchmark.
+- :func:`synth_corpus` emits the archetype corpus of FIXTURES.md §2 (plain /
+  chrome / linklist / sections / table / list / fragments / dupspans /
+  pdf_basic / pdf_footnote / empty / garbage) for golden-file pytest
+  coverage, mirroring the curated-fixture strategy of the reference tests
+  (/root/reference/tests/test_utils_boxes.py:380-567).
+
+url embeds a host id with Zipf-ish host skew so url-hash repartitioning has
+something to fix (SURVEY §4 skew row).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+
+from . import minipdf
+from .schema import PAGES
+
+EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
+
+_WORDS = (
+    "the data stream merge sort table scan filter join order key value row "
+    "column batch window group hash spark vector query small big fast slow "
+    "part line customer agg dup"
+).split()
+
+CHROME_HEADER = "SiteName MegaPortal"
+CHROME_NAV = ["Home", "Products", "About", "Contact"]
+CHROME_FOOTER = "Copyright 2020 SiteName. All rights reserved."
+CHROME_ASIDE = "Subscribe to our newsletter for weekly updates!"
+
+_LANGS = ("en", "en", "en", "fr", "de", "es", "zh")
+
+
+def _rng(seed: int, i: int) -> random.Random:
+    return random.Random((seed << 32) ^ (i * 2654435761 % (1 << 32)))
+
+
+def _host(i: int, n_hosts: int = 50) -> int:
+    # Zipf-ish skew: host 0 owns ~25% of pages, long tail for the rest
+    r = (i * 48271) % 100
+    if r < 25:
+        return 0
+    if r < 40:
+        return 1
+    return 2 + (i * 69621) % (n_hosts - 2)
+
+
+def page_url(i: int, kind: str = "p") -> str:
+    return "https://host-{:03d}.example/{}/{:08d}".format(_host(i), kind, i)
+
+
+def _chrome_wrap(body_html: str, title: str) -> str:
+    """Boilerplate that prepare_tree must strip entirely."""
+    nav = "".join("<li><a href=\"/{0}\">{0}</a></li>".format(x) for x in CHROME_NAV)
+    return (
+        "<html><head><title>{title}</title>"
+        "<script>var t = track('all');</script>"
+        "<style>.x {{ color: red }}</style></head>"
+        "<body><header><h1>{hdr}</h1></header>"
+        "<nav><ul>{nav}</ul></nav>"
+        "<aside><p>{aside}</p></aside>"
+        "<div id=\"main\">{body}</div>"
+        "<form action=\"/q\"><input name=\"q\"/></form>"
+        "<footer><p>{footer}</p></footer></body></html>"
+    ).format(title=title, hdr=CHROME_HEADER, nav=nav, aside=CHROME_ASIDE,
+             body=body_html, footer=CHROME_FOOTER)
+
+
+# ---------------------------------------------------------------------------
+# documents-table wrapping (identity oracle)
+# ---------------------------------------------------------------------------
+
+def wrap_document_html(doc_id: int, text: str) -> str:
+    """One <p> per document: extraction must return exactly ``text``."""
+    return _chrome_wrap("<p>{}</p>".format(text), "doc {}".format(doc_id))
+
+
+def pages_from_documents(documents: pa.Table, *, repeat: int = 1) -> pa.Table:
+    """documents(doc_id, text, lang, ...) -> pages table (PAGES schema).
+
+    ``repeat`` > 1 tiles the corpus with distinct urls/doc ids to scale the
+    benchmark input without changing per-document work.
+    """
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+    n = len(doc_ids)
+    urls, ts, htmls, raw, lang_out = [], [], [], [], []
+    for r in range(repeat):
+        for j in range(n):
+            i = r * n + j
+            urls.append(page_url(i))
+            ts.append(EPOCH_US + i * 1_000_000)
+            htmls.append(wrap_document_html(doc_ids[j], texts[j]).encode("utf-8"))
+            raw.append(texts[j])
+            lang_out.append(langs[j])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(raw, pa.string()),
+            "lang": pa.array(lang_out, pa.string()),
+        },
+        schema=PAGES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# archetype corpus (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+ARCHETYPES = (
+    "plain", "chrome", "linklist", "sections", "table", "list",
+    "fragments", "dupspans", "pdf_basic", "pdf_footnote", "empty", "garbage",
+)
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _paragraphs_html(rng: random.Random, n_paras: int) -> str:
+    return "".join(
+        "<p>{}</p>".format(_sentence(rng, rng.randint(8, 30))) for _ in range(n_paras)
+    )
+
+
+def _make_html(arch: str, rng: random.Random, i: int) -> bytes:
+    title = "{} page {}".format(arch, i)
+    if arch == "plain":
+        body = _paragraphs_html(rng, rng.randint(2, 5))
+        return "<html><head><title>{}</title></head><body>{}</body></html>".format(
+            title, body
+        ).encode()
+    if arch == "chrome":
+        return _chrome_wrap(_paragraphs_html(rng, rng.randint(2, 5)), title).encode()
+    if arch == "linklist":
+        body = (
+            "<ul>"
+            + "".join('<li><a href="/x{0}">link {0}</a></li>'.format(k) for k in range(5))
+            + "</ul>"
+            + "<p>See the <a href=\"https://ray.io/docs\">docs</a> and the "
+            + "<a href=\"https://arrow.apache.org\">arrow site</a> for more. "
+            + _sentence(rng, 10) + "</p>"
+            + "<p>Also check the <a href=\"https://ray.io/docs\">docs</a> again.</p>"
+        )
+        return _chrome_wrap(body, title).encode()
+    if arch == "sections":
+        body = (
+            "<h1>Alpha</h1>" + _paragraphs_html(rng, 1)
+            + "<h2>Beta</h2>" + _paragraphs_html(rng, 2)
+            + "<h3>Gamma</h3>" + _paragraphs_html(rng, 1)
+            + "<h2>Delta</h2>" + _paragraphs_html(rng, 1)
+        )
+        return _chrome_wrap(body, title).encode()
+    if arch == "table":
+        rows = "".join(
+            "<tr><td>row{0}</td><td>{1}</td><td>const</td></tr>".format(
+                k, rng.randint(0, 99)
+            )
+            for k in range(4)
+        )
+        body = (
+            "<table><thead><tr><th>name</th><th>val</th><th>fixed</th></tr></thead>"
+            "<tbody>{}</tbody></table>".format(rows)
+            + _paragraphs_html(rng, 1)
+        )
+        return _chrome_wrap(body, title).encode()
+    if arch == "list":
+        body = (
+            "<ul><li>first item</li><li></li><li>second item</li></ul>"
+            "<ol><li>{}</li><li>{}</li></ol>".format(
+                _sentence(rng, 4), _sentence(rng, 5)
+            )
+        )
+        return _chrome_wrap(body, title).encode()
+    if arch == "fragments":
+        # body text scattered over many adjacent small nodes that the
+        # div/span-transparent tree walk must reassemble into paragraphs
+        words = [_sentence(rng, 2) for _ in range(8)]
+        frag = "<p>" + "".join("<span>{} </span>".format(w) for w in words) + "</p>"
+        return _chrome_wrap(frag + _paragraphs_html(rng, 1), title).encode()
+    if arch == "dupspans":
+        s = _sentence(rng, 12)
+        near = s.rsplit(" ", 1)[0] + " altered"
+        body = "<p>{0}</p><p>{0}</p><p>{1}</p><p>{2}</p>".format(
+            s, near, _sentence(rng, 9)
+        )
+        return _chrome_wrap(body, title).encode()
+    if arch == "empty":
+        return b""
+    if arch == "garbage":
+        if (i // len(ARCHETYPES)) % 2 == 0:
+            return b"%PDF-1.4\n1 0 obj\n<< truncated"
+        return bytes([0xFF, 0xFE, 0x00, 0x9C]) * 8
+    raise ValueError(arch)
+
+
+def _make_pdf(arch: str, rng: random.Random, i: int) -> bytes:
+    body_size = 12.0
+    leading = body_size * 1.2
+    pages = []
+    n_pages = rng.randint(1, 3) if arch == "pdf_basic" else 2
+    for page in range(n_pages):
+        ops = []
+        y = 720.0
+        if arch == "pdf_footnote":
+            ops.append(minipdf.text_op(200, 760, 9.0, "Running Header {}".format(i)))
+        n_paras = rng.randint(2, 3)
+        fn_counter = 0
+        for _ in range(n_paras):
+            n_lines = rng.randint(1, 3)
+            for ln in range(n_lines):
+                x = 72.0
+                n_words = rng.randint(3, 7)
+                for w in range(n_words):
+                    word = rng.choice(_WORDS)
+                    ops.append(minipdf.text_op(x, y, body_size, word))
+                    x += (len(word) + 1) * body_size * 0.5
+                if (
+                    arch == "pdf_footnote"
+                    and ln == 0
+                    and fn_counter == 0
+                    and page == 0
+                ):
+                    fn_counter += 1
+                    ops.append(minipdf.text_op(x, y + 3.0, 8.0, str(fn_counter)))
+                y -= leading
+            y -= leading  # paragraph gap = one blank leading
+        if arch == "pdf_footnote":
+            if page == 0:
+                ops.append(minipdf.text_op(72, 100, 8.0, "^1 source note for page one"))
+            ops.append(minipdf.text_op(300, 40, 9.0, str(page + 1)))
+        pages.append(ops)
+    return minipdf.build_pdf(pages)
+
+
+def synth_corpus(n: int = 120, seed: int = 7) -> pa.Table:
+    """n pages cycling through the archetypes, PAGES schema."""
+    urls, ts, htmls, raw, langs = [], [], [], [], []
+    for i in range(n):
+        arch = ARCHETYPES[i % len(ARCHETYPES)]
+        rng = _rng(seed, i)
+        if arch.startswith("pdf"):
+            payload = _make_pdf(arch, rng, i)
+        else:
+            payload = _make_html(arch, rng, i)
+        urls.append(page_url(i, arch))
+        ts.append(EPOCH_US + i * 1_000_000)
+        htmls.append(payload)
+        raw.append("")
+        langs.append(_LANGS[i % len(_LANGS)])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(raw, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES,
+    )

@@ -1,0 +1,110 @@
+"""Ray pipeline equivalence + resume tests (FIXTURES.md §5 invariants).
+
+Invariant 2 (parallelism-invariance) is the analog of the reference's
+graph-vs-eager conformance tests (tests/__init__.py:105-162): the same job
+at different parallelism must produce identical bytes.
+"""
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_ray import reference, synth
+from ocr_ray.pipelines import extraction as ex
+from ocr_ray.state import manifest as mf
+
+N_PAGES = 72
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.synth_corpus(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return reference.extract_table(corpus).sort_by("url")
+
+
+def _collect(ray, ds, schema) -> pa.Table:
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(t.select(schema.names).cast(schema) for t in tables).sort_by("url")
+
+
+def test_fused_matches_oracle(ray_session, corpus, oracle):
+    import ray.data
+
+    ds = ex.extract_pages(ray.data.from_arrow(corpus).repartition(6), mode="fused")
+    assert _collect(ray_session, ds, oracle.schema).equals(oracle)
+
+
+def test_exploded_matches_oracle(ray_session, corpus, oracle):
+    import ray.data
+
+    ds = ex.extract_pages(ray.data.from_arrow(corpus).repartition(6), mode="exploded")
+    assert _collect(ray_session, ds, oracle.schema).equals(oracle)
+
+
+def test_parallelism_invariance(ray_session, corpus, oracle):
+    import ray.data
+
+    for nblocks in (1, 13):
+        ds = ex.extract_pages(
+            ray.data.from_arrow(corpus).repartition(nblocks), mode="fused", batch_size=7
+        )
+        assert _collect(ray_session, ds, oracle.schema).equals(oracle)
+
+
+def test_run_and_resume(ray_session, corpus, oracle, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extract_out"))
+    shutil.rmtree(out, ignore_errors=True)
+    stats = ex.run_extraction(corpus, out, n_partitions=6)
+    assert stats["extracted"] == N_PAGES
+    back = ex.read_extracted(out).select(oracle.column_names).cast(oracle.schema)
+    assert back.sort_by("url").equals(oracle)
+
+    # full resume: nothing recomputed
+    stats2 = ex.run_extraction(corpus, out, n_partitions=6)
+    assert stats2 == {"extracted": 0, "skipped_partitions": 6}
+
+
+def test_kill_and_resume(ray_session, corpus, oracle, tmp_path_factory):
+    """Simulate a crash after some partitions committed: drop half the
+    manifests + their output dirs, resume, and require byte-identical final
+    output with no partition extracted twice (FIXTURES.md invariant 3)."""
+    import glob
+    import os
+
+    out = str(tmp_path_factory.mktemp("extract_resume"))
+    ex.run_extraction(corpus, out, n_partitions=6)
+    # wipe partitions 0-2 (simulating a run killed before committing them)
+    for pid in (0, 1, 2):
+        shutil.rmtree(os.path.join(out, "partition_id={}".format(pid)), ignore_errors=True)
+        os.remove(os.path.join(mf.manifest_dir(out), "part-{:06d}.json".format(pid)))
+    stats = ex.run_extraction(corpus, out, n_partitions=6)
+    assert stats["skipped_partitions"] == 3
+    back = ex.read_extracted(out).select(oracle.column_names).cast(oracle.schema)
+    assert back.sort_by("url").equals(oracle)
+    # each committed partition has exactly one manifest entry
+    assert len(mf.completed_partitions(out)) == 6
+    # no duplicate urls across partition dirs
+    urls = pq.read_table(out, columns=["url"]).column("url").to_pylist()
+    assert len(urls) == len(set(urls)) == N_PAGES
+
+
+def test_documents_identity_roundtrip(ray_session):
+    """pages synthesized from the documents table extract back to exactly
+    the text column (the DuckDB-oracle identity)."""
+    import ray.data
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pages = synth.pages_from_documents(docs)
+    ds = ex.extract_pages(ray.data.from_arrow(pages).repartition(4), mode="fused")
+    got = _collect(ray_session, ds, reference.extract_table(pages.slice(0, 1)).schema)
+    by_url = dict(zip(got.column("url").to_pylist(), got.column("extracted").to_pylist()))
+    for url, text in zip(pages.column("url").to_pylist(), pages.column("text").to_pylist()):
+        assert by_url[url] == text
+    assert all(s == "ok" for s in got.column("status").to_pylist())
