@@ -1,0 +1,288 @@
+"""Benchmark driver: headline extraction pipeline + representative queries.
+
+Prints ONE JSON line on stdout:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``python bench.py --scaling`` runs the headline pipeline twice in fresh
+processes (RAY_GRAFT_CPUS=8 then 32) on the SAME pre-generated input and
+reports both throughputs + scaling efficiency (the in-sandbox evidence for
+the N vs 4N cluster criterion, BASELINE.md).
+
+The bench input is a deterministic mixed corpus (archetype pages incl. PDF
+payloads + documents-derived pages) generated ONCE with Ray into
+/tmp/ocr_ray_bench/pages-<sf>/ and reused by every run — so timed runs
+measure read -> extract -> write, not synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_ARCH = int(os.environ.get("GRAFT_BENCH_ARCH", "120000"))
+DOC_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "24"))
+PAGE_SCALE = int(os.environ.get("GRAFT_BENCH_SCALE", "6"))  # bigger pages ~ real CC cost
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_input_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return "/tmp/ocr_ray_bench/pages-{}-a{}-r{}-s{}".format(tag, N_ARCH, DOC_REPEAT, PAGE_SCALE)
+
+
+def ensure_bench_pages(sf_dir: str) -> str:
+    """Generate the bench corpus once (Ray-parallel), reuse thereafter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = bench_input_dir(sf_dir)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+
+    from ocr_ray import synth
+
+    log("generating bench corpus at", path)
+    t0 = time.perf_counter()
+
+    # archetype pages by global index (deterministic per index)
+    def gen_arch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        rows = []
+        for i in ids:
+            arch = synth.ARCHETYPES[i % len(synth.ARCHETYPES)]
+            rng = synth._rng(7, i)
+            payload = (
+                synth._make_pdf(arch, rng, i, scale=PAGE_SCALE)
+                if arch.startswith("pdf")
+                else synth._make_html(arch, rng, i, scale=PAGE_SCALE)
+            )
+            rows.append(
+                {
+                    "url": synth.page_url(i, arch),
+                    "warc_ts": synth.EPOCH_US + i * 1_000_000,
+                    "html": payload,
+                    "text": "",
+                    "lang": synth._LANGS[i % len(synth._LANGS)],
+                }
+            )
+        t = pa.Table.from_pylist(rows)
+        return t.set_column(1, "warc_ts", t.column("warc_ts").cast(pa.timestamp("us")))
+
+    arch_ds = ray.data.range(N_ARCH).map_batches(
+        gen_arch, batch_format="pyarrow", batch_size=512
+    )
+    arch_ds.write_parquet(path)
+
+    # documents-derived pages, tiled DOC_REPEAT times with distinct urls
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.ParquetFile(docs_path).metadata.num_rows
+
+    def gen_docs(batch: pa.Table) -> pa.Table:
+        parts = [
+            synth.wrap_documents_batch(batch, offset=1_000_000 + r * n_docs)
+            for r in range(DOC_REPEAT)
+        ]
+        return pa.concat_tables(parts)
+
+    ray.data.read_parquet(docs_path, columns=["doc_id", "text", "lang"]).map_batches(
+        gen_docs, batch_format="pyarrow"
+    ).write_parquet(path)
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    log("bench corpus generated in {:.1f}s".format(time.perf_counter() - t0))
+    return path
+
+
+def run_headline(pages_path: str, out_dir: str) -> dict:
+    """read -> extract (actor pool) -> write; returns timing + row counts."""
+    import shutil
+
+    import ray.data
+
+    from ocr_ray.pipelines.extraction import extract_pages
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm the OS page cache so both parallelism levels measure compute
+    with open(os.path.join(pages_path, "_DONE"), "rb"):
+        pass
+    for name in os.listdir(pages_path):
+        if name.endswith(".parquet"):
+            with open(os.path.join(pages_path, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html", "lang"])
+    out = extract_pages(ds, mode="fused", batch_size=256)
+    out.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(out_dir).count_rows()
+    return {"sec": dt, "rows": n, "docs_per_sec": n / dt}
+
+
+def run_queries(sf_dir: str) -> dict:
+    from ocr_ray.pipelines import queries as Q
+
+    picks = [
+        "lineitem_agg",
+        "revenue_by_nation",
+        "top_tokens",
+        "events_window",
+        "exact_dedup",
+        "knn_cosine",
+        "top_orders",
+        "embedding_norms",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = Q.QUERIES[name](sf_dir)
+        # force execution for lazy Datasets
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_single() -> dict:
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    import logging
+
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    pages_path = ensure_bench_pages(sf_dir)
+    headline = run_headline(pages_path, "/tmp/ocr_ray_bench/out")
+    log("headline:", headline)
+    qtimes = run_queries(sf_dir)
+    log("queries:", qtimes)
+    ray.shutdown()
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    return {
+        "metric": "extraction_pipeline_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": ncpus,
+        "docs": headline["rows"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+    }
+
+
+def _hw_ceiling(lo: int, hi: int, pages_path: str) -> float:
+    """Hardware scaling ceiling of THIS workload on THIS box.
+
+    The sandbox's "CPUs" are SMT siblings with turbo: lo plain worker
+    processes each run faster than 1/hi of hi processes, so even a perfect
+    engine cannot reach t_lo/t_hi = hi/lo here.  A real N- vs 4N-node
+    cluster adds whole nodes and has no such cap.  Calibrate by running the
+    extraction kernel (no Ray) in lo and hi OS processes and measuring
+    aggregate docs/sec; ceiling = (agg_hi / agg_lo) / (hi / lo).
+    """
+    import glob
+    import multiprocessing as mp
+
+    files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    per_task = 1500
+    with mp.Pool(hi) as pool:
+        # warm every worker: imports + page cache
+        pool.map(_mp_extract, [(files[i % len(files)], 50) for i in range(hi)])
+        agg = {}
+        for n in (lo, hi):
+            args = [(files[i % len(files)], per_task) for i in range(n)]
+            t0 = time.perf_counter()
+            done = pool.map(_mp_extract, args)
+            agg[n] = sum(done) / (time.perf_counter() - t0)
+    return (agg[hi] / agg[lo]) / (hi / lo)
+
+
+def _mp_extract(args):
+    fname, nrows = args
+    import pyarrow.parquet as pq
+
+    from ocr_ray.extract_core import extract_page
+
+    t = pq.read_table(fname, columns=["url", "html"]).slice(0, nrows)
+    for u, p in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        extract_page(u, p)
+    return nrows
+
+
+def main_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    # the sandbox box has noisy background load: interleave the levels and
+    # take the min wall per level so a noise spike can't flip the ratio
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ceiling = _hw_ceiling(lo, hi, bench_input_dir(sf_dir))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "hw_ceiling": round(ceiling, 3),
+        "normalized_efficiency": round(eff / ceiling, 3),
+        "sec_{}".format(lo): r_lo["value"],
+        "sec_{}".format(hi): r_hi["value"],
+        "docs_per_sec_{}".format(lo): r_lo["docs_per_sec"],
+        "docs_per_sec_{}".format(hi): r_hi["docs_per_sec"],
+        "docs": r_hi["docs"],
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+        "queries": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    result = main_scaling() if "--scaling" in sys.argv else main_single()
+    print(json.dumps(result))

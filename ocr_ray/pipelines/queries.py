@@ -1,0 +1,475 @@
+"""Named query pipelines + matching DuckDB oracle SQL.
+
+Each entry in :data:`QUERIES` is a callable ``(sf_dir) -> Dataset | DataFrame
+| pyarrow.Table`` implementing one operator family from SURVEY.md §2 as an
+idiomatic Ray Data pipeline; :data:`ORACLE_SQL` holds the ANSI-SQL
+equivalent the driver runs on DuckDB over the same parquet tables.  Column
+names match EXACTLY between both sides (the driver hashes values after
+sorting columns by name).
+
+Float policy: any aggregated float column is rounded on BOTH sides (2
+decimals for price-scale sums, 4 for ratios/averages) so summation-order
+differences between Ray partials and DuckDB never flip the value hash.
+
+Ray-isms demonstrated here (and graded at 100 TB):
+
+- column pruning at the read (every ``read_table`` passes ``columns=``)
+- vectorized pyarrow.compute kernels inside ``map_batches``
+- map-side partial aggregation before every ``groupby`` (Ray's hash
+  aggregate combines per block; token counting pre-reduces explicitly)
+- broadcast joins for small sides (``ray.put`` once, dict lookup per batch)
+  instead of an all-to-all shuffle join
+- per-batch top-k partials before a tiny global sort for ANN search
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..sources.io import read_table
+from ..stages.extract import extract_batch
+from ..synth import wrap_documents_batch
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def documents_pages(sf_dir: str) -> ray.data.Dataset:
+    """Streaming documents -> pages wrap (no materialization of the corpus)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return docs.map_batches(wrap_documents_batch, batch_format="pyarrow")
+
+
+def _extracted(sf_dir: str) -> ray.data.Dataset:
+    return documents_pages(sf_dir).map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=256
+    )
+
+
+# SQL fragment reconstructing synth.page_url(doc_id) (see synth._host):
+_URL_SQL = (
+    "'https://host-' || lpad(CAST(CASE WHEN (doc_id*48271)%100 < 25 THEN 0 "
+    "WHEN (doc_id*48271)%100 < 40 THEN 1 "
+    "ELSE 2 + (doc_id*69621)%48 END AS VARCHAR), 3, '0') "
+    "|| '.example/p/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
+
+# ---------------------------------------------------------------------------
+# extraction family
+# ---------------------------------------------------------------------------
+
+def q_extract_identity(sf_dir: str):
+    """Flagship: synth pages from documents -> full extraction pipeline.
+
+    The chrome-wrapped single-paragraph pages must extract back to exactly
+    the source text (byte-identical invariant, checked per url)."""
+    return _extracted(sf_dir).select_columns(["url", "extracted", "lang"])
+
+
+SQL_EXTRACT_IDENTITY = (
+    "SELECT " + _URL_SQL + " AS url, text AS extracted, lang FROM documents"
+)
+
+
+def q_extract_stats(sf_dir: str):
+    """Extraction then per-lang aggregate over the extracted text."""
+    ds = _extracted(sf_dir)
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars", pc.cast(pc.utf8_length(batch.column("extracted")), pa.int64())
+        )
+
+    out = (
+        ds.map_batches(add_len, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+    return out.to_pandas()
+
+
+SQL_EXTRACT_STATS = (
+    "SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang"
+)
+
+
+# ---------------------------------------------------------------------------
+# text cleaners / analysis over documents (SURVEY §2.2 M8, §2.8 D4)
+# ---------------------------------------------------------------------------
+
+def q_doc_clean(sf_dir: str):
+    """lowercase + collapse_whitespace + strip cleaner chain, vectorized
+    (cleaners.py:83-126 by-name registry -> pyarrow.compute kernels)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch.column("doc_id"), "clean": t})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+SQL_DOC_CLEAN = (
+    "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean "
+    "FROM documents"
+)
+
+
+def q_doc_tokens(sf_dir: str):
+    """Whitespace token count per document (tokenizer analog, M13)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_DOC_TOKENS = (
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """sha256 document fingerprint (digest column of EXTRACTED)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(digests)}
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, sha256(text) AS fingerprint FROM documents"
+
+
+def q_exact_dedup(sf_dir: str):
+    """Cross-document exact dedup: hash-partition by content digest, keep
+    the first (min doc_id) per group (SURVEY §2.8 D4 cross-doc variant)."""
+    ds = q_doc_fingerprint(sf_dir)
+    out = ds.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return out.select_columns(["doc_id", "n_dups"])
+
+
+SQL_EXACT_DEDUP = (
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+)
+
+
+def q_top_tokens(sf_dir: str):
+    """Global top-20 tokens: per-batch partial counts (map-side combine)
+    before the shuffle, then a small groupby + sort + limit."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tokens = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = tokens.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(20)
+    )
+    return out
+
+
+SQL_TOP_TOKENS = (
+    "SELECT token, count(*) AS n FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"
+)
+
+
+# ---------------------------------------------------------------------------
+# relational family over the TPC-H-ish tables (SURVEY §2.5-§2.7)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary: vectorized derived columns +
+    grouped aggregate (Ray's hash aggregate combines per block)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_disc_price"] = df["sum_disc_price"].round(2)
+    df["avg_disc"] = df["avg_disc"].round(4)
+    return df
+
+
+SQL_LINEITEM_AGG = (
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """orders ⨝ customer ⨝ nation via BROADCAST of the small sides:
+    the dimension maps are ray.put once and looked up per batch —
+    no shuffle join (SURVEY §2.5 J1/J2 pattern, ray_guide joins)."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nation_name = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cust_nation = {
+        ck: nation_name[nk]
+        for ck, nk in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    lookup_ref = ray.put(cust_nation)
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        # ray.get on a shared object-store ref: zero-copy local fetch per
+        # task, the broadcast side is ray.put ONCE on the driver
+        lookup = ray.get(lookup_ref)
+        names = [lookup[ck] for ck in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+SQL_REVENUE_BY_NATION = (
+    "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+)
+
+
+def q_top_orders(sf_dir: str):
+    """Global top-k: sort + limit (O5 analog: ds.sort(key, desc).limit(k))."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(25)
+
+
+SQL_TOP_ORDERS = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"
+)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type (streaming analog:
+    event-time windows as groupby over truncated timestamps)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": hour,
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+    )
+    df = out.to_pandas()
+    df["total"] = df["total"].round(2)
+    return df
+
+
+SQL_EVENTS_WINDOW = (
+    "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+    "round(sum(value), 2) AS total FROM events GROUP BY event_type, date_trunc('hour', ts)"
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (SURVEY extension: ANN)
+# ---------------------------------------------------------------------------
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    idx = tbl.column("vec_id").to_pylist().index(0)
+    return np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 vector: per-batch numpy
+    matmul against the broadcast query, per-batch top-k partials, tiny
+    global sort (the baseline ANN path; IVF/LSH is the scale path)."""
+    q = _query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+    k = 10
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)  # zero-copy local fetch of the broadcast query
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (emb @ qv) / norms
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "cos": pa.array(cos[top], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = (
+        ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id"])
+    )
+    return out
+
+
+SQL_KNN_COSINE = (
+    "SELECT vec_id FROM embeddings "
+    "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
+    "vec_id ASC LIMIT 10"
+)
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-label embedding L2-norm stats (vectorized numpy per batch)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "norm": pa.array(np.linalg.norm(emb, axis=1), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Mean("norm", alias_name="avg_norm"))
+    )
+    df = out.to_pandas()
+    df["avg_norm"] = df["avg_norm"].round(4)
+    return df
+
+
+SQL_EMBEDDING_NORMS = (
+    "SELECT label, count(*) AS n, round(avg(sqrt(list_dot_product("
+    "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm "
+    "FROM embeddings GROUP BY label"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "extract_identity": q_extract_identity,
+    "extract_stats": q_extract_stats,
+    "doc_clean": q_doc_clean,
+    "doc_tokens": q_doc_tokens,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "top_tokens": q_top_tokens,
+    "lineitem_agg": q_lineitem_agg,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "events_window": q_events_window,
+    "knn_cosine": q_knn_cosine,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLE_SQL = {
+    "extract_identity": SQL_EXTRACT_IDENTITY,
+    "extract_stats": SQL_EXTRACT_STATS,
+    "doc_clean": SQL_DOC_CLEAN,
+    "doc_tokens": SQL_DOC_TOKENS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "top_tokens": SQL_TOP_TOKENS,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_orders": SQL_TOP_ORDERS,
+    "events_window": SQL_EVENTS_WINDOW,
+    "knn_cosine": SQL_KNN_COSINE,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+}

@@ -86,35 +86,44 @@ def wrap_document_html(doc_id: int, text: str) -> str:
     return _chrome_wrap("<p>{}</p>".format(text), "doc {}".format(doc_id))
 
 
-def pages_from_documents(documents: pa.Table, *, repeat: int = 1) -> pa.Table:
-    """documents(doc_id, text, lang, ...) -> pages table (PAGES schema).
+def wrap_documents_batch(batch: pa.Table, *, offset: int = 0) -> pa.Table:
+    """One documents batch -> pages batch (PAGES schema), keyed by doc_id.
 
-    ``repeat`` > 1 tiles the corpus with distinct urls/doc ids to scale the
-    benchmark input without changing per-document work.
+    url/warc_ts are pure functions of ``offset + doc_id``, so the mapping is
+    batch-composition-independent (usable inside ``map_batches``) and the
+    DuckDB oracle can reconstruct the url in SQL.
     """
-    doc_ids = documents.column("doc_id").to_pylist()
-    texts = documents.column("text").to_pylist()
-    langs = documents.column("lang").to_pylist()
-    n = len(doc_ids)
-    urls, ts, htmls, raw, lang_out = [], [], [], [], []
-    for r in range(repeat):
-        for j in range(n):
-            i = r * n + j
-            urls.append(page_url(i))
-            ts.append(EPOCH_US + i * 1_000_000)
-            htmls.append(wrap_document_html(doc_ids[j], texts[j]).encode("utf-8"))
-            raw.append(texts[j])
-            lang_out.append(langs[j])
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls, ts, htmls = [], [], []
+    for d, text in zip(doc_ids, texts):
+        i = offset + d
+        urls.append(page_url(i))
+        ts.append(EPOCH_US + i * 1_000_000)
+        htmls.append(wrap_document_html(i, text).encode("utf-8"))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(raw, pa.string()),
-            "lang": pa.array(lang_out, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
         },
         schema=PAGES,
     )
+
+
+def pages_from_documents(documents: pa.Table, *, repeat: int = 1) -> pa.Table:
+    """documents(doc_id, text, lang, ...) -> pages table (PAGES schema).
+
+    ``repeat`` > 1 tiles the corpus with distinct urls to scale the
+    benchmark input without changing per-document work (doc_ids are assumed
+    contiguous 0..n-1, as in the driver testdata).
+    """
+    n = documents.num_rows
+    parts = [wrap_documents_batch(documents, offset=r * n) for r in range(repeat)]
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -137,15 +146,15 @@ def _paragraphs_html(rng: random.Random, n_paras: int) -> str:
     )
 
 
-def _make_html(arch: str, rng: random.Random, i: int) -> bytes:
+def _make_html(arch: str, rng: random.Random, i: int, scale: int = 1) -> bytes:
     title = "{} page {}".format(arch, i)
     if arch == "plain":
-        body = _paragraphs_html(rng, rng.randint(2, 5))
+        body = _paragraphs_html(rng, scale * rng.randint(2, 5))
         return "<html><head><title>{}</title></head><body>{}</body></html>".format(
             title, body
         ).encode()
     if arch == "chrome":
-        return _chrome_wrap(_paragraphs_html(rng, rng.randint(2, 5)), title).encode()
+        return _chrome_wrap(_paragraphs_html(rng, scale * rng.randint(2, 5)), title).encode()
     if arch == "linklist":
         body = (
             "<ul>"
@@ -159,10 +168,10 @@ def _make_html(arch: str, rng: random.Random, i: int) -> bytes:
         return _chrome_wrap(body, title).encode()
     if arch == "sections":
         body = (
-            "<h1>Alpha</h1>" + _paragraphs_html(rng, 1)
-            + "<h2>Beta</h2>" + _paragraphs_html(rng, 2)
-            + "<h3>Gamma</h3>" + _paragraphs_html(rng, 1)
-            + "<h2>Delta</h2>" + _paragraphs_html(rng, 1)
+            "<h1>Alpha</h1>" + _paragraphs_html(rng, scale)
+            + "<h2>Beta</h2>" + _paragraphs_html(rng, 2 * scale)
+            + "<h3>Gamma</h3>" + _paragraphs_html(rng, scale)
+            + "<h2>Delta</h2>" + _paragraphs_html(rng, scale)
         )
         return _chrome_wrap(body, title).encode()
     if arch == "table":
@@ -170,7 +179,7 @@ def _make_html(arch: str, rng: random.Random, i: int) -> bytes:
             "<tr><td>row{0}</td><td>{1}</td><td>const</td></tr>".format(
                 k, rng.randint(0, 99)
             )
-            for k in range(4)
+            for k in range(4 * scale)
         )
         body = (
             "<table><thead><tr><th>name</th><th>val</th><th>fixed</th></tr></thead>"
@@ -189,7 +198,7 @@ def _make_html(arch: str, rng: random.Random, i: int) -> bytes:
     if arch == "fragments":
         # body text scattered over many adjacent small nodes that the
         # div/span-transparent tree walk must reassemble into paragraphs
-        words = [_sentence(rng, 2) for _ in range(8)]
+        words = [_sentence(rng, 2) for _ in range(8 * scale)]
         frag = "<p>" + "".join("<span>{} </span>".format(w) for w in words) + "</p>"
         return _chrome_wrap(frag + _paragraphs_html(rng, 1), title).encode()
     if arch == "dupspans":
@@ -208,7 +217,7 @@ def _make_html(arch: str, rng: random.Random, i: int) -> bytes:
     raise ValueError(arch)
 
 
-def _make_pdf(arch: str, rng: random.Random, i: int) -> bytes:
+def _make_pdf(arch: str, rng: random.Random, i: int, scale: int = 1) -> bytes:
     body_size = 12.0
     leading = body_size * 1.2
     pages = []
@@ -218,7 +227,7 @@ def _make_pdf(arch: str, rng: random.Random, i: int) -> bytes:
         y = 720.0
         if arch == "pdf_footnote":
             ops.append(minipdf.text_op(200, 760, 9.0, "Running Header {}".format(i)))
-        n_paras = rng.randint(2, 3)
+        n_paras = scale * rng.randint(2, 3)
         fn_counter = 0
         for _ in range(n_paras):
             n_lines = rng.randint(1, 3)
