@@ -458,6 +458,10 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
 }
 
+from .queries_ext import EXT_ORACLE_SQL, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+
 ORACLE_SQL = {
     "extract_identity": SQL_EXTRACT_IDENTITY,
     "extract_stats": SQL_EXTRACT_STATS,
@@ -473,3 +477,4 @@ ORACLE_SQL = {
     "knn_cosine": SQL_KNN_COSINE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
 }
+ORACLE_SQL.update(EXT_ORACLE_SQL)

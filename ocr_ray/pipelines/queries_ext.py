@@ -1,0 +1,344 @@
+"""Extended query pipelines: dedup family, text analysis, sessionization.
+
+Same contract as :mod:`ocr_ray.pipelines.queries` (which merges these
+registries): Ray-Data-first implementations with DuckDB oracle SQL where
+the semantics are SQL-expressible; rows-only entries (simhash, lang-ID,
+IVF-kNN) are pinned by pytest instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from ..sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# dedup family (SURVEY §2.8 D4-D5 cross-document; training-data extensions)
+# ---------------------------------------------------------------------------
+
+_JACCARD_SHINGLE_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w WHERE len(ws) >= 3 "
+    "UNION ALL SELECT doc_id, [text] AS sh FROM documents "
+    "WHERE len(string_split(text, ' ')) < 3) "
+)
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup pipeline over documents: 64-perm signatures,
+    16x4 banding, bucket groupby, candidate pairs, exact word-3gram Jaccard
+    verify at 0.8 (ocr_ray.stages.dedup).  The testdata contains organic
+    near-duplicates; the DuckDB oracle computes the exact all-pairs answer."""
+    from ..stages import dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    lookup = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.8, text_lookup=lookup)
+    return out.select(["a", "b"])
+
+
+SQL_MINHASH_DEDUP = (
+    _JACCARD_SHINGLE_SQL
+    + "SELECT a.doc_id AS a, b.doc_id AS b FROM g a JOIN g b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(a.sh || b.sh)) >= 0.8"
+)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard kernel on consecutive doc-id pairs (the verify
+    metric of the dedup pipelines, exposed standalone)."""
+    from ..stages.dedup import jaccard as jac, round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def consecutive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        a, b, j = [], [], []
+        for x, y in zip(order[:-1], order[1:]):
+            if ids[y] == ids[x] + 1:
+                a.append(ids[x])
+                b.append(ids[y])
+                j.append(round_half_away(jac(texts[x], texts[y]), 6))
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+
+    # repartition(1) so every consecutive pair is inside one batch: this is
+    # a kernel-correctness query, not a throughput path
+    return ds.repartition(1).map_batches(
+        consecutive, batch_format="pyarrow", batch_size=1 << 20
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    _JACCARD_SHINGLE_SQL
+    + "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(a.sh || b.sh)), 6) AS jaccard "
+    "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
+)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup: 64-bit fingerprints, 4x16-bit band blocking,
+    hamming<=3 verify.  No SQL oracle (simhash is not SQL-expressible):
+    the driver records a rows-only check; tests pin the planted answer."""
+    from ..stages import dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_dedup_pairs(docs, max_hamming=3).select(["a", "b"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets over
+    embeddings with PLANTED exact copies (vec_id+100000 for vec_id%10==0):
+    the expected pair list is exactly the planted set (no organic pairs
+    reach cosine 0.95 in the testdata, verified offline)."""
+    from ..stages import dedup
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(tbl.column("vec_id").to_pylist())
+    planted = tbl.filter(pa.array(vec_ids % 10 == 0))
+    planted = planted.set_column(
+        planted.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(planted.column("vec_id"), 100000),
+    )
+    both = pa.concat_tables([tbl, planted])
+    out = dedup.embedding_neardup_pairs(ray.data.from_arrow(both), min_cosine=0.95)
+    return out.select(["a", "b"])
+
+
+SQL_EMBEDDING_NEARDUP = (
+    "SELECT vec_id AS a, vec_id + 100000 AS b FROM embeddings WHERE vec_id % 10 = 0"
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (lang-ID, quality, BPE-ish tokens, chunking)
+# ---------------------------------------------------------------------------
+
+def q_doc_langid(sf_dir: str):
+    """Language-ID (stopword/CJK heuristic) counts per detected lang.
+    Rows-only check; kernel unit-tested in tests/test_text_functions.py."""
+    from ..functions.analysis import detect_language
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        langs = [detect_language(t)[0] for t in batch.column("text").to_pylist()]
+        return pa.table({"detected": pa.array(langs, pa.string())})
+
+    return (
+        ds.map_batches(detect, batch_format="pyarrow")
+        .groupby("detected")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality signals per document (Gopher/C4-style ratios)."""
+    from ..stages.dedup import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words, mean_len, dup_ratio = [], [], []
+        for t in texts:
+            ws = t.split()
+            n = len(ws)
+            n_words.append(n)
+            mean_len.append(round_half_away(sum(len(w) for w in ws) / n, 4) if n else 0.0)
+            dup_ratio.append(round_half_away(1.0 - len(set(ws)) / n, 4) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "mean_word_len": pa.array(mean_len, pa.float64()),
+                "dup_word_ratio": pa.array(dup_ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
+SQL_DOC_QUALITY = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+    "SELECT doc_id, len(ws) AS n_words, "
+    "round(CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws), 4) AS mean_word_len, "
+    "round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS dup_word_ratio "
+    "FROM w"
+)
+
+# RE2-safe (no lookahead) GPT-2-style pretokenizer, shared with the oracle
+_BPE_RE2 = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+
+def q_doc_tokens_bpe(sf_dir: str):
+    """BPE-ish pretokenizer token counts (deterministic BPE-count proxy)."""
+    import re as _re
+
+    pat = _re.compile(_BPE_RE2)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(pat.findall(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_bpe_tokens": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_DOC_TOKENS_BPE = (
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    + "'" + _BPE_RE2.replace("'", "''") + "'"
+    + ")) AS n_bpe_tokens FROM documents"
+)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Token-budget chunking (split_text + merge_texts, M11/M12): number of
+    ~40-token chunks per document; the oracle is the closed form the greedy
+    chunker provably yields on single-paragraph unpunctuated text."""
+    from ..functions.textproc import chunk_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        n = [len(chunk_text(t, 40)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_chunks": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = (
+    "SELECT doc_id, CASE WHEN len(string_split(text, ' ')) <= 48 THEN 1 "
+    "ELSE CAST(ceil(len(string_split(text, ' ')) / 40.0) AS BIGINT) END AS n_chunks "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# sessionization (interval-merge over event time: combine_adjacent, G2)
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(sf_dir: str):
+    """Per-user sessionization: events sorted by ts merge into sessions
+    while the gap stays <= 30 min — the 1-D interval-merge cascade
+    (functions.intervals.combine_adjacent) applied to event time, via
+    groupby(user_id).map_groups."""
+    from ..functions.intervals import combine_adjacent
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        user = group.column("user_id")[0].as_py()
+        ts = np.sort(group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False))
+        iv = np.stack([ts, ts], axis=1).astype(np.float64)
+        envelopes, _ = combine_adjacent(iv, max_gap=30 * 60 * 1_000_000)
+        return pa.table(
+            {
+                "user_id": pa.array([user], pa.int64()),
+                "n_sessions": pa.array([len(envelopes)], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+SQL_EVENTS_SESSIONIZE = (
+    "WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) "
+    "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events "
+    "FROM x GROUP BY user_id"
+)
+
+
+def q_split_counts(sf_dir: str):
+    """Deterministic train/test split by key (train_test_split analog, O7)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist())
+        split = np.where(ids % 5 == 0, "test", "train")
+        return pa.table({"split": pa.array(split.tolist(), pa.string())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_SPLIT_COUNTS = (
+    "SELECT CASE WHEN doc_id % 5 = 0 THEN 'test' ELSE 'train' END AS split, "
+    "count(*) AS n FROM documents GROUP BY 1"
+)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate kNN (ocr_ray.stages.similarity): k-means coarse
+    quantizer, probe-limited scan.  Approximate by design -> rows-only
+    check; recall vs brute force pinned in tests."""
+    from .queries import _query_vector
+    from ..stages.similarity import ivf_topk
+
+    q = _query_vector(sf_dir)
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = ivf_topk(emb, q, k=10, n_clusters=8, nprobe=4)
+    return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+
+EXT_QUERIES = {
+    "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_neardup": q_embedding_neardup,
+    "doc_langid": q_doc_langid,
+    "doc_quality": q_doc_quality,
+    "doc_tokens_bpe": q_doc_tokens_bpe,
+    "doc_chunks": q_doc_chunks,
+    "events_sessionize": q_events_sessionize,
+    "split_counts": q_split_counts,
+    "knn_ivf": q_knn_ivf,
+}
+
+EXT_ORACLE_SQL = {
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "split_counts": SQL_SPLIT_COUNTS,
+}

@@ -1,0 +1,317 @@
+"""Cross-document deduplication pipelines: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+The reference deduplicates only within a stream (emitted-set + edit
+distance, base_ocr.py:679-725, SURVEY §2.8 D4-D5); these are the
+corpus-scale counterparts a 100 TB training-data pipeline needs.  All
+follow the same Ray shape:
+
+    map_batches(signature)            # vectorized per-doc sketch
+      -> flat band/bucket rows        # explode: one row per (band, hash)
+      -> groupby(bucket)              # THE shuffle: only sketch rows move,
+                                      #   never the documents themselves
+      -> candidate pairs              # per-group pair enumeration
+      -> verify                       # exact metric on the small candidate
+                                      #   set (broadcast text lookup here;
+                                      #   at 10^12 docs: hash-join back)
+
+Correctness gate: the driver queries run these over the ``documents`` table
+with PLANTED duplicates (every 10th doc copied, exact or perturbed) so the
+expected pair list is exactly SQL-expressible.
+
+Determinism: all hashes are crc32/sha-based (never Python's salted hash);
+every emitted pair is (min_id, max_id)-ordered and globally sorted.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles -> uint64 crc-based hashes."""
+    words = text.split()
+    if len(words) < n:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.asarray(
+        sorted({zlib.crc32(s.encode("utf-8")) for s in shingles}), dtype=np.uint64
+    )
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 13):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """[N_PERM] uint64 MinHash signature over word-3gram shingles."""
+    sh = _shingle_hashes(text)
+    if sh.size == 0:
+        return np.zeros(N_PERM, dtype=np.uint64)
+    # (a * x + b) mod p for every (perm, shingle) pair, then min per perm
+    vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def round_half_away(x: float, digits: int = 6) -> float:
+    """DuckDB-compatible rounding (half away from zero): Python's round()
+    is banker's, and Jaccard ratios hit exact .5 boundaries (e.g. 1/128)."""
+    scale = 10 ** digits
+    return (int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)) / scale
+
+
+def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard (the verify metric)."""
+    a, b = set(_shingle_hashes(text_a, n).tolist()), set(_shingle_hashes(text_b, n).tolist())
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (crc-seeded bit votes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in text.split():
+        h = np.uint64(
+            zlib.crc32(w.encode("utf-8")) | (zlib.crc32(w[::-1].encode("utf-8")) << 32)
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in np.flatnonzero(acc > 0).tolist():
+        out |= 1 << i
+    # signed-int64 view so the value fits Arrow int64 columns
+    return int(np.uint64(out).astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+# ---------------------------------------------------------------------------
+
+def minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """documents batch -> one row per (doc, band): the LSH explode."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    rows_per_band = N_PERM // N_BANDS
+    doc_ids, band_ids, band_hashes = [], [], []
+    for doc_id, text in zip(ids, texts):
+        sig = minhash_signature(text)
+        for band in range(N_BANDS):
+            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            h = zlib.crc32(chunk.tobytes())
+            doc_ids.append(doc_id)
+            band_ids.append(band)
+            band_hashes.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+        }
+    )
+
+
+def _pairs_from_groups(group: pa.Table) -> pa.Table:
+    """bucket group -> candidate (a, b) pairs, a < b."""
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+
+def minhash_dedup_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    text_lookup: dict | None = None,
+) -> pa.Table:
+    """Full MinHash-LSH near-dup pipeline -> verified (a, b, jaccard) pairs.
+
+    ``text_lookup`` (doc_id -> text) is the verify side; small corpora
+    broadcast it via ray.put, 10^12-doc corpora replace the broadcast with a
+    hash-join of candidate ids back against the corpus.
+    """
+    bands = docs.map_batches(minhash_band_rows, batch_format="pyarrow")
+    candidates = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(_pairs_from_groups, batch_format="pyarrow")
+    )
+    cand = candidates.to_pandas().drop_duplicates(subset=["a", "b"])
+
+    lookup_ref = ray.put(text_lookup or {})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        jac = [jaccard(lookup.get(x, ""), lookup.get(y, "")) for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
+
+    verified = (
+        ray.data.from_pandas(cand.reset_index(drop=True))
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(verified, preserve_index=False)
+
+
+def simhash_rows(batch: pa.Table) -> pa.Table:
+    """documents batch -> one row per (doc, 16-bit band of the simhash)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    doc_ids, band_ids, band_vals, hashes = [], [], [], []
+    for doc_id, text in zip(ids, texts):
+        h = simhash64(text)
+        for band in range(4):
+            doc_ids.append(doc_id)
+            band_ids.append(band)
+            band_vals.append((h >> (band * 16)) & 0xFFFF)
+            hashes.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_val": pa.array(band_vals, pa.int64()),
+            "simhash": pa.array(hashes, pa.int64()),
+        }
+    )
+
+
+def simhash_dedup_pairs(docs: ray.data.Dataset, *, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup: 4x16-bit band blocking (a pair within hamming<=3 of
+    64 bits shares at least one identical 16-bit band by pigeonhole), then
+    exact hamming verify per candidate pair."""
+
+    def pairs_with_hashes(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            {(i, h) for i, h in zip(group.column("doc_id").to_pylist(),
+                                    group.column("simhash").to_pylist())}
+        )
+        a_out, b_out, ham = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a_out.append(rows[i][0])
+                b_out.append(rows[j][0])
+                ham.append(hamming64(rows[i][1], rows[j][1]))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+
+    cand = (
+        docs.map_batches(simhash_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(pairs_with_hashes, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand[cand["hamming"] <= max_hamming].drop_duplicates(subset=["a", "b"])
+    cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(cand, preserve_index=False)
+
+
+def embedding_neardup_pairs(
+    emb: ray.data.Dataset,
+    *,
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 29,
+) -> pa.Table:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets:
+    sign-pattern bucket groupby, within-bucket exact cosine verify.
+
+    A pair with cosine >= 0.95 has a high probability of an identical
+    sign pattern under few planes; exact copies always collide.  The scale
+    path raises recall with multiple plane tables (union of bucket rows).
+    """
+    # dims from the first row (driver-side metadata peek is fine)
+    first = emb.take(1)[0]
+    dims = len(first["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dims, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = batch.column("vec_id").to_pylist()
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        signs = (mat @ pl) > 0
+        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(keys, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        mat = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        order = np.argsort(ids, kind="stable")
+        a_out, b_out, c_out = [], [], []
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                if ids[i] == ids[j]:
+                    continue
+                c = cos[i, j]
+                if c >= min_cosine:
+                    a, b = sorted((ids[i], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    c_out.append(round(float(c), 6))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float64()),
+            }
+        )
+
+    out = (
+        emb.map_batches(bucket, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(subset=["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

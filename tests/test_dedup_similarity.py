@@ -1,0 +1,124 @@
+"""Dedup + ANN pipeline tests (planted-duplicate answers, recall pins)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_ray.stages import dedup
+
+
+def _docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _text(rng, n=40):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def test_minhash_signature_tracks_jaccard():
+    rng = np.random.RandomState(3)
+    base = _text(rng, 60)
+    near = base.rsplit(" ", 2)[0] + " xx yy"
+    far = _text(rng, 60)
+    sig_b = dedup.minhash_signature(base)
+    sig_n = dedup.minhash_signature(near)
+    sig_f = dedup.minhash_signature(far)
+    sim_near = (sig_b == sig_n).mean()
+    sim_far = (sig_b == sig_f).mean()
+    assert sim_near > 0.6 > sim_far
+    assert abs(sim_near - dedup.jaccard(base, near)) < 0.25
+
+
+def test_jaccard_exact():
+    assert dedup.jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.jaccard("a b c", "x y z") == 0.0
+    assert dedup.jaccard("", "") == 1.0
+
+
+def test_simhash_properties():
+    rng = np.random.RandomState(5)
+    t = _text(rng, 50)
+    near = t + " extra"
+    assert dedup.simhash64(t) == dedup.simhash64(t)
+    assert dedup.hamming64(dedup.simhash64(t), dedup.simhash64(near)) <= 8
+    far = " ".join(w[::-1] for w in _text(rng, 50).split())
+    assert dedup.hamming64(dedup.simhash64(t), dedup.simhash64(far)) > 8
+
+
+def test_minhash_lsh_finds_planted(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    texts = [_text(rng, 50) for _ in range(60)]
+    # plant: exact copy of doc 3 and a one-word-perturbed copy of doc 7
+    texts.append(texts[3])                                   # doc 60
+    texts.append(texts[7].rsplit(" ", 1)[0] + " perturbed")  # doc 61
+    tbl = _docs_table(texts)
+    lookup = dict(zip(range(len(texts)), texts))
+    out = dedup.minhash_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.8, text_lookup=lookup
+    )
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (3, 60) in pairs
+    assert (7, 61) in pairs
+
+
+def test_simhash_finds_planted(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(12)
+    texts = [_text(rng, 50) for _ in range(40)]
+    texts.append(texts[5])  # exact copy -> hamming 0
+    out = dedup.simhash_dedup_pairs(ray.data.from_arrow(_docs_table(texts)), max_hamming=3)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (5, 40) in pairs
+
+
+def test_embedding_neardup_planted(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(13)
+    vecs = rng.standard_normal((50, 16))
+    ids = list(range(50)) + [1000, 1001]
+    all_vecs = np.vstack([vecs, vecs[4] * 1.5, vecs[9]])  # scaled copy + exact copy
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in all_vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = dedup.embedding_neardup_pairs(ray.data.from_arrow(tbl), min_cosine=0.99)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (4, 1000) in pairs  # cosine invariant to scaling
+    assert (9, 1001) in pairs
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    import ray.data
+
+    from ocr_ray.stages.similarity import ivf_topk
+
+    rng = np.random.RandomState(17)
+    vecs = rng.standard_normal((400, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(400)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    q = vecs[0].astype(np.float64)
+    # brute force ground truth
+    vecs64 = vecs.astype(np.float64)
+    cos = (vecs64 @ q) / (np.linalg.norm(vecs64, axis=1) * np.linalg.norm(q))
+    truth = set(np.argsort(-cos, kind="stable")[:10].tolist())
+    got = set(
+        ivf_topk(ray.data.from_arrow(tbl), q, k=10, n_clusters=8, nprobe=4,
+                 train_sample=vecs64)
+    )
+    assert len(got & truth) >= 7  # recall >= 0.7 at nprobe=4/8
