@@ -459,8 +459,10 @@ QUERIES = {
 }
 
 from .queries_ext import EXT_ORACLE_SQL, EXT_QUERIES  # noqa: E402
+from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(REL_QUERIES)
 
 ORACLE_SQL = {
     "extract_identity": SQL_EXTRACT_IDENTITY,
@@ -478,3 +480,4 @@ ORACLE_SQL = {
     "embedding_norms": SQL_EMBEDDING_NORMS,
 }
 ORACLE_SQL.update(EXT_ORACLE_SQL)
+ORACLE_SQL.update(REL_ORACLE_SQL)

@@ -1,0 +1,107 @@
+"""Join machinery beyond broadcast lookups: hash join, as-of join, windows.
+
+The reference has no relational joins (SURVEY §2.5 — only keyed lookups);
+these are the standard shapes a data-processing engine owes its users:
+
+- :func:`hash_join` — both-sides-large equi-join via ``Dataset.join``
+  (hash-partitioned on the key; ``num_partitions`` is the shuffle fan-out).
+- :func:`asof_join` — sort-merge as-of: tag + union both sides, ONE
+  ``groupby(key)`` shuffle, ``pd.merge_asof`` per key group (ray_guide
+  'As-of / range join' pattern).  Partitioning assumption: one key's rows
+  fit in a group task; salt hot keys upstream if not.
+- :func:`running_window` — per-key ordered cumulative aggregates via
+  ``groupby(key).map_groups`` (sort inside the group, never globally).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    left_ts: str,
+    left_keep: list[str],
+    right_key: str,
+    right_ts: str,
+    out_col: str,
+) -> ray.data.Dataset:
+    """For each left row, the ts of the latest right row with
+    right.ts <= left.ts on the same key -> column ``out_col`` (NaT when no
+    match).
+
+    Implementation: both sides mapped to one common (key, ts, side, keep...)
+    layout, union, ONE groupby(key) shuffle, and a pandas merge_asof inside
+    each key group — neither side is materialized on the driver.
+    """
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df[left_key].to_numpy(), "ts": df[left_ts].to_numpy()})
+        out["__side"] = "L"
+        for c in left_keep:
+            out[c] = df[c].to_numpy()
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df[right_key].to_numpy(), "ts": df[right_ts].to_numpy()})
+        out["__side"] = "R"
+        for c in left_keep:
+            out[c] = -1
+        return out
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "L"].sort_values("ts", kind="stable")
+        r = group[group["__side"] == "R"].sort_values("ts", kind="stable")
+        if not len(l):
+            return l.drop(columns=["__side"])
+        rr = pd.DataFrame({"ts": r["ts"].to_numpy(), out_col: r["ts"].to_numpy()})
+        merged = pd.merge_asof(l, rr, on="ts", direction="backward")
+        return merged.drop(columns=["__side"])
+
+    return both.groupby("key").map_groups(per_key, batch_format="pandas")
+
+
+def running_window(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    value: str,
+    out_col: str,
+) -> ray.data.Dataset:
+    """Per-key running cumulative sum ordered by ``order_by`` (the
+    per_group pattern of the ray guide; ties broken by the full order_by
+    tuple so the result is deterministic)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="stable")
+        g[out_col] = g[value].cumsum().round(2)
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

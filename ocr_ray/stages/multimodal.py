@@ -1,0 +1,193 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool ``map_batches`` stages.
+
+The container ships no image/audio codecs (no PIL/cv2/ffmpeg), so REAL
+decode is stubbed: :func:`decode_real` raises ``NotImplementedError`` behind
+an import-try, exactly as a production stage would fail fast on a missing
+codec.  Everything AROUND the codec — schema, payload sniffing, actor
+signature, batch sizing, deterministic feature extraction, resize,
+frame sampling, output layout — is real and tested.
+
+Payload dialect (deterministic, written by :func:`synth_media`):
+
+    IMG1 | u16 width | u16 height | u8 channels | raw bytes (w*h*c)
+    AUD1 | u32 sample_rate | u32 n_samples | int16 PCM
+    VID1 | u16 width | u16 height | u16 n_frames | frames of raw gray bytes
+
+The reference analog is the image interface (load/resize/normalize,
+/root/reference/models/interfaces/base_image_model.py:93-122 and
+utils/image/image_processing.py:19-142): ``resize_media`` implements the
+same aspect-preserving nearest-neighbor resize over numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),          # image|audio|video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+FEATURES = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("mean", pa.float64()),
+        ("std", pa.float64()),
+        ("histogram", pa.list_(pa.int64())),  # 16 bins
+        ("status", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def synth_media(n: int = 48, seed: int = 23) -> pa.Table:
+    """Deterministic media table cycling image/audio/video payloads."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h, c = int(rng.randint(8, 32)), int(rng.randint(8, 32)), 3
+            data = rng.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+            payload = b"IMG1" + struct.pack("<HHB", w, h, c) + data
+            meta = (w, h, 0, 0)
+        elif kind == "audio":
+            sr, ns = 16000, int(rng.randint(100, 1000))
+            pcm = rng.randint(-32768, 32767, size=ns, dtype=np.int16).tobytes()
+            payload = b"AUD1" + struct.pack("<II", sr, ns) + pcm
+            meta = (0, 0, sr, 0)
+        else:
+            w, h, nf = int(rng.randint(4, 12)), int(rng.randint(4, 12)), int(rng.randint(2, 10))
+            data = rng.randint(0, 256, size=w * h * nf, dtype=np.uint8).tobytes()
+            payload = b"VID1" + struct.pack("<HHH", w, h, nf) + data
+            meta = (w, h, 0, nf)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "width": meta[0],
+                "height": meta[1],
+                "sample_rate": meta[2],
+                "n_frames": meta[3],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA)
+
+
+def decode_real(payload: bytes):
+    """Decode a real image codec (JPEG/PNG).  STUB: the sandbox ships no
+    codec libraries; production swaps this for PIL/turbojpeg."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs PIL/cv2 (not in this environment); "
+            "synthetic payloads decode via decode_media"
+        ) from exc
+    raise NotImplementedError("unreachable in this environment")
+
+
+def decode_media(payload: bytes) -> np.ndarray:
+    """Decode the deterministic synthetic dialect -> numpy array.
+
+    image -> [h, w, c] uint8; audio -> [n] int16; video -> [f, h, w] uint8.
+    Unknown magic falls through to :func:`decode_real` (which states the
+    codec gap explicitly)."""
+    magic = payload[:4]
+    if magic == b"IMG1":
+        w, h, c = struct.unpack("<HHB", payload[4:9])
+        return np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    if magic == b"AUD1":
+        sr, ns = struct.unpack("<II", payload[4:12])
+        return np.frombuffer(payload[12 : 12 + 2 * ns], dtype=np.int16)
+    if magic == b"VID1":
+        w, h, nf = struct.unpack("<HHH", payload[4:10])
+        return np.frombuffer(payload[10 : 10 + w * h * nf], dtype=np.uint8).reshape(nf, h, w)
+    return decode_real(payload)
+
+
+def resize_media(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (aspect handled by caller), pure numpy —
+    the resize_image analog (image_processing.py:19-85)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def sample_frames(video: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic stride frame sampling: k evenly spaced frames."""
+    nf = video.shape[0]
+    idx = np.linspace(0, nf - 1, num=min(k, nf)).astype(np.int64)
+    return video[idx]
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + per-item features, error rows on garbage.
+
+    Small ``batch_size`` is mandatory here: payloads are wide binary, so a
+    batch x pool_size must fit the worker heap (SURVEY 'memory-aware')."""
+
+    def __init__(self, n_bins: int = 16):
+        self.n_bins = n_bins
+        self.edges = np.linspace(0, 256, n_bins + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            base = {
+                "media_id": mid, "kind": kind, "n_bytes": len(payload or b""),
+                "mean": 0.0, "std": 0.0, "histogram": [0] * self.n_bins,
+                "status": "ok", "error": "",
+            }
+            try:
+                arr = decode_media(payload)
+                flat = arr.astype(np.float64).ravel()
+                hist, _ = np.histogram(
+                    flat, bins=self.n_bins,
+                    range=(-32768, 32768) if kind == "audio" else (0, 256),
+                )
+                rows.append(
+                    dict(
+                        base,
+                        mean=round(float(flat.mean()), 4),
+                        std=round(float(flat.std()), 4),
+                        histogram=[int(x) for x in hist],
+                    )
+                )
+            except NotImplementedError as exc:
+                rows.append(dict(base, status="error", error=str(exc)))
+            except Exception as exc:
+                rows.append(
+                    dict(base, status="error",
+                         error="{}: {}".format(type(exc).__name__, exc))
+                )
+        return pa.Table.from_pylist(rows, schema=FEATURES)
+
+
+def media_features(media_ds, *, concurrency=2, batch_size: int = 16):
+    """media table -> per-item feature table via the actor pool."""
+    return media_ds.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
