@@ -129,12 +129,23 @@ def sha256_hex(text: str) -> str:
 
 
 def extract_page(
-    url: str, payload: bytes, *, lang: str = "", footnote_mode: str = "keep"
+    url: str,
+    payload: bytes,
+    *,
+    lang: str = "",
+    footnote_mode: str = "keep",
+    include_paragraphs: bool = False,
 ) -> dict:
-    """One page -> one EXTRACTED-schema row (dict)."""
+    """One page -> one EXTRACTED-schema row (dict).
+
+    ``include_paragraphs=True`` adds the structural golden column
+    (FIXTURES.md §3): the full classified paragraph list — headers/page
+    numbers INCLUDED with their flags, so structure tests can see what the
+    text assembly skipped."""
     try:
         if not payload:
-            return _row(url, "", "", 0, "empty", "error", "empty payload", lang)
+            return _row(url, "", "", 0, "empty", "error", "empty payload", lang,
+                        [] if include_paragraphs else None)
         if minipdf.is_pdf(payload):
             objs = minipdf.read_text_objects(payload)
             paragraphs = pdf_extract.extract_pdf_paragraphs(objs)
@@ -147,16 +158,34 @@ def extract_page(
             title = page["title"]
             kind = "html"
         text, kept = assemble_text(paragraphs, footnote_mode=footnote_mode)
-        return _row(url, text, title, len(kept), kind, "ok", "", lang)
+        structural = (
+            [_paragraph_struct(p) for p in paragraphs] if include_paragraphs else None
+        )
+        return _row(url, text, title, len(kept), kind, "ok", "", lang, structural)
     except Exception as exc:  # malformed payload -> error row (never a crash)
         return _row(
             url, "", "", 0, "error", "error",
             "{}: {}".format(type(exc).__name__, exc), lang,
+            [] if include_paragraphs else None,
         )
 
 
-def _row(url, extracted, title, n_blocks, kind, status, error, lang) -> dict:
+def _paragraph_struct(p: dict) -> dict:
     return {
+        "type": p.get("type", "text"),
+        "text": p.get("text", ""),
+        "section": [s for s in p.get("section", ())],
+        "is_footnote": bool(p.get("is_footnote", False)),
+        "is_header": bool(p.get("is_header", False)),
+        "is_page_number": bool(p.get("is_page_number", False)),
+        "page": int(p.get("page", 0)),
+        "order": int(p.get("order", 0)),
+    }
+
+
+def _row(url, extracted, title, n_blocks, kind, status, error, lang,
+         paragraphs=None) -> dict:
+    out = {
         "url": url,
         "extracted": extracted,
         "title": title,
@@ -167,3 +196,6 @@ def _row(url, extracted, title, n_blocks, kind, status, error, lang) -> dict:
         "digest": sha256_hex(extracted) if status == "ok" else "",
         "lang": lang,
     }
+    if paragraphs is not None:
+        out["paragraphs"] = paragraphs
+    return out

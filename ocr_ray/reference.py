@@ -13,17 +13,24 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .extract_core import extract_page
-from .schema import EXTRACTED
+from .schema import EXTRACTED, EXTRACTED_FULL
 
 
-def extract_table(pages: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
+def extract_table(
+    pages: pa.Table, *, footnote_mode: str = "keep", include_paragraphs: bool = False
+) -> pa.Table:
     urls = pages.column("url").to_pylist()
     payloads = pages.column("html").to_pylist()
     langs = (
         pages.column("lang").to_pylist() if "lang" in pages.column_names else [""] * len(urls)
     )
     rows = [
-        extract_page(u, p, lang=l, footnote_mode=footnote_mode)
+        extract_page(
+            u, p, lang=l, footnote_mode=footnote_mode,
+            include_paragraphs=include_paragraphs,
+        )
         for u, p, l in zip(urls, payloads, langs)
     ]
-    return pa.Table.from_pylist(rows, schema=EXTRACTED)
+    return pa.Table.from_pylist(
+        rows, schema=EXTRACTED_FULL if include_paragraphs else EXTRACTED
+    )

@@ -82,6 +82,10 @@ EXTRACTED = pa.schema(
     ]
 )
 
+EXTRACTED_FULL = pa.schema(
+    list(EXTRACTED) + [pa.field("paragraphs", pa.list_(PARAGRAPH))]
+)
+
 # ---------------------------------------------------------------------------
 # Per-partition lineage manifest (the map.json resume DB made partition-
 # granular, cf. utils/callbacks/file_saver.py:145-192).

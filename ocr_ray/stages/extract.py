@@ -21,11 +21,13 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..extract_core import assemble_text, extract_page, sha256_hex
-from ..schema import EXTRACTED
+from ..schema import EXTRACTED, EXTRACTED_FULL
 from .. import html_extract, minipdf, pdf_extract
 
 
-def extract_batch(batch: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
+def extract_batch(
+    batch: pa.Table, *, footnote_mode: str = "keep", include_paragraphs: bool = False
+) -> pa.Table:
     """Fused per-page detect+extract, stateless form. Arrow in, Arrow out.
 
     The per-row Python work (an HTML/PDF parse) IS the useful compute —
@@ -47,10 +49,15 @@ def extract_batch(batch: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
         else [""] * len(urls)
     )
     rows = [
-        extract_page(u, p, lang=l, footnote_mode=footnote_mode)
+        extract_page(
+            u, p, lang=l, footnote_mode=footnote_mode,
+            include_paragraphs=include_paragraphs,
+        )
         for u, p, l in zip(urls, payloads, langs)
     ]
-    return pa.Table.from_pylist(rows, schema=EXTRACTED)
+    return pa.Table.from_pylist(
+        rows, schema=EXTRACTED_FULL if include_paragraphs else EXTRACTED
+    )
 
 
 class PageExtractor:

@@ -1,0 +1,70 @@
+"""Scale-behavior properties: host-skew balance, exploded-mode resume,
+oversized-page caps, partition determinism."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ocr_ray import synth
+from ocr_ray.pipelines import extraction as ex
+from ocr_ray.state import manifest as mf
+
+
+def test_url_hash_partitioning_breaks_host_skew():
+    """The synth corpus gives host 0 ~25% of pages (crawl-order clustering);
+    crc32(url) partitioning must spread them ~uniformly (SURVEY §4 skew row,
+    north rule: url-hash partitioning)."""
+    n, parts = 6000, 32
+    urls = [synth.page_url(i) for i in range(n)]
+    hosts = [u.split("//")[1].split(".")[0] for u in urls]
+    # skew exists in the input...
+    from collections import Counter
+
+    host_counts = Counter(hosts)
+    assert host_counts.most_common(1)[0][1] > 0.2 * n
+    # ...and is gone after url-hash partitioning
+    pids = [mf.url_partition(u, parts) for u in urls]
+    pid_counts = np.bincount(pids, minlength=parts)
+    assert pid_counts.min() > 0.5 * n / parts
+    assert pid_counts.max() < 2.0 * n / parts
+    # host 0's pages don't cluster in one partition
+    host0_pids = {p for p, h in zip(pids, hosts) if h == "host-000"}
+    assert len(host0_pids) == parts
+
+
+def test_partition_id_deterministic():
+    assert mf.url_partition("https://x/y", 16) == mf.url_partition("https://x/y", 16)
+    assert 0 <= mf.url_partition("anything", 7) < 7
+
+
+def test_exploded_run_and_resume(ray_session, tmp_path_factory):
+    """run_extraction(mode='exploded') — the groupby(url) reassembly path —
+    must write the same bytes as fused and resume identically."""
+    corpus = synth.synth_corpus(48)
+    out_f = str(tmp_path_factory.mktemp("fused"))
+    out_e = str(tmp_path_factory.mktemp("exploded"))
+    ex.run_extraction(corpus, out_f, n_partitions=4, mode="fused")
+    ex.run_extraction(corpus, out_e, n_partitions=4, mode="exploded")
+    a = ex.read_extracted(out_f)
+    b = ex.read_extracted(out_e).select(a.column_names).cast(a.schema)
+    assert a.equals(b)
+    stats = ex.run_extraction(corpus, out_e, n_partitions=4, mode="exploded")
+    assert stats == {"extracted": 0, "skipped_partitions": 4}
+
+
+def test_max_blocks_cap():
+    """Pathological pages are capped (the NMS-tiling analog,
+    non_max_suppression.py:105-115): a page with 100k nodes must not
+    produce unbounded blocks."""
+    from ocr_ray import html_extract as hx
+
+    html = "<html><body>" + "<p>x</p>" * 5000 + "</body></html>"
+    root = hx.parse_html(html)
+    hx.prepare_tree(root)
+    blocks = hx.segment_blocks(root, max_blocks=1000)
+    assert len(blocks) == 1000
+
+
+def test_manifest_digest_order_insensitive():
+    digests = ["ab12" * 16, "cd34" * 16, "ef56" * 16]
+    assert mf.combine_digests(digests) == mf.combine_digests(reversed(digests))
+    assert mf.combine_digests(digests) != mf.combine_digests(digests[:2])
