@@ -25,9 +25,7 @@ from __future__ import annotations
 import hashlib
 
 from . import html_extract, minipdf, pdf_extract
-from collections import Counter
-
-from .functions.metrics import is_near_duplicate_cached
+from .functions.metrics import byte_histogram, is_near_duplicate_cached
 
 NEAR_DUP_THRESHOLD = 0.2   # base_ocr.py:716-723
 NEAR_DUP_WINDOW = 5        # compare against the last k emitted spans
@@ -41,7 +39,7 @@ def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
     (SURVEY §2.4 T5).
     """
     emitted: set[str] = set()
-    last: list[tuple[str, Counter]] = []
+    last: list[tuple] = []
     out = []
     for p in paragraphs:
         if p["type"] != "text":
@@ -50,7 +48,7 @@ def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
         text = p["text"]
         if text in emitted:
             continue
-        hist = Counter(text)
+        hist = byte_histogram(text)
         if any(
             is_near_duplicate_cached(text, hist, prev, prev_hist, NEAR_DUP_THRESHOLD)
             for prev, prev_hist in last

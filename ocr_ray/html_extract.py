@@ -128,11 +128,25 @@ class _TreeBuilder(_StdHTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(html: str) -> Node:
+def parse_html_stdlib(html: str) -> Node:
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+def parse_html(html: str) -> Node:
+    """Parse to a Node tree: fast regex tokenizer by default
+    (ocr_ray.fast_html, ~4x the stdlib parser), stdlib fallback via
+    ``OCR_RAY_SLOW_HTML=1``.  Both builders are equivalence-tested to
+    byte-identical extraction (tests/test_fast_html.py)."""
+    import os
+
+    if os.environ.get("OCR_RAY_SLOW_HTML"):
+        return parse_html_stdlib(html)
+    from .fast_html import fast_parse
+
+    return fast_parse(html, Node, VOID_TAGS, _P_CLOSERS)
 
 
 # ---------------------------------------------------------------------------

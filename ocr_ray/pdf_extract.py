@@ -47,15 +47,22 @@ def group_objs_in_lines(objs: list[TextObj]) -> list[dict]:
     if not objs:
         return []
     objs = sorted(objs, key=lambda o: (-o.y, o.x))
+    max_size = max(o.size for o in objs)
     lines: list[list[TextObj]] = []
+    start = 0  # lines before this can never match any remaining obj:
+    # objs arrive in descending y, so once ref.y - o.y >= max_size the
+    # overlap with this and every later obj is <= 0 (keeps the scan O(N)
+    # instead of O(N * n_lines) while matching the naive first-match order)
     for o in objs:
+        while start < len(lines) and lines[start][0].y - o.y >= max_size:
+            start += 1
         placed = False
-        for line in lines:
-            ref = line[0]
+        for li in range(start, len(lines)):
+            ref = lines[li][0]
             h = max(ref.size, o.size)
             overlap = min(ref.y + ref.size, o.y + o.size) - max(ref.y, o.y)
             if overlap / h >= LINE_OVERLAP:
-                line.append(o)
+                lines[li].append(o)
                 placed = True
                 break
         if not placed:
