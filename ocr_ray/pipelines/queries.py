@@ -460,9 +460,11 @@ QUERIES = {
 
 from .queries_ext import EXT_ORACLE_SQL, EXT_QUERIES  # noqa: E402
 from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
+from .queries_cur import CUR_ORACLE_SQL, CUR_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(REL_QUERIES)
+QUERIES.update(CUR_QUERIES)
 
 ORACLE_SQL = {
     "extract_identity": SQL_EXTRACT_IDENTITY,
@@ -481,3 +483,4 @@ ORACLE_SQL = {
 }
 ORACLE_SQL.update(EXT_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
+ORACLE_SQL.update(CUR_ORACLE_SQL)

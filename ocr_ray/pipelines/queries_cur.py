@@ -1,0 +1,193 @@
+"""Curation-pipeline queries: sampling, batched multi-query ANN, and the
+end-to-end corpus-curation flagship.  Merged into the main registry."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (O7/O8: sampling as a first-class operator)
+# ---------------------------------------------------------------------------
+
+def q_hash_sample(sf_dir: str):
+    """~10% deterministic sample by key hash (reproducible across runs and
+    cluster sizes, unlike random_shuffle): keep doc when
+    (doc_id * 2654435761) % 100 < 10 (Knuth multiplicative hash)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        mask = (ids * 2654435761) % 100 < 10
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = (
+    "SELECT doc_id, n_chars FROM documents WHERE (doc_id * 2654435761) % 100 < 10"
+)
+
+
+# ---------------------------------------------------------------------------
+# batched multi-query ANN: one matmul per (batch x query-matrix)
+# ---------------------------------------------------------------------------
+
+def q_knn_multi(sf_dir: str):
+    """Top-5 cosine neighbors for each of 10 query vectors at once: the
+    query matrix is broadcast (ray.put) and every batch does ONE [B,D]x[D,Q]
+    matmul — the batched-inference shape for embedding search.  Per-batch
+    per-query top-5 partials, then a small groupby-free global resolve."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    q_rows = sorted((i, j) for j, i in enumerate(ids) if i < 10)
+    q_ids = [i for i, _ in q_rows]
+    qm = np.asarray(
+        [tbl.column("embedding")[j].as_py() for _, j in q_rows], dtype=np.float64
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, qm))
+    k = 5
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qids, queries = ray.get(q_ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (emb / norms[:, None]) @ queries.T  # [B, Q] in one matmul
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            top = np.argsort(-cos[:, qi], kind="stable")[:k]
+            out_q.extend([qids[qi]] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_c.extend(cos[top, qi].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
+    # resolve partials: tiny table (Q * k * n_batches rows) -> top-k per qid
+    df = partials.to_pandas()
+    df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(k)
+    return pa.table(
+        {
+            "qid": pa.array(df["qid"].tolist(), pa.int64()),
+            "vec_id": pa.array(df["vec_id"].tolist(), pa.int64()),
+        }
+    )
+
+
+SQL_KNN_MULTI = (
+    "SELECT q.vec_id AS qid, nn.nid AS vec_id FROM embeddings q, LATERAL ("
+    "SELECT e.vec_id AS nid FROM embeddings e "
+    "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 5) nn "
+    "WHERE q.vec_id < 10"
+)
+
+
+# ---------------------------------------------------------------------------
+# the curation flagship: quality-filter -> exact-dedup -> per-lang stats
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation(sf_dir: str):
+    """End-to-end training-data curation over documents:
+
+    1. vectorized quality signals, keep n_words >= 20 and dup_word_ratio
+       <= 0.6 (C4/Gopher-style thresholds)
+    2. exact dedup: hash-partition by content digest, keep min doc_id
+    3. per-lang corpus stats over the survivors
+
+    Every step is SQL-expressible, so the whole composition is
+    oracle-checked end to end."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def signals_and_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for i, t, lg in zip(ids, texts, langs):
+            ws = t.split()
+            n = len(ws)
+            if n < 20:
+                continue
+            if n and 1.0 - len(set(ws)) / n > 0.6:
+                continue
+            rows.append(
+                {
+                    "doc_id": i,
+                    "lang": lg,
+                    "n_words": n,
+                    "digest": hashlib.sha256(t.encode()).hexdigest(),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("lang", pa.string()),
+                    ("n_words", pa.int64()),
+                    ("digest", pa.string()),
+                ]
+            ),
+        )
+
+    filtered = ds.map_batches(signals_and_filter, batch_format="pyarrow")
+    deduped = filtered.groupby("digest").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("lang", alias_name="lang"),
+        Min("n_words", alias_name="n_words"),
+    )
+    out = deduped.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        ray.data.aggregate.Sum("n_words", alias_name="total_words"),
+    )
+    return out
+
+
+SQL_CORPUS_CURATION = (
+    "WITH sig AS (SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_words, "
+    "1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / "
+    "len(string_split(text, ' ')) AS dup_ratio FROM documents), "
+    "kept AS (SELECT * FROM sig WHERE n_words >= 20 AND dup_ratio <= 0.6), "
+    "dedup AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, "
+    "min(n_words) AS n_words FROM kept GROUP BY text) "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words "
+    "FROM dedup GROUP BY lang"
+)
+
+
+CUR_QUERIES = {
+    "hash_sample": q_hash_sample,
+    "knn_multi": q_knn_multi,
+    "corpus_curation": q_corpus_curation,
+}
+
+CUR_ORACLE_SQL = {
+    "hash_sample": SQL_HASH_SAMPLE,
+    "knn_multi": SQL_KNN_MULTI,
+    "corpus_curation": SQL_CORPUS_CURATION,
+}
