@@ -106,6 +106,12 @@ def merge_texts(
     return out
 
 
+def format_text(template: str, **values) -> str:
+    """Python-format template rendering (text_processing.py:298-327 M16;
+    the reference also supports jinja — py-format covers the data path)."""
+    return template.format(**values)
+
+
 def chunk_text(
     text: str,
     max_length: int,

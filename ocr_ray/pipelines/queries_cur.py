@@ -180,7 +180,24 @@ SQL_CORPUS_CURATION = (
 )
 
 
+def q_extract_archetypes(sf_dir: str):
+    """Full archetype extraction through the Ray pipeline (chrome strip,
+    sections, tables, link numbering, PDF layout parse, footnotes, error
+    rows) — the driver-visible smoke of every extraction branch.
+    Deterministic; rows-only (the per-archetype semantics are pinned by the
+    golden digest corpus in tests/golden/)."""
+    from ..stages.extract import extract_batch
+    from ..synth import synth_corpus
+
+    corpus = synth_corpus(240)
+    ds = ray.data.from_arrow(corpus).repartition(8).map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(["url", "kind", "status", "n_blocks", "digest"])
+
+
 CUR_QUERIES = {
+    "extract_archetypes": q_extract_archetypes,
     "hash_sample": q_hash_sample,
     "knn_multi": q_knn_multi,
     "corpus_curation": q_corpus_curation,
