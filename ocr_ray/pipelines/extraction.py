@@ -37,6 +37,7 @@ from ..sources.io import read_pages
 from ..stages.extract import (
     BlockExtractor,
     PageExtractor,
+    assemble_bucket,
     assemble_group,
     extract_batch,
 )
@@ -113,10 +114,33 @@ def extract_pages(
             batch_size=batch_size,
             concurrency=concurrency,
         )
-        return blocks.groupby("url").map_groups(
-            assemble_group,
-            batch_format="pyarrow",
-            fn_kwargs={"footnote_mode": footnote_mode},
+        # bucket the reassembly shuffle by url-hash: one map_groups call per
+        # bucket instead of per url (per-group Python overhead dominates the
+        # shuffle otherwise); bucket count ~ 8x CPUs bounds group size
+        try:
+            import ray as _ray
+
+            n_buckets = 8 * max(4, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            n_buckets = 64
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            b = np.fromiter(
+                (zlib.crc32(u.encode("utf-8")) % n_buckets for u in urls),
+                dtype=np.int64,
+                count=len(urls),
+            )
+            return batch.append_column("url_bucket", pa.array(b, pa.int64()))
+
+        return (
+            blocks.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("url_bucket")
+            .map_groups(
+                assemble_bucket,
+                batch_format="pyarrow",
+                fn_kwargs={"footnote_mode": footnote_mode},
+            )
         )
     raise ValueError(mode)
 

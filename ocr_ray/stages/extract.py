@@ -151,21 +151,16 @@ class BlockExtractor:
         return pa.Table.from_pylist(rows, schema=_BLOCK_SCHEMA)
 
 
-def assemble_group(group: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
-    """``groupby('url').map_groups`` fn: block rows -> one EXTRACTED row.
-
-    Order is derived from the data (the explicit ``order`` column), never
-    from executor block order (SURVEY §4 ordering row)."""
-    rows = group.sort_by("order").to_pylist()
+def _assemble_one(rows: list[dict], footnote_mode: str) -> dict:
+    """Block rows of ONE url (sorted by order) -> one EXTRACTED row dict."""
     head = rows[0]
     url, lang = head["url"], head["lang"]
     if head["status"] == "error":
-        out = {
+        return {
             "url": url, "extracted": "", "title": "", "n_blocks": 0,
             "kind": head["kind"], "status": "error", "error": head["error"],
             "digest": "", "lang": lang,
         }
-        return pa.Table.from_pylist([out], schema=EXTRACTED)
     paragraphs = [
         {
             "type": r["type"],
@@ -182,7 +177,7 @@ def assemble_group(group: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
         if r["order"] >= 0
     ]
     text, kept = assemble_text(paragraphs, footnote_mode=footnote_mode)
-    out = {
+    return {
         "url": url,
         "extracted": text,
         "title": head["title"],
@@ -193,4 +188,32 @@ def assemble_group(group: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
         "digest": sha256_hex(text),
         "lang": lang,
     }
-    return pa.Table.from_pylist([out], schema=EXTRACTED)
+
+
+def assemble_group(group: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
+    """``groupby('url').map_groups`` fn: block rows -> one EXTRACTED row.
+
+    Order is derived from the data (the explicit ``order`` column), never
+    from executor block order (SURVEY §4 ordering row)."""
+    rows = group.sort_by("order").to_pylist()
+    return pa.Table.from_pylist(
+        [_assemble_one(rows, footnote_mode)], schema=EXTRACTED
+    )
+
+
+def assemble_bucket(group: pa.Table, *, footnote_mode: str = "keep") -> pa.Table:
+    """``groupby('url_bucket').map_groups`` fn: ALL urls of one hash bucket
+    assembled in one pass (runs over rows sorted by (url, order)).
+
+    One Python call per url (600k map_groups invocations for 600k docs) is
+    ~10x slower than the shuffle itself; bucketing by url-hash turns that
+    into one call per bucket — the guide's coarse-key groupby pattern.
+    Output is byte-identical to :func:`assemble_group`."""
+    rows = group.sort_by([("url", "ascending"), ("order", "ascending")]).to_pylist()
+    out: list[dict] = []
+    start = 0
+    for i in range(1, len(rows) + 1):
+        if i == len(rows) or rows[i]["url"] != rows[start]["url"]:
+            out.append(_assemble_one(rows[start:i], footnote_mode))
+            start = i
+    return pa.Table.from_pylist(out, schema=EXTRACTED)
