@@ -196,14 +196,74 @@ def q_extract_archetypes(sf_dir: str):
     return ds.select_columns(["url", "kind", "status", "n_blocks", "digest"])
 
 
+
+def q_events_value_stats(sf_dir: str):
+    """Per-type value stats with the Std aggregate (sample stddev, ddof=1,
+    matching DuckDB stddev_samp); floats rounded half-away on both sides."""
+    from ray.data.aggregate import Mean, Std
+
+    from ..stages.dedup import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Mean("value", alias_name="mean_value"),
+        Std("value", alias_name="std_value"),
+    )
+    df = out.to_pandas()
+    df["mean_value"] = [round_half_away(x, 4) for x in df["mean_value"]]
+    df["std_value"] = [round_half_away(x, 4) for x in df["std_value"]]
+    return df
+
+
+SQL_EVENTS_VALUE_STATS = (
+    "SELECT event_type, count(*) AS n, round(avg(value), 4) AS mean_value, "
+    "round(stddev_samp(value), 4) AS std_value FROM events GROUP BY event_type"
+)
+
+
+def q_doc_chunk_explode(sf_dir: str):
+    """flat-map explode: one row per (doc, chunk) from the token-budget
+    chunker — the 1-row-to-n-rows shape (chunks_from_paragraphs, G10)."""
+    from ..functions.textproc import chunk_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, chunk_ids = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            n = len(chunk_text(t, 40))
+            ids_out.extend([i] * n)
+            chunk_ids.extend(range(n))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_id": pa.array(chunk_ids, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNK_EXPLODE = (
+    "SELECT doc_id, unnest(range(CASE WHEN len(string_split(text, ' ')) <= 48 THEN 1 "
+    "ELSE CAST(ceil(len(string_split(text, ' ')) / 40.0) AS BIGINT) END)) AS chunk_id "
+    "FROM documents"
+)
+
+
 CUR_QUERIES = {
     "extract_archetypes": q_extract_archetypes,
+    "events_value_stats": q_events_value_stats,
+    "doc_chunk_explode": q_doc_chunk_explode,
     "hash_sample": q_hash_sample,
     "knn_multi": q_knn_multi,
     "corpus_curation": q_corpus_curation,
 }
 
 CUR_ORACLE_SQL = {
+    "events_value_stats": SQL_EVENTS_VALUE_STATS,
+    "doc_chunk_explode": SQL_DOC_CHUNK_EXPLODE,
     "hash_sample": SQL_HASH_SAMPLE,
     "knn_multi": SQL_KNN_MULTI,
     "corpus_curation": SQL_CORPUS_CURATION,
