@@ -85,24 +85,6 @@ def byte_histogram(text: str) -> np.ndarray:
     return np.bincount(data, minlength=256)
 
 
-def word_counts(text: str) -> dict:
-    """Whitespace-token multiset (the second cached near-dup sketch)."""
-    out: dict = {}
-    for w in text.split():
-        out[w] = out.get(w, 0) + 1
-    return out
-
-
-def _dict_l1(da: dict, db: dict) -> int:
-    l1 = 0
-    for k, v in da.items():
-        l1 += abs(v - db.get(k, 0))
-    for k, v in db.items():
-        if k not in da:
-            l1 += v
-    return l1
-
-
 def is_near_duplicate(a: str, b: str, threshold: float = 0.2) -> bool:
     """Near-dup test with sound cheap prefilters (length diff, byte-
     histogram L1) and a threshold-bounded DP."""

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from html import unescape
 from html.parser import HTMLParser as _StdHTMLParser
 
 _WS_RE = re.compile(r"\s+")

@@ -252,10 +252,22 @@ SQL_DOC_CHUNK_EXPLODE = (
 )
 
 
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values of one column (ds.unique — a shuffle)."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"segment": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment AS segment FROM customer"
+
+
 CUR_QUERIES = {
     "extract_archetypes": q_extract_archetypes,
     "events_value_stats": q_events_value_stats,
     "doc_chunk_explode": q_doc_chunk_explode,
+    "distinct_segments": q_distinct_segments,
     "hash_sample": q_hash_sample,
     "knn_multi": q_knn_multi,
     "corpus_curation": q_corpus_curation,
@@ -264,6 +276,7 @@ CUR_QUERIES = {
 CUR_ORACLE_SQL = {
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "doc_chunk_explode": SQL_DOC_CHUNK_EXPLODE,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "hash_sample": SQL_HASH_SAMPLE,
     "knn_multi": SQL_KNN_MULTI,
     "corpus_curation": SQL_CORPUS_CURATION,

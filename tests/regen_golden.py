@@ -3,10 +3,12 @@
 import json
 import os
 
-from .test_golden import GOLDEN, compute_digests
+from .test_golden import CONFIGS, GOLDEN_DIR, compute_digests
 
 if __name__ == "__main__":
-    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-    with open(GOLDEN, "w") as f:
-        json.dump(compute_digests(), f, indent=1, sort_keys=True)
-    print("wrote", GOLDEN)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for fname, (n, seed) in CONFIGS.items():
+        path = os.path.join(GOLDEN_DIR, fname)
+        with open(path, "w") as f:
+            json.dump(compute_digests(n, seed), f, indent=1, sort_keys=True)
+        print("wrote", path)

@@ -9,16 +9,21 @@ import os
 
 from ocr_ray import reference, synth
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "corpus_digests.json")
-N, SEED = 120, 7
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN = os.path.join(GOLDEN_DIR, "corpus_digests.json")
+# (n_pages, seed) per golden file — two seeds widen the regression surface
+CONFIGS = {
+    "corpus_digests.json": (120, 7),
+    "corpus_digests_seed11.json": (96, 11),
+}
 
 
-def compute_digests() -> dict:
-    corpus = synth.synth_corpus(N, seed=SEED)
+def compute_digests(n: int = 120, seed: int = 7) -> dict:
+    corpus = synth.synth_corpus(n, seed=seed)
     out = reference.extract_table(corpus)
     return {
-        u: {"digest": d, "status": s, "n_blocks": n}
-        for u, d, s, n in zip(
+        u: {"digest": d, "status": s, "n_blocks": n_b}
+        for u, d, s, n_b in zip(
             out.column("url").to_pylist(),
             out.column("digest").to_pylist(),
             out.column("status").to_pylist(),
@@ -28,7 +33,7 @@ def compute_digests() -> dict:
 
 
 def test_golden_corpus():
-    with open(GOLDEN) as f:
-        expected = json.load(f)
-    got = compute_digests()
-    assert got == expected
+    for fname, (n, seed) in CONFIGS.items():
+        with open(os.path.join(GOLDEN_DIR, fname)) as f:
+            expected = json.load(f)
+        assert compute_digests(n, seed) == expected, fname

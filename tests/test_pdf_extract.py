@@ -114,3 +114,26 @@ def test_multipage_order():
     )
     row = extract_page("u", pdf)
     assert row["extracted"] == "page one\n\npage two"
+
+
+def test_minipdf_roundtrip_property():
+    """Any latin-1-safe text (incl. parens/backslashes) survives the
+    writer->reader round trip at its exact coordinates."""
+    from hypothesis import given, strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+            min_size=1, max_size=40,
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @given(texts)
+    def check(lines):
+        ops = [text_op(72, 720 - 14 * i, 12, t) for i, t in enumerate(lines)]
+        objs = minipdf.read_text_objects(minipdf.build_pdf([ops]))
+        assert [o.text for o in objs] == lines
+        assert all(o.page == 0 and o.size == 12 for o in objs)
+
+    check()

@@ -75,7 +75,6 @@ def test_kill_and_resume(ray_session, corpus, oracle, tmp_path_factory):
     """Simulate a crash after some partitions committed: drop half the
     manifests + their output dirs, resume, and require byte-identical final
     output with no partition extracted twice (FIXTURES.md invariant 3)."""
-    import glob
     import os
 
     out = str(tmp_path_factory.mktemp("extract_resume"))

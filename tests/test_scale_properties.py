@@ -2,7 +2,6 @@
 oversized-page caps, partition determinism."""
 
 import numpy as np
-import pyarrow.parquet as pq
 
 from ocr_ray import synth
 from ocr_ray.pipelines import extraction as ex

@@ -1,7 +1,6 @@
 """Unit tests for cleaners / textproc / analysis / tokenizer kernels
 (mirrors the reference's tests/test_utils_text.py operator coverage)."""
 
-import numpy as np
 import pyarrow as pa
 
 from ocr_ray.functions import analysis, cleaners, textproc
@@ -180,3 +179,18 @@ def test_pad_batch_and_slice():
     sliced = slice_outputs(batch, [0, 0], [2, 1])
     assert [s.tolist() for s in sliced] == [[1, 2], [4]]
     assert pad_batch([]).shape == (0, 0)
+
+
+def test_clean_array_vectorized_paths_match_scalar():
+    """Every cleaner with a pyarrow fast path must agree with its scalar
+    form on awkward inputs."""
+    from ocr_ray.functions.cleaners import _VECTORIZED
+
+    texts = [
+        "", "  MiXeD  CaSe  ", "tabs\t\tand\nnewlines", "**md** text",
+        "see https://a.b/c?d=e end", "áccents ÉÈ", "a  b   c    d",
+    ]
+    for name in _VECTORIZED:
+        col = cleaners.clean_array(pa.array(texts), [name])
+        want = [cleaners.clean_text(t, [name]) for t in texts]
+        assert col.to_pylist() == want, name
