@@ -62,10 +62,17 @@ def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
     return out
 
 
-def insert_footnotes(paragraphs: list[dict]) -> list[dict]:
+def insert_footnotes(paragraphs: list[dict], mode: str = "insert") -> list[dict]:
     """Footnote join: footnote paragraphs keyed (page, index) merged into the
-    referencing paragraph at its ``^n`` marker
-    (paragraphs_processing.py:292-302,314-334, mode='insert')."""
+    referencing paragraph (paragraphs_processing.py:292-302,314-334).
+
+    Modes, mirroring the reference's _insert_footnote:
+    - ``insert``               — replace the ``^n`` marker in place
+    - ``insert_next_sentence`` — drop the marker, insert the note as a new
+      sentence right after the referencing sentence
+    - ``insert_last_sentence`` — drop the marker, append the note at the
+      paragraph end
+    """
     notes = {
         (p.get("page", 0), p.get("footnote_index", 0)): p
         for p in paragraphs
@@ -80,10 +87,22 @@ def insert_footnotes(paragraphs: list[dict]) -> list[dict]:
             note = notes.get((p.get("page", 0), idx))
             if note is None:
                 continue
-            formatted = " Footnote: " + note["text"].replace(
-                "^{}".format(idx), "", 1
-            ).lstrip()
-            text = text.replace("^{}".format(idx), formatted)
+            marker = "^{}".format(idx)
+            formatted = " Footnote: " + note["text"].replace(marker, "", 1).lstrip()
+            if mode == "insert":
+                text = text.replace(marker, formatted)
+            elif mode == "insert_next_sentence":
+                from .functions.textproc import split_sentences
+
+                sentences = split_sentences(text) or [text]
+                for i, sent in enumerate(sentences):
+                    if marker in sent:
+                        break
+                sentences[i] = sentences[i].replace(marker, "")
+                sentences.insert(i + 1, formatted.lstrip())
+                text = " ".join(sentences)
+            elif mode == "insert_last_sentence":
+                text = text.replace(marker, "") + formatted
         if text != p["text"]:
             p = dict(p, text=text)
         out.append(p)
@@ -95,7 +114,7 @@ def assemble_text(
     *,
     skip_header: bool = True,
     skip_page_number: bool = True,
-    footnote_mode: str = "keep",   # keep | skip | insert
+    footnote_mode: str = "keep",   # keep | skip | insert | insert_next_sentence | insert_last_sentence
 ) -> tuple[str, list[dict]]:
     """Post-process + join (the process_paragraphs defaults,
     paragraphs_processing.py:255-312)."""
@@ -109,8 +128,8 @@ def assemble_text(
         paras = [
             dict(p, text=_strip_markers(p["text"], p.get("footnotes", ()))) for p in paras
         ]
-    elif footnote_mode == "insert":
-        paras = insert_footnotes(paras)
+    elif footnote_mode.startswith("insert"):
+        paras = insert_footnotes(paras, mode=footnote_mode)
     paras = filter_duplicate_spans(paras)
     text = "\n\n".join(p["text"] for p in paras if p.get("text")).strip()
     return text, paras

@@ -137,3 +137,18 @@ def test_minipdf_roundtrip_property():
         assert all(o.page == 0 and o.size == 12 for o in objs)
 
     check()
+
+
+def test_footnote_insert_sentence_modes():
+    pdf = minipdf.build_pdf(
+        [[
+            text_op(72, 700, 12, "First claim"),
+            text_op(160, 703, 8, "1"),
+            text_op(170, 700, 12, "here. Second sentence."),
+            text_op(72, 100, 8, "^1 the note"),
+        ]]
+    )
+    nxt = extract_page("u", pdf, footnote_mode="insert_next_sentence")
+    assert nxt["extracted"] == "First claim here. Footnote: the note Second sentence."
+    last = extract_page("u", pdf, footnote_mode="insert_last_sentence")
+    assert last["extracted"] == "First claim here. Second sentence. Footnote: the note"
