@@ -99,9 +99,12 @@ def build_pdf(pages: list[list[str]]) -> bytes:
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-# one whole text object; writer emits exactly one Tf+Td+Tj per BT..ET
+# one whole text object; writer emits exactly one Tf+Td+Tj per BT..ET.
+# String content is escape-aware ((?:\\.|[^\\()])*): a lookbehind-based
+# close-paren match would mis-handle an escaped backslash before ')'.
 _TEXTOBJ_RE = re.compile(
-    rb"BT\s+/\w+\s+([\d.]+)\s+Tf\s+([-\d.]+)\s+([-\d.]+)\s+Td\s+\((.*?)(?<!\\)\)\s*Tj\s+ET",
+    rb"BT\s+/\w+\s+([\d.]+)\s+Tf\s+([-\d.]+)\s+([-\d.]+)\s+Td\s+"
+    rb"\(((?:\\.|[^\\()])*)\)\s*Tj\s+ET",
     re.DOTALL,
 )
 _UNESC = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")"}
