@@ -1,0 +1,63 @@
+"""In-suite slice of the driver's correctness gate: a fast subset of
+queries() run against their oracle_sql() on sf0.001 DuckDB views.
+
+The full 35-query gate is tools/check_queries.py (run at sf0.01); this
+keeps a representative slice inside `python -m pytest -x -q`.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# fast, shuffle-light subset covering map/filter/agg/join/window/dedup shapes
+PICKS = [
+    "doc_clean",
+    "doc_tokens",
+    "doc_fingerprint",
+    "lineitem_agg",
+    "revenue_by_nation",
+    "top_orders",
+    "events_sessionize",
+    "hash_sample",
+    "split_counts",
+    "doc_chunks",
+    "distinct_segments",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW {} AS SELECT * FROM read_parquet('{}')".format(
+                t, os.path.join(SF_DIR, t + ".parquet")
+            )
+        )
+    yield con
+    con.close()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", PICKS)
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as entry
+
+    ray_df = entry.queries()[name](SF_DIR)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    ora_df = duck.execute(entry.oracle_sql()[name]).df()
+    a, b = _norm(ray_df), _norm(ora_df)
+    assert list(a.columns) == list(b.columns), name
+    pd.testing.assert_frame_equal(a, b)
