@@ -155,17 +155,20 @@ def run_queries(sf_dir: str) -> dict:
         "top_tokens",
         "events_window",
         "exact_dedup",
+        "minhash_dedup",
+        "corpus_curation",
         "knn_cosine",
         "top_orders",
         "embedding_norms",
     ]
+    import ray.data
+
     out = {}
     for name in picks:
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
-        # force execution for lazy Datasets
-        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
-            res.to_pandas()
+        if isinstance(res, ray.data.Dataset):
+            res.to_pandas()  # force execution of lazy Datasets
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

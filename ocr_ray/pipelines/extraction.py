@@ -37,7 +37,6 @@ from ..stages.extract import (
     BlockExtractor,
     PageExtractor,
     assemble_bucket,
-    assemble_group,
     extract_batch,
 )
 from ..state import manifest as mf
