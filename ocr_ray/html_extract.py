@@ -38,10 +38,13 @@ VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 DROP_TAGS = frozenset("head script style aside form nav".split())
-BLOCK_TAGS = ("p", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "table", "pre", "code")
+BLOCK_TAGS = (
+    "p", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "table", "pre", "code",
+    "blockquote", "dl",
+)
 # implicit close: opening any of these closes an open <p>
 _P_CLOSERS = frozenset(
-    "p ul ol table h1 h2 h3 h4 h5 div section article header footer pre".split()
+    "p ul ol dl table h1 h2 h3 h4 h5 div section article header footer pre blockquote".split()
 )
 
 
@@ -240,7 +243,7 @@ _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5"))
 def _kind_of(tag: str) -> str:
     if tag in _HEADINGS:
         return "heading"
-    if tag in ("ul", "ol"):
+    if tag in ("ul", "ol", "dl"):
         return "list"
     if tag == "table":
         return "table"
@@ -353,6 +356,22 @@ def _parse_table(node: Node) -> list[dict]:
 
 
 def _parse_list(node: Node) -> list[str]:
+    """<li> items for ul/ol; 'term: definition' rows for <dl>."""
+    if node.tag == "dl":
+        items = []
+        term = None
+        for c in node.children:
+            if not isinstance(c, Node):
+                continue
+            if c.tag == "dt":
+                term = c.get_text()
+            elif c.tag == "dd":
+                d = c.get_text()
+                if term and d:
+                    items.append("{}: {}".format(term, d))
+                elif d:
+                    items.append(d)
+        return items
     items = [li.get_text() for li in node.find_all(("li",))]
     return [it for it in items if it]
 

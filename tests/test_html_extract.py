@@ -155,3 +155,20 @@ def test_block_intervals_monotonic():
     for a, b in zip(blocks, blocks[1:]):
         assert a.char_end <= b.char_start
     assert all(b.char_end - b.char_start == len(b.node.get_text()) for b in blocks)
+
+
+def test_blockquote_block():
+    row = extract(_page("<p>intro</p><blockquote>quoted wisdom here</blockquote>"))
+    assert row["extracted"] == "intro\n\nquoted wisdom here"
+
+
+def test_definition_list():
+    row = extract(_page(
+        "<dl><dt>alpha</dt><dd>first letter</dd><dt>beta</dt><dd>second</dd></dl>"
+    ))
+    assert row["extracted"] == "- alpha: first letter\n- beta: second"
+
+
+def test_article_main_transparent():
+    row = extract(_page("<main><article><p>the story</p></article></main>"))
+    assert row["extracted"] == "the story"
