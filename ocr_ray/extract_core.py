@@ -29,6 +29,9 @@ from .functions.metrics import byte_histogram, is_near_duplicate_cached
 
 NEAR_DUP_THRESHOLD = 0.2   # base_ocr.py:716-723
 NEAR_DUP_WINDOW = 5        # compare against the last k emitted spans
+NEAR_DUP_MAX_LEN = 20_000  # spans longer than this get exact dedup only:
+# Myers is O(len^2/64) and a multi-MB pathological span would stall a task
+# (the NMS-tiling cap philosophy, non_max_suppression.py:105-115)
 
 
 def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
@@ -48,16 +51,17 @@ def filter_duplicate_spans(paragraphs: list[dict]) -> list[dict]:
         text = p["text"]
         if text in emitted:
             continue
-        hist = byte_histogram(text)
-        if any(
-            is_near_duplicate_cached(text, hist, prev, prev_hist, NEAR_DUP_THRESHOLD)
-            for prev, prev_hist in last
-        ):
-            continue
+        if len(text) <= NEAR_DUP_MAX_LEN:
+            hist = byte_histogram(text)
+            if any(
+                is_near_duplicate_cached(text, hist, prev, prev_hist, NEAR_DUP_THRESHOLD)
+                for prev, prev_hist in last
+            ):
+                continue
+            last.append((text, hist))
+            if len(last) > NEAR_DUP_WINDOW:
+                last.pop(0)
         emitted.add(text)
-        last.append((text, hist))
-        if len(last) > NEAR_DUP_WINDOW:
-            last.pop(0)
         out.append(p)
     return out
 

@@ -172,3 +172,26 @@ def test_definition_list():
 def test_article_main_transparent():
     row = extract(_page("<main><article><p>the story</p></article></main>"))
     assert row["extracted"] == "the story"
+
+
+def test_giant_span_near_dup_capped():
+    """Spans beyond NEAR_DUP_MAX_LEN skip the quadratic near-dup DP (exact
+    dedup still applies) — a multi-MB span must extract in bounded time."""
+    import time
+
+    from ocr_ray.extract_core import NEAR_DUP_MAX_LEN
+
+    big = "word " * (NEAR_DUP_MAX_LEN // 4)
+    near = big[:-6] + "other"
+    html = _page("<p>{}</p><p>{}</p><p>{}</p>".format(big, big, near))
+    t0 = time.perf_counter()
+    row = extract(html)
+    assert time.perf_counter() - t0 < 5.0
+    # exact duplicate still dropped; near-dup intentionally kept above cap
+    assert row["n_blocks"] == 2
+
+
+def test_deeply_nested_html_is_error_row_not_crash():
+    html = "<div>" * 4000 + "<p>deep</p>" + "</div>" * 4000
+    row = extract(_page(html))
+    assert row["status"] in ("ok", "error")  # never raises
