@@ -37,3 +37,21 @@ def test_golden_corpus():
         with open(os.path.join(GOLDEN_DIR, fname)) as f:
             expected = json.load(f)
         assert compute_digests(n, seed) == expected, fname
+
+
+def test_corpus_chrome_free():
+    """FIXTURES invariant 4: no chrome strings from any archetype survive
+    into any extracted text, corpus-wide."""
+    from ocr_ray.synth import CHROME_ASIDE, CHROME_FOOTER, CHROME_HEADER
+
+    corpus = synth.synth_corpus(120, seed=7)
+    out = reference.extract_table(corpus)
+    for url, text, status in zip(
+        out.column("url").to_pylist(),
+        out.column("extracted").to_pylist(),
+        out.column("status").to_pylist(),
+    ):
+        if status != "ok":
+            continue
+        for chrome in (CHROME_HEADER, CHROME_FOOTER, CHROME_ASIDE, "navlink"):
+            assert chrome not in text, (url, chrome)
