@@ -263,11 +263,55 @@ def q_distinct_segments(sf_dir: str):
 SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment AS segment FROM customer"
 
 
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding 2-hour windows with 1-hour hop per event_type: each event is
+    flat-mapped to the two windows covering it, then a grouped count — the
+    sliding-window member of the window family (tumbling: events_window,
+    session: events_sessionize)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    HOUR = np.timedelta64(1, "h")
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch.column("ts")
+        hour = pc.floor_temporal(ts, unit="hour")
+        types = batch.column("event_type")
+        hours_np = hour.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([types.combine_chunks()] * 2),
+                "window_start": pa.array(
+                    np.concatenate([hours_np, hours_np - HOUR]),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return out
+
+
+SQL_EVENTS_SLIDING_WINDOW = (
+    "SELECT event_type, w.window_start, count(*) AS n FROM events, "
+    "LATERAL (VALUES (date_trunc('hour', ts)), "
+    "(date_trunc('hour', ts) - INTERVAL 1 HOUR)) AS w(window_start) "
+    "WHERE ts >= w.window_start AND ts < w.window_start + INTERVAL 2 HOUR "
+    "GROUP BY event_type, w.window_start"
+)
+
+
 CUR_QUERIES = {
     "extract_archetypes": q_extract_archetypes,
     "events_value_stats": q_events_value_stats,
     "doc_chunk_explode": q_doc_chunk_explode,
     "distinct_segments": q_distinct_segments,
+    "events_sliding_window": q_events_sliding_window,
     "hash_sample": q_hash_sample,
     "knn_multi": q_knn_multi,
     "corpus_curation": q_corpus_curation,
@@ -277,6 +321,7 @@ CUR_ORACLE_SQL = {
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "doc_chunk_explode": SQL_DOC_CHUNK_EXPLODE,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "hash_sample": SQL_HASH_SAMPLE,
     "knn_multi": SQL_KNN_MULTI,
     "corpus_curation": SQL_CORPUS_CURATION,
