@@ -157,6 +157,7 @@ def run_queries(sf_dir: str) -> dict:
         "exact_dedup",
         "minhash_dedup",
         "corpus_curation",
+        "lineitem_order_join",
         "knn_cosine",
         "top_orders",
         "embedding_norms",

@@ -306,12 +306,29 @@ SQL_EVENTS_SLIDING_WINDOW = (
 )
 
 
+
+def q_extract_exploded(sf_dir: str):
+    """The north-rule reassembly path through the driver: archetype pages
+    -> BlockExtractor (one row per paragraph block) -> groupby(url-bucket)
+    -> assemble.  Rows-only here; byte-equality with the fused path is
+    pinned by tests/test_pipeline_ray.py::test_exploded_matches_oracle."""
+    from ..pipelines.extraction import extract_pages
+    from ..synth import synth_corpus
+
+    corpus = synth_corpus(120)
+    ds = extract_pages(
+        ray.data.from_arrow(corpus).repartition(8), mode="exploded", batch_size=64
+    )
+    return ds.select_columns(["url", "kind", "status", "n_blocks", "digest"])
+
+
 CUR_QUERIES = {
     "extract_archetypes": q_extract_archetypes,
     "events_value_stats": q_events_value_stats,
     "doc_chunk_explode": q_doc_chunk_explode,
     "distinct_segments": q_distinct_segments,
     "events_sliding_window": q_events_sliding_window,
+    "extract_exploded": q_extract_exploded,
     "hash_sample": q_hash_sample,
     "knn_multi": q_knn_multi,
     "corpus_curation": q_corpus_curation,
