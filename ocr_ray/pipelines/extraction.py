@@ -166,6 +166,10 @@ def run_extraction(
     )
 
     done: dict[int, dict] = mf.completed_partitions(output_dir) if resume else {}
+    # the manifest commit is the atomic gate: a partition dir WITHOUT a
+    # committed manifest is debris from a killed run — remove it, or the
+    # recompute would APPEND duplicate rows next to the orphaned files
+    _clean_uncommitted_partitions(output_dir, committed=frozenset(done))
     if done:
         done_ids = frozenset(done)
 
@@ -192,6 +196,24 @@ def run_extraction(
     new_partitions = _commit_manifests(output_dir, skip=frozenset(done))
     n_rows = sum(e["n_docs"] for e in new_partitions.values())
     return {"extracted": n_rows, "skipped_partitions": len(done)}
+
+
+def _clean_uncommitted_partitions(output_dir: str, *, committed=frozenset()) -> int:
+    """Delete partition dirs that have no committed manifest entry (debris
+    from a run killed between write and commit). Returns count removed."""
+    import shutil
+
+    if not os.path.isdir(output_dir):
+        return 0
+    removed = 0
+    for name in os.listdir(output_dir):
+        if not name.startswith("partition_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if pid not in committed:
+            shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def _commit_manifests(output_dir: str, *, skip=frozenset()) -> dict[int, dict]:

@@ -107,3 +107,21 @@ def test_documents_identity_roundtrip(ray_session):
     for url, text in zip(pages.column("url").to_pylist(), pages.column("text").to_pylist()):
         assert by_url[url] == text
     assert all(s == "ok" for s in got.column("status").to_pylist())
+
+
+def test_crash_between_write_and_commit(ray_session, corpus, oracle, tmp_path_factory):
+    """A run killed AFTER a partition's parquet landed but BEFORE its
+    manifest committed must not duplicate that partition's rows on resume:
+    the uncommitted dir is debris and gets recomputed from scratch."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("extract_uncommitted"))
+    ex.run_extraction(corpus, out, n_partitions=6)
+    # simulate: manifest for partition 0 lost, output dir still present
+    os.remove(os.path.join(mf.manifest_dir(out), "part-000000.json"))
+    stats = ex.run_extraction(corpus, out, n_partitions=6)
+    assert stats["skipped_partitions"] == 5
+    urls = pq.read_table(out, columns=["url"]).column("url").to_pylist()
+    assert len(urls) == len(set(urls)) == N_PAGES  # no duplicates
+    back = ex.read_extracted(out).select(oracle.column_names).cast(oracle.schema)
+    assert back.sort_by("url").equals(oracle)
