@@ -165,7 +165,14 @@ def run_extraction(
         batch_format="pyarrow",
     )
 
-    done: dict[int, dict] = mf.completed_partitions(output_dir) if resume else {}
+    if resume:
+        mf.purge_mismatched(output_dir, n_partitions)
+        done: dict[int, dict] = mf.completed_partitions(
+            output_dir, n_partitions=n_partitions
+        )
+    else:
+        done = {}
+        mf.clear(output_dir)  # full rewrite: stale manifests must not linger
     # the manifest commit is the atomic gate: a partition dir WITHOUT a
     # committed manifest is debris from a killed run — remove it, or the
     # recompute would APPEND duplicate rows next to the orphaned files
@@ -193,7 +200,9 @@ def run_extraction(
     )
     out.write_parquet(output_dir, partition_cols=["partition_id"])
 
-    new_partitions = _commit_manifests(output_dir, skip=frozenset(done))
+    new_partitions = _commit_manifests(
+        output_dir, skip=frozenset(done), n_partitions=n_partitions
+    )
     n_rows = sum(e["n_docs"] for e in new_partitions.values())
     return {"extracted": n_rows, "skipped_partitions": len(done)}
 
@@ -216,7 +225,9 @@ def _clean_uncommitted_partitions(output_dir: str, *, committed=frozenset()) -> 
     return removed
 
 
-def _commit_manifests(output_dir: str, *, skip=frozenset()) -> dict[int, dict]:
+def _commit_manifests(
+    output_dir: str, *, skip=frozenset(), n_partitions: int | None = None
+) -> dict[int, dict]:
     """Read back written partition dirs (digest column only — columnar, tiny)
     and commit one manifest entry per partition."""
     new: dict[int, dict] = {}
@@ -238,6 +249,7 @@ def _commit_manifests(output_dir: str, *, skip=frozenset()) -> dict[int, dict]:
             n_docs=tbl.num_rows,
             input_digest=in_digest,
             output_digest=out_digest,
+            n_partitions=n_partitions,
         )
         new[pid] = {"n_docs": tbl.num_rows}
     return new

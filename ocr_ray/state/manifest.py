@@ -33,8 +33,15 @@ def manifest_dir(output_dir: str) -> str:
     return os.path.join(output_dir, "_manifest")
 
 
-def completed_partitions(output_dir: str) -> dict[int, dict]:
-    """Read all committed partition entries. Missing dir -> empty."""
+def completed_partitions(
+    output_dir: str, *, n_partitions: int | None = None
+) -> dict[int, dict]:
+    """Read all committed partition entries. Missing dir -> empty.
+
+    With ``n_partitions`` given, entries committed under a DIFFERENT
+    partition count are ignored (the url->partition mapping changed, so
+    they cannot be trusted for the skip anti-join).  Reads are pure;
+    :func:`purge_mismatched` deletes untrusted entries explicitly."""
     mdir = manifest_dir(output_dir)
     if not os.path.isdir(mdir):
         return {}
@@ -44,9 +51,34 @@ def completed_partitions(output_dir: str) -> dict[int, dict]:
             continue
         with open(os.path.join(mdir, name)) as f:
             entry = json.load(f)
-        if entry.get("status") == "done":
-            out[int(entry["partition_id"])] = entry
+        if entry.get("status") != "done":
+            continue
+        if n_partitions is not None and entry.get("n_partitions") != n_partitions:
+            continue
+        out[int(entry["partition_id"])] = entry
     return out
+
+
+def purge_mismatched(output_dir: str, n_partitions: int) -> int:
+    """Delete manifest entries committed under a different partition count.
+
+    Called by run_extraction before a resume: a stale entry would poison a
+    future resume that switches back to the old count after this run
+    rewrites the data.  Returns the number purged."""
+    mdir = manifest_dir(output_dir)
+    if not os.path.isdir(mdir):
+        return 0
+    removed = 0
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        path = os.path.join(mdir, name)
+        with open(path) as f:
+            entry = json.load(f)
+        if entry.get("n_partitions") != n_partitions:
+            os.remove(path)
+            removed += 1
+    return removed
 
 
 def commit_partition(
@@ -56,12 +88,14 @@ def commit_partition(
     n_docs: int,
     input_digest: str,
     output_digest: str,
+    n_partitions: int | None = None,
 ) -> None:
     """Atomically record a finished partition (write tmp, rename)."""
     mdir = manifest_dir(output_dir)
     os.makedirs(mdir, exist_ok=True)
     entry = {
         "partition_id": int(partition_id),
+        "n_partitions": n_partitions,
         "n_docs": int(n_docs),
         "input_digest": input_digest,
         "output_digest": output_digest,
@@ -72,6 +106,14 @@ def commit_partition(
     with open(tmp, "w") as f:
         json.dump(entry, f)
     os.replace(tmp, final)
+
+
+def clear(output_dir: str) -> None:
+    """Remove every manifest entry (used by resume=False full rewrites so
+    stale entries from a different partitioning cannot linger)."""
+    import shutil
+
+    shutil.rmtree(manifest_dir(output_dir), ignore_errors=True)
 
 
 def combine_digests(hex_digests) -> str:

@@ -67,3 +67,25 @@ def test_manifest_digest_order_insensitive():
     digests = ["ab12" * 16, "cd34" * 16, "ef56" * 16]
     assert mf.combine_digests(digests) == mf.combine_digests(reversed(digests))
     assert mf.combine_digests(digests) != mf.combine_digests(digests[:2])
+
+
+def test_partition_count_change_invalidates_manifests(ray_session, tmp_path_factory):
+    """Rerunning with a different n_partitions must NOT trust (or keep)
+    manifests committed under the old partitioning — the url->partition
+    mapping changed, so a naive skip would silently drop urls."""
+    import pyarrow.parquet as pq
+
+    corpus = synth.synth_corpus(48)
+    out = str(tmp_path_factory.mktemp("repartitioned"))
+    ex.run_extraction(corpus, out, n_partitions=6)
+    # rerun with a different partition count: everything recomputed
+    stats = ex.run_extraction(corpus, out, n_partitions=4)
+    assert stats == {"extracted": 48, "skipped_partitions": 0}
+    urls = pq.read_table(out, columns=["url"]).column("url").to_pylist()
+    assert len(urls) == len(set(urls)) == 48
+    # old-count manifests were purged; only the new ones remain
+    assert set(mf.completed_partitions(out, n_partitions=4)) == {0, 1, 2, 3}
+    assert mf.completed_partitions(out, n_partitions=6) == {}
+    # and a subsequent same-count resume skips everything
+    stats2 = ex.run_extraction(corpus, out, n_partitions=4)
+    assert stats2 == {"extracted": 0, "skipped_partitions": 4}
