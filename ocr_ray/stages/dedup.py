@@ -163,7 +163,12 @@ def minhash_dedup_pairs(
         bands.groupby(["band_id", "band_hash"])
         .map_groups(_pairs_from_groups, batch_format="pyarrow")
     )
-    cand = candidates.to_pandas().drop_duplicates(subset=["a", "b"])
+    # distinct (a, b) via a second grouped pass — a pair colliding in many
+    # bands must be verified once, and the candidate set must never be
+    # materialized on the driver (it scales with corpus size)
+    distinct = candidates.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
 
     lookup_ref = ray.put(text_lookup or {})
 
@@ -176,9 +181,8 @@ def minhash_dedup_pairs(
         return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
 
     verified = (
-        ray.data.from_pandas(cand.reset_index(drop=True))
-        .map_batches(verify, batch_format="pyarrow")
-        .to_pandas()
+        distinct.map_batches(verify, batch_format="pyarrow")
+        .to_pandas()  # only the VERIFIED pairs reach the driver (small)
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
