@@ -224,9 +224,11 @@ def simhash_dedup_pairs(docs: ray.data.Dataset, *, max_hamming: int = 3) -> pa.T
         a_out, b_out, ham = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
-                a_out.append(rows[i][0])
-                b_out.append(rows[j][0])
-                ham.append(hamming64(rows[i][1], rows[j][1]))
+                h = hamming64(rows[i][1], rows[j][1])
+                if h <= max_hamming:  # verify INSIDE the bucket task
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    ham.append(h)
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
@@ -235,15 +237,17 @@ def simhash_dedup_pairs(docs: ray.data.Dataset, *, max_hamming: int = 3) -> pa.T
             }
         )
 
-    cand = (
+    verified = (
         docs.map_batches(simhash_rows, batch_format="pyarrow")
         .groupby(["band_id", "band_val"])
         .map_groups(pairs_with_hashes, batch_format="pyarrow")
-        .to_pandas()
+        # distinct (a pair within hamming can collide in several bands)
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .to_pandas()  # verified pairs only: small
     )
-    cand = cand[cand["hamming"] <= max_hamming].drop_duplicates(subset=["a", "b"])
-    cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(cand, preserve_index=False)
+    verified = verified.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 def embedding_neardup_pairs(
@@ -313,8 +317,10 @@ def embedding_neardup_pairs(
         emb.map_batches(bucket, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
         .map_groups(pairs, batch_format="pyarrow")
+        # distinct across buckets, distributed (verified pairs only)
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
         .to_pandas()
-        .drop_duplicates(subset=["a", "b"])
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
