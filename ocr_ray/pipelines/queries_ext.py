@@ -35,17 +35,15 @@ _JACCARD_SHINGLE_SQL = (
 
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dup pipeline over documents: 64-perm signatures,
-    16x4 banding, bucket groupby, candidate pairs, exact word-3gram Jaccard
-    verify at 0.8 (ocr_ray.stages.dedup).  The testdata contains organic
-    near-duplicates; the DuckDB oracle computes the exact all-pairs answer."""
+    16x4 banding, bucket groupby, candidate pairs, then a DISTRIBUTED exact
+    word-3gram Jaccard verify at 0.8 (candidate ids hash-joined back against
+    the documents dataset — no driver-side corpus read).  The testdata
+    contains organic near-duplicates; the DuckDB oracle computes the exact
+    all-pairs answer."""
     from ..stages import dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    lookup = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
-    out = dedup.minhash_dedup_pairs(docs, threshold=0.8, text_lookup=lookup)
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.8)
     return out.select(["a", "b"])
 
 

@@ -146,17 +146,105 @@ def _pairs_from_groups(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
 
+def verify_pairs_against_corpus(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verify of candidate ``(a, b)`` pairs —
+    the 10^12-doc shape: the corpus is NEVER materialized on the driver.
+
+    1. explode each pair to two ``(a, b, side, doc_id)`` rows,
+    2. hash-join the rows back against ``docs`` on ``doc_id`` (both sides
+       large; left_outer so a missing doc_id surfaces as a null text),
+    3. regroup by a crc32 pair-bucket (one ``map_groups`` call per BUCKET,
+       not per pair — per-key calls were measured 10x slower on the
+       extraction path) and score ``jaccard`` per pair inside the task.
+
+    Raises inside the verify task if any candidate doc_id has no text in
+    ``docs`` (silently treating it as "" would score every such pair 1.0).
+    """
+    from .joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        b = batch.column("b")
+        n = len(a)
+        buckets = pa.array(
+            [
+                zlib.crc32(f"{x},{y}".encode()) % n_buckets
+                for x, y in zip(a.to_pylist(), b.to_pylist())
+            ]
+            * 2,
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+                "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+                "side": pa.array([0] * n + [1] * n, pa.int32()),
+                id_col: pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "pair_bucket": buckets,
+            }
+        )
+
+    from .joins import default_num_partitions
+
+    # groupby().map_groups upstream emits schema-LESS empty blocks for
+    # groupless partitions, which break Dataset.join's Acero key lookup;
+    # a coalescing repartition (no shuffle) unifies them.  Cost is
+    # proportional to the candidate-pair set only, never the corpus.
+    sides = (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .repartition(default_num_partitions(pairs))
+    )
+    joined = hash_join(sides, docs, on=id_col, join_type="left_outer")
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.select(["a", "b", "side", text_col]).to_pandas()
+        if df[text_col].isna().any():
+            missing = df.loc[df[text_col].isna(), ["a", "b"]].iloc[0]
+            raise ValueError(
+                f"candidate pair ({missing['a']}, {missing['b']}) references a "
+                f"doc_id with no text in the corpus"
+            )
+        a_out, b_out, j_out = [], [], []
+        for (pa_id, pb_id), sub in df.groupby(["a", "b"], sort=True):
+            if len(sub) != 2:
+                raise ValueError(f"candidate pair ({pa_id}, {pb_id}) has {len(sub)} sides")
+            t0, t1 = sub.sort_values("side")[text_col].tolist()
+            jv = jaccard(t0, t1)
+            if jv >= threshold:
+                a_out.append(pa_id)
+                b_out.append(pb_id)
+                j_out.append(jv)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return joined.groupby("pair_bucket").map_groups(verify_bucket, batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(
     docs: ray.data.Dataset,
     *,
     threshold: float = 0.5,
-    text_lookup: dict | None = None,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline -> verified (a, b, jaccard) pairs.
 
-    ``text_lookup`` (doc_id -> text) is the verify side; small corpora
-    broadcast it via ray.put, 10^12-doc corpora replace the broadcast with a
-    hash-join of candidate ids back against the corpus.
+    The verify side is a distributed hash-join of candidate ids back
+    against ``docs`` (see :func:`verify_pairs_against_corpus`); no corpus
+    text ever reaches the driver.  ``docs`` must carry doc_id + text.
     """
     bands = docs.map_batches(minhash_band_rows, batch_format="pyarrow")
     candidates = (
@@ -169,19 +257,8 @@ def minhash_dedup_pairs(
     distinct = candidates.groupby(["a", "b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
-
-    lookup_ref = ray.put(text_lookup or {})
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        jac = [jaccard(lookup.get(x, ""), lookup.get(y, "")) for x, y in zip(a, b)]
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
-
     verified = (
-        distinct.map_batches(verify, batch_format="pyarrow")
+        verify_pairs_against_corpus(distinct, docs, threshold=threshold)
         .to_pandas()  # only the VERIFIED pairs reach the driver (small)
         .sort_values(["a", "b"])
         .reset_index(drop=True)

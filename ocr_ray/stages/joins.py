@@ -16,7 +16,34 @@ these are the standard shapes a data-processing engine owes its users:
 from __future__ import annotations
 
 import pandas as pd
+import ray
 import ray.data
+
+# Target bytes per join partition: small enough that a partition's build side
+# fits a worker heap, large enough that task overhead stays negligible.
+_JOIN_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def default_num_partitions(*datasets: ray.data.Dataset) -> int:
+    """Shuffle fan-out scaled to the cluster and the input size.
+
+    ``max(cluster CPUs, total_bytes / 128 MiB)`` (capped at 4096): on one
+    node every core gets a partition; at 100 TB the byte term dominates and
+    keeps partitions bounded.  Falls back to CPUs when Ray Data can't
+    estimate size (derived datasets before execution).
+    """
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = max(2, cpus)
+    size = 0
+    for ds in datasets:
+        try:
+            sb = ds.size_bytes()
+        except Exception:
+            sb = None
+        if sb:
+            size += sb
+    by_bytes = -(-size // _JOIN_PARTITION_BYTES) if size else 0
+    return min(4096, max(cpus, by_bytes))
 
 
 def hash_join(
@@ -26,8 +53,10 @@ def hash_join(
     on: str,
     right_on: str | None = None,
     join_type: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
+    if num_partitions is None:
+        num_partitions = default_num_partitions(left, right)
     return left.join(
         right,
         join_type=join_type,

@@ -57,13 +57,53 @@ def test_minhash_lsh_finds_planted(ray_session):
     texts.append(texts[3])                                   # doc 60
     texts.append(texts[7].rsplit(" ", 1)[0] + " perturbed")  # doc 61
     tbl = _docs_table(texts)
-    lookup = dict(zip(range(len(texts)), texts))
-    out = dedup.minhash_dedup_pairs(
-        ray.data.from_arrow(tbl), threshold=0.8, text_lookup=lookup
-    )
+    out = dedup.minhash_dedup_pairs(ray.data.from_arrow(tbl), threshold=0.8)
     pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
     assert (3, 60) in pairs
     assert (7, 61) in pairs
+
+
+def test_minhash_no_driver_corpus_read(ray_session, monkeypatch, tmp_path):
+    """The minhash pipeline must never pq.read_table the corpus on the
+    driver (the round-1 verify broadcast the whole text column via ray.put).
+    Poisoning pyarrow.parquet.read_table proves the driver path is clean."""
+    import pyarrow.parquet as pq_mod
+    import ray.data
+
+    from ocr_ray.pipelines.queries_ext import q_minhash_dedup
+
+    rng = np.random.RandomState(21)
+    texts = [_text(rng, 50) for _ in range(30)]
+    texts.append(texts[2])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq_mod.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def poisoned(*a, **k):
+        raise AssertionError("driver-side pq.read_table in minhash pipeline")
+
+    monkeypatch.setattr("ocr_ray.pipelines.queries_ext.pq.read_table", poisoned)
+    out = q_minhash_dedup(str(tmp_path))
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (2, 30) in pairs
+
+
+def test_verify_pairs_raises_on_missing_doc(ray_session):
+    """A candidate doc_id absent from the corpus must raise, not silently
+    score jaccard('', '') == 1.0 (round-1 ADVICE bug)."""
+    import pytest
+    import ray.data
+
+    docs = ray.data.from_arrow(_docs_table(["a b c d e", "a b c d e"]))
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([0], pa.int64()), "b": pa.array([99], pa.int64())})
+    )
+    with pytest.raises(Exception, match="no text|sides"):
+        dedup.verify_pairs_against_corpus(pairs, docs, threshold=0.0).to_pandas()
 
 
 def test_simhash_finds_planted(ray_session):
