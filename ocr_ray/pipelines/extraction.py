@@ -170,6 +170,19 @@ def run_extraction(
         done: dict[int, dict] = mf.completed_partitions(
             output_dir, n_partitions=n_partitions
         )
+        if done:
+            # A committed partition is only skippable if its INPUT is still
+            # the rows it was computed from: recompute each partition's
+            # url-sum digest (pruned url-column pass, cheap relative to the
+            # extraction it saves) and invalidate any mismatch — otherwise a
+            # changed corpus silently drops rows on resume.
+            actual = _input_partition_digests(source, n_partitions)
+            for pid in [
+                p for p, e in done.items()
+                if actual.get(p) != e.get("input_digest")
+            ]:
+                mf.invalidate_partition(output_dir, pid)
+                del done[pid]
     else:
         done = {}
         mf.clear(output_dir)  # full rewrite: stale manifests must not linger
@@ -198,12 +211,35 @@ def run_extraction(
     out = out.map_batches(
         add_partition_id, fn_kwargs={"n_partitions": n_partitions}, batch_format="pyarrow"
     )
-    out.write_parquet(output_dir, partition_cols=["partition_id"])
-
-    new_partitions = _commit_manifests(
-        output_dir, skip=frozenset(done), n_partitions=n_partitions
+    # Write + stats in ONE pipeline pass: each task writes its rows into
+    # partition_id=... dirs and emits a tiny (pid, n_docs, url_sum,
+    # digest_sum) partial; a groupby over those partials yields one row per
+    # partition.  Nothing but <= n_partitions stat rows ever reaches the
+    # driver (the round-1 commit serially read every partition's url+digest
+    # columns back through one process).
+    stats_rows = (
+        out.map_batches(
+            _write_partition_files,
+            fn_kwargs={"output_dir": output_dir},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("partition_id")
+        .map_groups(_combine_stats, batch_format="pyarrow")
+        .take_all()
     )
-    n_rows = sum(e["n_docs"] for e in new_partitions.values())
+    n_rows = 0
+    for r in stats_rows:
+        pid = int(r["partition_id"])
+        mf.commit_partition(
+            output_dir,
+            pid,
+            n_docs=int(r["n_docs"]),
+            input_digest="{:016x}".format(int(r["url_sum"]) & _U64),
+            output_digest="{:016x}".format(int(r["digest_sum"]) & _U64),
+            n_partitions=n_partitions,
+        )
+        n_rows += int(r["n_docs"])
     return {"extracted": n_rows, "skipped_partitions": len(done)}
 
 
@@ -225,41 +261,114 @@ def _clean_uncommitted_partitions(output_dir: str, *, committed=frozenset()) -> 
     return removed
 
 
-def _commit_manifests(
-    output_dir: str, *, skip=frozenset(), n_partitions: int | None = None
-) -> dict[int, dict]:
-    """Read back written partition dirs (digest column only — columnar, tiny)
-    and commit one manifest entry per partition."""
-    new: dict[int, dict] = {}
-    for name in sorted(os.listdir(output_dir)):
-        if not name.startswith("partition_id="):
-            continue
-        pid = int(name.split("=", 1)[1])
-        if pid in skip:
-            continue
-        pdir = os.path.join(output_dir, name)
-        tbl = pq.read_table(pdir, columns=["url", "digest"])
-        out_digest = mf.combine_digests(tbl.column("digest").to_pylist())
-        in_digest = "{:016x}".format(
-            _xor_crc(tbl.column("url").to_pylist())
-        )
-        mf.commit_partition(
-            output_dir,
-            pid,
-            n_docs=tbl.num_rows,
-            input_digest=in_digest,
-            output_digest=out_digest,
-            n_partitions=n_partitions,
-        )
-        new[pid] = {"n_docs": tbl.num_rows}
-    return new
+_U64 = (1 << 64) - 1
 
 
-def _xor_crc(urls) -> int:
+def _url_sum(urls) -> int:
+    """Order-insensitive, duplicate-sensitive url digest: sum of crc32s
+    mod 2^64 (same combine rule as manifest.combine_digests)."""
     acc = 0
     for u in urls:
-        acc ^= zlib.crc32(u.encode("utf-8"))
+        acc = (acc + zlib.crc32(u.encode("utf-8"))) & _U64
     return acc
+
+
+def _write_partition_files(batch: pa.Table, *, output_dir: str) -> pa.Table:
+    """Write one parquet file per (task block, partition) under
+    partition_id=... dirs and return per-partition stat partials.
+
+    File names derive from the batch's url-sum + row count, so a retried
+    task overwrites its own file instead of appending duplicates."""
+    import pyarrow.compute as pc
+
+    out_pid, out_n, out_url, out_dig = [], [], [], []
+    if batch.num_rows:
+        pid_arr = batch.column("partition_id")
+        for pid in sorted(set(pid_arr.to_pylist())):
+            sub = batch.filter(pc.equal(pid_arr, pa.scalar(pid)))
+            url_acc = _url_sum(sub.column("url").to_pylist())
+            dig_acc = 0
+            for d in sub.column("digest").to_pylist():
+                if d:
+                    dig_acc = (dig_acc + int(d[:16], 16)) & _U64
+            pdir = os.path.join(output_dir, "partition_id={}".format(pid))
+            os.makedirs(pdir, exist_ok=True)
+            fname = "part-{:016x}-{}.parquet".format(url_acc, sub.num_rows)
+            pq.write_table(sub.drop_columns(["partition_id"]), os.path.join(pdir, fname))
+            out_pid.append(pid)
+            out_n.append(sub.num_rows)
+            out_url.append(url_acc)
+            out_dig.append(dig_acc)
+    return pa.table(
+        {
+            "partition_id": pa.array(out_pid, pa.int64()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "url_sum": pa.array(out_url, pa.uint64()),
+            "digest_sum": pa.array(out_dig, pa.uint64()),
+        }
+    )
+
+
+def _combine_stats(g: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "partition_id": g.column("partition_id").slice(0, 1),
+            "n_docs": pa.array([sum(g.column("n_docs").to_pylist())], pa.int64()),
+            "url_sum": pa.array(
+                [sum(g.column("url_sum").to_pylist()) & _U64], pa.uint64()
+            ),
+            "digest_sum": pa.array(
+                [sum(g.column("digest_sum").to_pylist()) & _U64], pa.uint64()
+            ),
+        }
+    )
+
+
+def _input_partition_digests(source, n_partitions: int) -> dict[int, str]:
+    """Per-partition url-sum digests of the CURRENT input (url column only,
+    pruned at the read) — the resume validation side of the manifest."""
+    ds = read_pages(source, columns=["url"]).map_batches(
+        add_partition_id, fn_kwargs={"n_partitions": n_partitions},
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pids, sums = [], []
+        if batch.num_rows:
+            pid_arr = batch.column("partition_id")
+            urls = batch.column("url").to_pylist()
+            acc: dict[int, int] = {}
+            for pid, u in zip(pid_arr.to_pylist(), urls):
+                acc[pid] = (acc.get(pid, 0) + zlib.crc32(u.encode("utf-8"))) & _U64
+            pids = sorted(acc)
+            sums = [acc[p] for p in pids]
+        return pa.table(
+            {
+                "partition_id": pa.array(pids, pa.int64()),
+                "url_sum": pa.array(sums, pa.uint64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partition_id": g.column("partition_id").slice(0, 1),
+                "url_sum": pa.array(
+                    [sum(g.column("url_sum").to_pylist()) & _U64], pa.uint64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        int(r["partition_id"]): "{:016x}".format(int(r["url_sum"]) & _U64)
+        for r in rows
+    }
 
 
 def read_extracted(output_dir: str) -> pa.Table:

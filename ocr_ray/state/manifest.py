@@ -116,11 +116,20 @@ def clear(output_dir: str) -> None:
     shutil.rmtree(manifest_dir(output_dir), ignore_errors=True)
 
 
+def invalidate_partition(output_dir: str, partition_id: int) -> None:
+    """Remove one committed entry (resume found its input digest stale)."""
+    path = os.path.join(manifest_dir(output_dir), "part-{:06d}.json".format(partition_id))
+    if os.path.exists(path):
+        os.remove(path)
+
+
 def combine_digests(hex_digests) -> str:
-    """Order-insensitive digest combine (xor of per-row sha256 prefixes) so a
-    partition digest doesn't depend on task scheduling order."""
+    """Order-insensitive AND duplicate-sensitive digest combine: sum of
+    per-row sha256 64-bit prefixes mod 2^64.  (xor was rejected: a row
+    duplicated an even number of times cancels out, so a corrupted
+    partition could digest identically to a clean one.)"""
     acc = 0
     for d in hex_digests:
         if d:
-            acc ^= int(d[:16], 16)
+            acc = (acc + int(d[:16], 16)) & 0xFFFFFFFFFFFFFFFF
     return "{:016x}".format(acc)

@@ -94,6 +94,39 @@ def test_kill_and_resume(ray_session, corpus, oracle, tmp_path_factory):
     assert len(urls) == len(set(urls)) == N_PAGES
 
 
+def test_resume_invalidates_changed_input(ray_session, corpus, oracle, tmp_path_factory):
+    """ADVICE r1: a committed partition whose INPUT rows changed between
+    runs must be recomputed, not silently skipped (input_digest check)."""
+    import ray as _ray
+
+    out = str(tmp_path_factory.mktemp("extract_changed"))
+    ex.run_extraction(corpus, out, n_partitions=6)
+
+    # perturb one page's url -> its old partition loses a row (digest
+    # mismatch) and some partition gains one
+    urls = corpus.column("url").to_pylist()
+    old_pid = mf.url_partition(urls[0], 6)
+    urls[0] = urls[0] + "-changed"
+    changed = corpus.set_column(
+        corpus.schema.get_field_index("url"), "url", pa.array(urls)
+    )
+    stats = ex.run_extraction(changed, out, n_partitions=6)
+    new_pid = mf.url_partition(urls[0], 6)
+    stale = {old_pid, new_pid}
+    assert stats["skipped_partitions"] == 6 - len(stale)
+    assert stats["extracted"] > 0
+    back_urls = pq.read_table(out, columns=["url"]).column("url").to_pylist()
+    assert sorted(back_urls) == sorted(urls)  # new corpus, no dropped rows
+
+
+def test_combine_digests_duplicate_sensitive():
+    """sum-mod-2^64 combine: a digest repeated an even number of times must
+    NOT cancel out (the xor failure mode from round-1 ADVICE)."""
+    d = "ab" * 32
+    assert mf.combine_digests([d, d]) != mf.combine_digests([])
+    assert mf.combine_digests([d, d, d, d]) != mf.combine_digests([d, d])
+
+
 def test_documents_identity_roundtrip(ray_session):
     """pages synthesized from the documents table extract back to exactly
     the text column (the DuckDB-oracle identity)."""
