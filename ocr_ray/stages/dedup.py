@@ -154,9 +154,13 @@ def verify_pairs_against_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    metric=None,
+    metric_col: str = "jaccard",
 ) -> ray.data.Dataset:
-    """Distributed exact-Jaccard verify of candidate ``(a, b)`` pairs —
+    """Distributed exact-metric verify of candidate ``(a, b)`` pairs —
     the 10^12-doc shape: the corpus is NEVER materialized on the driver.
+    ``metric(val_a, val_b) -> float`` defaults to word-3gram Jaccard over
+    ``text_col``; pass a cosine kernel + an embedding column for vectors.
 
     1. explode each pair to two ``(a, b, side, doc_id)`` rows,
     2. hash-join the rows back against ``docs`` on ``doc_id`` (both sides
@@ -165,10 +169,13 @@ def verify_pairs_against_corpus(
        not per pair — per-key calls were measured 10x slower on the
        extraction path) and score ``jaccard`` per pair inside the task.
 
-    Raises inside the verify task if any candidate doc_id has no text in
+    Raises inside the verify task if any candidate doc_id has no value in
     ``docs`` (silently treating it as "" would score every such pair 1.0).
     """
     from .joins import hash_join
+
+    if metric is None:
+        metric = jaccard
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column("a")
@@ -219,7 +226,7 @@ def verify_pairs_against_corpus(
             if len(sub) != 2:
                 raise ValueError(f"candidate pair ({pa_id}, {pb_id}) has {len(sub)} sides")
             t0, t1 = sub.sort_values("side")[text_col].tolist()
-            jv = jaccard(t0, t1)
+            jv = metric(t0, t1)
             if jv >= threshold:
                 a_out.append(pa_id)
                 b_out.append(pb_id)
@@ -228,7 +235,7 @@ def verify_pairs_against_corpus(
             {
                 "a": pa.array(a_out, pa.int64()),
                 "b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                metric_col: pa.array(j_out, pa.float64()),
             }
         )
 
@@ -288,23 +295,48 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_dedup_pairs(docs: ray.data.Dataset, *, max_hamming: int = 3) -> pa.Table:
+def simhash_dedup_pairs(
+    docs: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    max_distinct_per_bucket: int = 256,
+) -> pa.Table:
     """SimHash near-dup: 4x16-bit band blocking (a pair within hamming<=3 of
     64 bits shares at least one identical 16-bit band by pigeonhole), then
-    exact hamming verify per candidate pair."""
+    exact hamming verify per candidate pair.
+
+    Per-task work is BOUNDED (round-1 skew fix): inside a bucket, docs with
+    an identical fingerprint emit star pairs to the group's min doc_id
+    (n-1 pairs, linear — 10k exact copies no longer enumerate 50M pairs),
+    and cross-fingerprint checks run over distinct fingerprint VALUES
+    (capped at ``max_distinct_per_bucket``), pairing group representatives.
+    The output is therefore a spanning set per duplicate group — connected
+    components are preserved — rather than the full clique.
+    """
 
     def pairs_with_hashes(group: pa.Table) -> pa.Table:
         rows = sorted(
             {(i, h) for i, h in zip(group.column("doc_id").to_pylist(),
                                     group.column("simhash").to_pylist())}
         )
+        by_val: dict[int, list[int]] = {}
+        for i, h in rows:
+            by_val.setdefault(h, []).append(i)
         a_out, b_out, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                h = hamming64(rows[i][1], rows[j][1])
+        for ids in by_val.values():
+            ids.sort()
+            for other in ids[1:]:  # identical fingerprint: star to min id
+                a_out.append(ids[0])
+                b_out.append(other)
+                ham.append(0)
+        vals = sorted(by_val)[:max_distinct_per_bucket]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                h = hamming64(vals[i], vals[j])
                 if h <= max_hamming:  # verify INSIDE the bucket task
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
+                    x, y = sorted((min(by_val[vals[i]]), min(by_val[vals[j]])))
+                    a_out.append(x)
+                    b_out.append(y)
                     ham.append(h)
         return pa.table(
             {
@@ -327,76 +359,135 @@ def simhash_dedup_pairs(docs: ray.data.Dataset, *, max_hamming: int = 3) -> pa.T
     return pa.Table.from_pandas(verified, preserve_index=False)
 
 
+def cosine_sim(v_a, v_b) -> float:
+    """Exact cosine (the embedding verify metric), rounded to 6 places."""
+    a = np.asarray(v_a, dtype=np.float64)
+    b = np.asarray(v_b, dtype=np.float64)
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return 0.0
+    return round(float(a @ b) / (na * nb), 6)
+
+
+def _vec_hash(v) -> int:
+    """Deterministic 64-bit content hash of a vector (identical embeddings
+    collapse to one star group inside a bucket)."""
+    buf = np.asarray(v, dtype=np.float64).tobytes()
+    h = zlib.crc32(buf) | (zlib.crc32(buf[::-1]) << 32)
+    # signed-int64 view so the value fits Arrow int64 columns
+    return int(np.uint64(h).astype(np.int64))
+
+
 def embedding_neardup_pairs(
     emb: ray.data.Dataset,
     *,
     min_cosine: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 29,
+    max_distinct_per_bucket: int = 256,
 ) -> pa.Table:
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets:
-    sign-pattern bucket groupby, within-bucket exact cosine verify.
+    """Embedding-cosine near-dup: multi-table random-hyperplane LSH,
+    bounded per-bucket work, distributed exact-cosine verify.
 
-    A pair with cosine >= 0.95 has a high probability of an identical
-    sign pattern under few planes; exact copies always collide.  The scale
-    path raises recall with multiple plane tables (union of bucket rows).
+    Scale shape (all three round-1 weaknesses fixed):
+
+    - ``n_tables`` independent plane tables, union of bucket rows — a
+      cosine-0.95 pair colliding in ANY table becomes a candidate (single
+      12-plane table recall was unquantified; see the pytest recall gate).
+    - bucket rows carry only (vec_id, content-hash) — embeddings never
+      enter the LSH shuffle; the verify joins them back by vec_id
+      (:func:`verify_pairs_against_corpus` with a cosine metric).
+    - inside a bucket, identical-content vectors star-pair to the min id
+      (linear) and cross-content checks pair group REPRESENTATIVES over at
+      most ``max_distinct_per_bucket`` distinct hashes — one hot bucket of
+      near-identical vectors can no longer go O(n^2).  Output is a spanning
+      set per duplicate group (connected components preserved).
     """
-    # dims from the first row (driver-side metadata peek is fine)
     first = emb.take(1)[0]
     dims = len(first["embedding"])
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dims, n_planes))
+    planes = rng.standard_normal((n_tables, dims, n_planes))
     planes_ref = ray.put(planes)
+    powers = 1 << np.arange(n_planes)
 
-    def bucket(batch: pa.Table) -> pa.Table:
+    def bucket_rows(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids = batch.column("vec_id").to_pylist()
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        signs = (mat @ pl) > 0
-        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        vecs = batch.column("embedding").to_pylist()
+        mat = np.asarray(vecs, dtype=np.float64)
+        vhash = [_vec_hash(v) for v in vecs]
+        out_id, out_tb, out_bk, out_vh = [], [], [], []
+        for t in range(n_tables):
+            signs = (mat @ pl[t]) > 0
+            keys = (signs * powers).sum(axis=1).astype(np.int64)
+            out_id.extend(ids)
+            out_tb.extend([t] * len(ids))
+            out_bk.extend(keys.tolist())
+            out_vh.extend(vhash)
         return pa.table(
             {
-                "vec_id": pa.array(ids, pa.int64()),
-                "bucket": pa.array(keys, pa.int64()),
-                "embedding": batch.column("embedding"),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "table_id": pa.array(out_tb, pa.int32()),
+                "bucket": pa.array(out_bk, pa.int64()),
+                "vhash": pa.array(out_vh, pa.int64()),
             }
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
-        mat = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        cos = unit @ unit.T
-        order = np.argsort(ids, kind="stable")
-        a_out, b_out, c_out = [], [], []
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if ids[i] == ids[j]:
-                    continue
-                c = cos[i, j]
-                if c >= min_cosine:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-                    c_out.append(round(float(c), 6))
+        by_val: dict[int, list[int]] = {}
+        for i, h in sorted(
+            {(i, h) for i, h in zip(group.column("vec_id").to_pylist(),
+                                    group.column("vhash").to_pylist())}
+        ):
+            by_val.setdefault(h, []).append(i)
+        a_out, b_out = [], []
+        for ids in by_val.values():
+            ids.sort()
+            for other in ids[1:]:  # identical content: star to min id
+                a_out.append(ids[0])
+                b_out.append(other)
+        reps = sorted(min(v) for v in by_val.values())[:max_distinct_per_bucket]
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                a_out.append(reps[i])
+                b_out.append(reps[j])
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+    candidates = (
+        emb.map_batches(bucket_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby(["table_id", "bucket"])
+        .map_groups(pairs, batch_format="pyarrow")
+        # distinct across tables/buckets, distributed
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    # Acero hash joins reject list<float> payload columns: ship the vectors
+    # through the verify join as packed float64 binary instead.
+    def encode(batch: pa.Table) -> pa.Table:
+        vecs = batch.column("embedding").to_pylist()
+        packed = [np.asarray(v, dtype=np.float64).tobytes() for v in vecs]
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(c_out, pa.float64()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(packed, pa.binary()),
             }
         )
 
+    def cosine_packed(a_buf: bytes, b_buf: bytes) -> float:
+        return cosine_sim(np.frombuffer(a_buf, dtype=np.float64),
+                          np.frombuffer(b_buf, dtype=np.float64))
+
     out = (
-        emb.map_batches(bucket, batch_format="pyarrow", batch_size=4096)
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pyarrow")
-        # distinct across buckets, distributed (verified pairs only)
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        verify_pairs_against_corpus(
+            candidates,
+            emb.map_batches(encode, batch_format="pyarrow"),
+            threshold=min_cosine,
+            id_col="vec_id",
+            text_col="embedding",
+            metric=cosine_packed,
+            metric_col="cosine",
+        )
         .to_pandas()
         .sort_values(["a", "b"])
         .reset_index(drop=True)

@@ -137,6 +137,78 @@ def test_embedding_neardup_planted(ray_session):
     assert (9, 1001) in pairs
 
 
+def test_simhash_skew_bounded(ray_session):
+    """Pathological skew: thousands of IDENTICAL docs must emit a linear
+    star-pair set (n-1 pairs to the min id), not an O(n^2) clique."""
+    import ray.data
+
+    n = 2000
+    texts = ["the same exact document body repeated many times"] * n
+    out = dedup.simhash_dedup_pairs(ray.data.from_arrow(_docs_table(texts)), max_hamming=3)
+    assert out.num_rows == n - 1
+    assert set(out.column("a").to_pylist()) == {0}  # star to min id
+    assert set(out.column("b").to_pylist()) == set(range(1, n))
+
+
+def test_embedding_skew_bounded(ray_session):
+    """Same for embeddings: one hot bucket of identical vectors emits a
+    linear spanning set whose single connected component covers all ids."""
+    import ray.data
+
+    n = 1000
+    vec = [0.5, -1.25, 2.0, 0.75]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+        }
+    )
+    out = dedup.embedding_neardup_pairs(ray.data.from_arrow(tbl), min_cosine=0.95)
+    assert out.num_rows == n - 1
+    assert set(out.column("a").to_pylist()) == {0}
+    assert set(out.column("b").to_pylist()) == set(range(1, n))
+
+
+def test_embedding_multitable_recall(ray_session):
+    """Recall gate vs brute force: perturbed near-dup pairs (cosine in
+    [0.95, 1)) planted among random vectors; the 4-table x 8-plane union
+    must recover >= 80% of the true >=0.95 pairs (deterministic seeds)."""
+    import ray.data
+
+    rng = np.random.RandomState(41)
+    dims, n_base, n_planted = 32, 150, 25
+    base = rng.standard_normal((n_base, dims))
+    rows = [(i, base[i]) for i in range(n_base)]
+    for k in range(n_planted):
+        v = base[k]
+        # small additive noise -> cosine ~0.96-0.995
+        pert = v + rng.standard_normal(dims) * 0.12 * np.linalg.norm(v) / np.sqrt(dims)
+        rows.append((10000 + k, pert))
+    ids = [r[0] for r in rows]
+    mat = np.stack([r[1] for r in rows])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    # brute-force truth over the float32-rounded vectors (what the pipeline sees)
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    unit = mat32 / np.linalg.norm(mat32, axis=1)[:, None]
+    cos = unit @ unit.T
+    truth = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.95
+    }
+    assert len(truth) >= 15  # the plant worked
+    out = dedup.embedding_neardup_pairs(ray.data.from_arrow(tbl), min_cosine=0.95)
+    got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert got <= truth  # verify step admits no false positives
+    assert len(got & truth) / len(truth) >= 0.8
+
+
 def test_ivf_recall_vs_bruteforce(ray_session):
     import ray.data
 
