@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from . import html_extract, minipdf, pdf_extract
+from . import doc_parsers, html_extract, minipdf, pdf_extract
 from .functions.metrics import byte_histogram, is_near_duplicate_cached
 
 NEAR_DUP_THRESHOLD = 0.2   # base_ocr.py:716-723
@@ -149,6 +149,46 @@ def sha256_hex(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
 
 
+def payload_kind(url: str, payload: bytes) -> str:
+    """Parser dispatch: ``%PDF-`` magic first, then the url path extension
+    (the reference's extension registry, parsers/__init__.py:173-177 — a
+    crawl's text/markdown/code payloads must not be parsed as HTML), html
+    otherwise."""
+    if minipdf.is_pdf(payload):
+        return "pdf"
+    return doc_parsers.EXTENSION_KINDS.get(doc_parsers.url_extension(url), "html")
+
+
+def detect_paragraphs(url: str, payload: bytes) -> tuple[list[dict], str, str]:
+    """Stage-1 detect: payload -> (paragraphs, title, kind).
+
+    The single dispatch shared by the fused path (:func:`extract_page`) and
+    the exploded path (stages.extract.BlockExtractor), so both stay
+    byte-identical by construction.  Raises on malformed payloads — callers
+    turn that into an error row."""
+    kind = payload_kind(url, payload)
+    title = ""
+    if kind == "pdf":
+        paragraphs = pdf_extract.extract_pdf_paragraphs(
+            minipdf.read_text_objects(payload)
+        )
+    elif kind == "docx":
+        paragraphs = doc_parsers.parse_docx(payload)
+    elif kind in ("md", "txt", "py", "java"):
+        text_payload = payload.decode("utf-8")  # non-UTF8 -> error row
+        paragraphs = {
+            "md": doc_parsers.parse_markdown,
+            "txt": doc_parsers.parse_txt,
+            "py": doc_parsers.parse_python,
+            "java": doc_parsers.parse_java,
+        }[kind](text_payload)
+    else:
+        page = html_extract.extract_html_page(payload.decode("utf-8"))
+        paragraphs = page["paragraphs"]
+        title = page["title"]
+    return paragraphs, title, kind
+
+
 def extract_page(
     url: str,
     payload: bytes,
@@ -167,17 +207,7 @@ def extract_page(
         if not payload:
             return _row(url, "", "", 0, "empty", "error", "empty payload", lang,
                         [] if include_paragraphs else None)
-        if minipdf.is_pdf(payload):
-            objs = minipdf.read_text_objects(payload)
-            paragraphs = pdf_extract.extract_pdf_paragraphs(objs)
-            title = ""
-            kind = "pdf"
-        else:
-            html = payload.decode("utf-8")  # non-UTF8 -> error row
-            page = html_extract.extract_html_page(html)
-            paragraphs = page["paragraphs"]
-            title = page["title"]
-            kind = "html"
+        paragraphs, title, kind = detect_paragraphs(url, payload)
         text, kept = assemble_text(paragraphs, footnote_mode=footnote_mode)
         structural = (
             [_paragraph_struct(p) for p in paragraphs] if include_paragraphs else None

@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..extract_core import assemble_text, extract_page, sha256_hex
+from ..extract_core import assemble_text, detect_paragraphs, extract_page, sha256_hex
 from ..schema import EXTRACTED, EXTRACTED_FULL
-from .. import html_extract, minipdf, pdf_extract
 
 
 def extract_batch(
@@ -117,14 +116,7 @@ class BlockExtractor:
                 if not payload:
                     rows.append(dict(base, kind="empty", status="error", error="empty payload"))
                     continue
-                if minipdf.is_pdf(payload):
-                    paragraphs = pdf_extract.extract_pdf_paragraphs(
-                        minipdf.read_text_objects(payload)
-                    )
-                    title, kind = "", "pdf"
-                else:
-                    page = html_extract.extract_html_page(payload.decode("utf-8"))
-                    paragraphs, title, kind = page["paragraphs"], page["title"], "html"
+                paragraphs, title, kind = detect_paragraphs(url, payload)
                 rows.append(dict(base, title=title, kind=kind))
                 for p in paragraphs:
                     rows.append(
@@ -132,7 +124,7 @@ class BlockExtractor:
                             base,
                             order=int(p["order"]),
                             type=p["type"],
-                            text=p["text"],
+                            text=p.get("text", ""),
                             page=int(p.get("page", 0)),
                             is_footnote=bool(p.get("is_footnote", False)),
                             is_header=bool(p.get("is_header", False)),

@@ -133,7 +133,18 @@ def pages_from_documents(documents: pa.Table, *, repeat: int = 1) -> pa.Table:
 ARCHETYPES = (
     "plain", "chrome", "linklist", "sections", "table", "list",
     "fragments", "dupspans", "pdf_basic", "pdf_footnote", "empty", "garbage",
+    "md_doc", "txt_doc", "py_code", "java_code", "docx_doc",
 )
+
+# standalone-document archetypes dispatch by url extension
+# (extract_core.payload_kind; reference parsers/__init__.py:173-177)
+DOC_ARCH_EXT = {
+    "md_doc": "md",
+    "txt_doc": "txt",
+    "py_code": "py",
+    "java_code": "java",
+    "docx_doc": "docx",
+}
 
 
 def _sentence(rng: random.Random, n: int) -> str:
@@ -217,6 +228,58 @@ def _make_html(arch: str, rng: random.Random, i: int, scale: int = 1) -> bytes:
     raise ValueError(arch)
 
 
+def _make_doc(arch: str, rng: random.Random, i: int, scale: int = 1) -> bytes:
+    """Standalone-document payloads (md/txt/py/java/docx archetypes)."""
+    from . import doc_parsers
+
+    if arch == "md_doc":
+        parts = [
+            "# Guide {}".format(i),
+            "",
+            _sentence(rng, 12),
+            "",
+            "## Usage",
+            "",
+            _sentence(rng, scale * 10),
+            "",
+            "```python",
+            "x = {}".format(rng.randint(0, 99)),
+            "print(x)",
+            "```",
+            "",
+            "![diagram.png](assets/diagram-{}.png)".format(i),
+            "",
+            "### Notes",
+            "",
+            "See [the docs](https://docs.example/{}) then {}".format(
+                i, _sentence(rng, 6)
+            ),
+        ]
+        return "\n".join(parts).encode()
+    if arch == "txt_doc":
+        paras = [_sentence(rng, rng.randint(6, 20)) for _ in range(scale * rng.randint(2, 4))]
+        return "\n\n".join(paras).encode()
+    if arch == "py_code":
+        return (
+            "# module m{i}\nimport os\n\n"
+            "def f_{i}(x):\n    return x + {k}\n\n"
+            "class C{i}:\n    value = {k}\n\n"
+            "@decorator\ndef g_{i}():\n    pass\n"
+        ).format(i=i, k=rng.randint(0, 99)).encode()
+    if arch == "java_code":
+        return (
+            "public class C{i} {{\n    static int value = {k};\n"
+            "    public int get() {{ return value; }}\n}}\n"
+        ).format(i=i, k=rng.randint(0, 99)).encode()
+    if arch == "docx_doc":
+        return doc_parsers.build_docx(
+            ["Heading {}".format(i)]
+            + [_sentence(rng, rng.randint(6, 15)) for _ in range(scale * 2)]
+            + [""]  # empty <w:p> that normalize() must drop
+        )
+    raise ValueError(arch)
+
+
 def _make_pdf(arch: str, rng: random.Random, i: int, scale: int = 1) -> bytes:
     body_size = 12.0
     leading = body_size * 1.2
@@ -264,9 +327,14 @@ def synth_corpus(n: int = 120, seed: int = 7) -> pa.Table:
         rng = _rng(seed, i)
         if arch.startswith("pdf"):
             payload = _make_pdf(arch, rng, i)
+        elif arch in DOC_ARCH_EXT:
+            payload = _make_doc(arch, rng, i)
         else:
             payload = _make_html(arch, rng, i)
-        urls.append(page_url(i, arch))
+        url = page_url(i, arch)
+        if arch in DOC_ARCH_EXT:
+            url += "." + DOC_ARCH_EXT[arch]
+        urls.append(url)
         ts.append(EPOCH_US + i * 1_000_000)
         htmls.append(payload)
         raw.append("")
