@@ -264,42 +264,29 @@ SQL_LINEITEM_AGG = (
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """orders ⨝ customer ⨝ nation via BROADCAST of the small sides:
-    the dimension maps are ray.put once and looked up per batch —
-    no shuffle join (SURVEY §2.5 J1/J2 pattern, ray_guide joins)."""
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    """orders ⨝ customer via a both-sides-large hash join (customer is NOT
+    broadcast-sized: 1.5M rows at sf10, ~10^9 at web scale), aggregate by
+    c_nationkey (25 groups), then map the 25-row result to nation names on
+    the driver — only the genuinely tiny side ever leaves the pipeline."""
+    from ..stages.joins import hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey")
+    out = (
+        joined.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
     )
+    df = out.to_pandas()  # 25 rows
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
     nation_name = dict(
         zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
     )
-    cust_nation = {
-        ck: nation_name[nk]
-        for ck, nk in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
-        )
-    }
-    lookup_ref = ray.put(cust_nation)
-
-    def add_nation(batch: pa.Table) -> pa.Table:
-        # ray.get on a shared object-store ref: zero-copy local fetch per
-        # task, the broadcast side is ray.put ONCE on the driver
-        lookup = ray.get(lookup_ref)
-        names = [lookup[ck] for ck in batch.column("o_custkey").to_pylist()]
-        return batch.append_column("n_name", pa.array(names, pa.string()))
-
-    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    out = (
-        orders.map_batches(add_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
-    )
-    df = out.to_pandas()
+    df["n_name"] = df["c_nationkey"].map(nation_name)
     df["revenue"] = df["revenue"].round(2)
-    return df
+    return df[["n_name", "n_orders", "revenue"]]
 
 
 SQL_REVENUE_BY_NATION = (

@@ -66,6 +66,30 @@ def hash_join(
     )
 
 
+def _default_buckets() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return 8 * max(4, cpus)
+
+
+def _add_key_bucket(df: pd.DataFrame, *, key: str, n_buckets: int) -> pd.DataFrame:
+    """crc32-style key bucket so the wide shuffle groups by BUCKET, not by
+    key: one map_groups call per bucket (the assemble_bucket lesson —
+    per-key Python calls were measured 10x slower than the shuffle)."""
+    import zlib
+
+    import numpy as np
+
+    col = df[key]
+    if col.dtype.kind in "iu":
+        b = (col.to_numpy().astype(np.uint64) * np.uint64(2654435761)) % n_buckets
+        df["__bucket"] = b.astype(np.int64)
+    else:
+        df["__bucket"] = [
+            zlib.crc32(str(v).encode("utf-8")) % n_buckets for v in col
+        ]
+    return df
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -82,38 +106,48 @@ def asof_join(
     match).
 
     Implementation: both sides mapped to one common (key, ts, side, keep...)
-    layout, union, ONE groupby(key) shuffle, and a pandas merge_asof inside
-    each key group — neither side is materialized on the driver.
+    layout, union, ONE groupby(key-BUCKET) shuffle, and a pandas merge_asof
+    per key inside each bucket task — neither side is materialized on the
+    driver, and Python is invoked once per bucket, not once per key.
     """
+    n_buckets = _default_buckets()
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"key": df[left_key].to_numpy(), "ts": df[left_ts].to_numpy()})
         out["__side"] = "L"
         for c in left_keep:
             out[c] = df[c].to_numpy()
-        return out
+        return _add_key_bucket(out, key="key", n_buckets=n_buckets)
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"key": df[right_key].to_numpy(), "ts": df[right_ts].to_numpy()})
         out["__side"] = "R"
         for c in left_keep:
             out[c] = -1
-        return out
+        return _add_key_bucket(out, key="key", n_buckets=n_buckets)
 
     both = left.map_batches(tag_left, batch_format="pandas").union(
         right.map_batches(tag_right, batch_format="pandas")
     )
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == "L"].sort_values("ts", kind="stable")
-        r = group[group["__side"] == "R"].sort_values("ts", kind="stable")
-        if not len(l):
-            return l.drop(columns=["__side"])
-        rr = pd.DataFrame({"ts": r["ts"].to_numpy(), out_col: r["ts"].to_numpy()})
-        merged = pd.merge_asof(l, rr, on="ts", direction="backward")
-        return merged.drop(columns=["__side"])
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in group.groupby("key", sort=True):
+            l = g[g["__side"] == "L"].sort_values("ts", kind="stable")
+            if not len(l):
+                continue
+            r = g[g["__side"] == "R"].sort_values("ts", kind="stable")
+            rr = pd.DataFrame({"ts": r["ts"].to_numpy(), out_col: r["ts"].to_numpy()})
+            outs.append(pd.merge_asof(l, rr, on="ts", direction="backward"))
+        if not outs:
+            # dtype-preserving empty frame (object-dtype empties would break
+            # cross-block schema unification)
+            empty = group.drop(columns=["__side", "__bucket"]).iloc[0:0].copy()
+            empty[out_col] = pd.Series([], dtype=group["ts"].dtype)
+            return empty
+        return pd.concat(outs, ignore_index=True).drop(columns=["__side", "__bucket"])
 
-    return both.groupby("key").map_groups(per_key, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def running_window(
@@ -124,13 +158,22 @@ def running_window(
     value: str,
     out_col: str,
 ) -> ray.data.Dataset:
-    """Per-key running cumulative sum ordered by ``order_by`` (the
-    per_group pattern of the ray guide; ties broken by the full order_by
-    tuple so the result is deterministic)."""
+    """Per-key running cumulative sum ordered by ``order_by`` (ties broken
+    by the full order_by tuple so the result is deterministic).  Shuffles
+    by key bucket; inside each bucket one vectorized pandas
+    sort + groupby(key).cumsum covers every key at once."""
+    n_buckets = _default_buckets()
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_by, kind="stable")
-        g[out_col] = g[value].cumsum().round(2)
-        return g
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key=key, n_buckets=n_buckets)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_by, kind="stable")
+        g[out_col] = g.groupby(key, sort=False)[value].cumsum().round(2)
+        return g.drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
