@@ -217,6 +217,41 @@ SQL_DOC_TOKENS_BPE = (
 )
 
 
+def q_bpe_roundtrip(sf_dir: str):
+    """Learned byte-level BPE (ocr_ray.functions.bpe): merges trained on a
+    64-doc sample, then every document is encoded to ids and decoded back
+    on an actor pool.  decode(encode(text)) == text for arbitrary unicode
+    is the tokenizer's correctness contract, and it is exactly
+    SQL-expressible: the oracle is the documents table itself."""
+    from ..functions.bpe import BPETokenizer
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sample = ds.limit(64).take_all()
+    tok = BPETokenizer.train([r["text"] for r in sample], n_merges=200)
+    tok_ref = ray.put(tok.to_dict())
+
+    class RoundTrip:
+        def __init__(self, ref):
+            self.tok = BPETokenizer.from_dict(ray.get(ref))  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            decoded = [self.tok.decode(self.tok.encode(t)) for t in texts]
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "text": pa.array(decoded, pa.string())}
+            )
+
+    return ds.map_batches(
+        RoundTrip,
+        fn_constructor_kwargs={"ref": tok_ref},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
+SQL_BPE_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
 def q_doc_chunks(sf_dir: str):
     """Token-budget chunking (split_text + merge_texts, M11/M12): number of
     ~40-token chunks per document; the oracle is the closed form the greedy
@@ -324,6 +359,7 @@ EXT_QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_quality": q_doc_quality,
     "doc_tokens_bpe": q_doc_tokens_bpe,
+    "bpe_roundtrip": q_bpe_roundtrip,
     "doc_chunks": q_doc_chunks,
     "events_sessionize": q_events_sessionize,
     "split_counts": q_split_counts,
@@ -336,6 +372,7 @@ EXT_ORACLE_SQL = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
+    "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "split_counts": SQL_SPLIT_COUNTS,
