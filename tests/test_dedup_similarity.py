@@ -233,3 +233,44 @@ def test_ivf_recall_vs_bruteforce(ray_session):
                  train_sample=vecs64)
     )
     assert len(got & truth) >= 7  # recall >= 0.7 at nprobe=4/8
+
+
+def test_ivf_partitioned_index_probe_limited(ray_session, tmp_path):
+    """The cluster-partitioned layout: build once, then a query reads ONLY
+    its nprobe partitions (probe-limited SCAN, not just scoring) and still
+    reaches brute-force-comparable recall."""
+    import os
+
+    import ray.data
+
+    from ocr_ray.stages.similarity import (
+        ivf_build_index, ivf_probed_paths, ivf_search_index,
+    )
+
+    rng = np.random.RandomState(23)
+    vecs = rng.standard_normal((500, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(500)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    index_dir = str(tmp_path / "ivf")
+    ivf_build_index(ray.data.from_arrow(tbl), index_dir, n_clusters=8)
+    # every row landed in exactly one cluster partition
+    parts = [d for d in os.listdir(index_dir) if d.startswith("cluster=")]
+    assert 1 < len(parts) <= 8
+    import pyarrow.parquet as pq_mod
+
+    assert pq_mod.read_table(index_dir, columns=["vec_id"]).num_rows == 500
+
+    q = vecs[7].astype(np.float64)
+    probed = ivf_probed_paths(index_dir, q, nprobe=3)
+    assert len(probed) == 3  # the scan touches exactly nprobe partitions
+
+    vecs64 = vecs.astype(np.float64)
+    cos = (vecs64 @ q) / (np.linalg.norm(vecs64, axis=1) * np.linalg.norm(q))
+    truth = set(np.argsort(-cos, kind="stable")[:10].tolist())
+    got = set(ivf_search_index(index_dir, q, k=10, nprobe=3))
+    assert len(got & truth) >= 7
