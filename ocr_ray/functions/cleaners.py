@@ -184,6 +184,147 @@ def expand_numbers(text, **_):
     return re.sub(r"\d+", lambda m: _num_to_words(int(m.group(0))), text)
 
 
+# --- full normalize_numbers chain (numbers.py:16-271), English tables ------
+
+_TIME_WORDS = {"h": "hour", "min": "minute", "sec": "second", "s": "second"}
+_UNITS_EN = {
+    "l": "litre", "g": "gram", "t": "tonne", "m": "meter", "mi": "mile",
+    "o": "bytes", "V": "volt", "W": "watt", "A": "ampere", "Hz": "hertz",
+    "J": "joul", "N": "newton", "b": "bar",
+}
+_UNIT_PREFIX_EN = {
+    "n": "nano", "m": "mili", "c": "centi", "d": "deci",
+    "k": "kilo", "M": "mega", "G": "giga", "T": "tera",
+}
+_MATH_EN = {
+    "=": "equal", "+": "plus", "-": "minus", "*": "times",
+    "/": "divide by", "^": "exponent",
+}
+
+_UNITS_RE = re.compile(
+    r"(\d+)\s*({})?({})(?:\/({}))\b".format(
+        "|".join(_UNIT_PREFIX_EN), "|".join(_UNITS_EN), "|".join(_TIME_WORDS)
+    )
+)
+_MATH_SYMBOL_RE = re.compile(
+    r"(?:(?<=\d)(\s*[\+\*\/\^\=]\s*(\+|\-\s*)?)(?=\d)|((?:^|\s+)(\-|\+)\s*(\+|\-\s*)?)(?=\d))"
+)
+_SEC_PAT = r"(\d+)\s*(?:sec|s)\b"
+_MIN_PAT = r"(\d+)\s*min(?:\s*{})?".format(_SEC_PAT)
+_HOURS_PAT = r"(\d+)\s*h\s*(?:{}|{})?".format(_MIN_PAT, _SEC_PAT)
+_TIME_RE = re.compile(r"\b(?:{}|{}|{})\b".format(_HOURS_PAT, _MIN_PAT, _SEC_PAT))
+_CLOCK_RE = re.compile(r"(\d{1,2}):(\d{1,2}):(\d{1,2})")
+_COMMA_NUMBER_RE = re.compile(r"([0-9][0-9\,]+[0-9])")
+_SPACE_NUMBER_RE = re.compile(r"[0-9]+( [0-9]{3,3})+(?!\d)")
+_TIRET_NUMBER_RE = re.compile(r"([0-9]+-[0-9])")
+_POUNDS_RE = re.compile(r"£([0-9\,]*[0-9]+)")
+_DOLLARS_RE = re.compile(r"\$([0-9\.\,]*[0-9]+)")
+_DECIMAL_NUMBER_RE = re.compile(r"([0-9]+\.[0-9]+)")
+_ORDINAL_RE = re.compile(r"([0-9]+)(st|nd|rd|th)")
+
+_ORDINAL_IRREGULAR = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _ordinal_words(n: int) -> str:
+    parts = _num_to_words(n).split()
+    last = parts[-1]
+    if last in _ORDINAL_IRREGULAR:
+        parts[-1] = _ORDINAL_IRREGULAR[last]
+    elif last.endswith("y"):
+        parts[-1] = last[:-1] + "ieth"
+    else:
+        parts[-1] = last + "th"
+    return " ".join(parts)
+
+
+def _expand_time_parts(h, m, s) -> str:
+    parts = []
+    for t, unit in ((h, "h"), (m, "min"), (s, "sec")):
+        if t is None:
+            continue
+        unit = _TIME_WORDS[unit] + ("s" if int(t) > 1 else "")
+        parts.append("{} {}".format(t, unit))
+    return " and ".join(parts)
+
+
+def _expand_dollars(match: str) -> str:
+    parts = match.split(".")
+    if len(parts) > 2:
+        return match + " dollars"  # unexpected
+    dollars = int(parts[0]) if parts[0] else 0
+    cents = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+    if dollars and cents:
+        return "{} dollar{}, {} cent{}".format(
+            dollars, "s" if dollars != 1 else "", cents, "s" if cents != 1 else ""
+        )
+    if dollars:
+        return "{} dollar{}".format(dollars, "s" if dollars != 1 else "")
+    if cents:
+        return "{} cent{}".format(cents, "s" if cents != 1 else "")
+    return "zero dollars"
+
+
+def _expand_decimal(num: str) -> str:
+    # 'punt' mirrors the reference's en separator token (numbers.py:19);
+    ent, dec = num.split(".")
+    if dec.count("0") == len(dec):
+        return "{} punt zero".format(_num_to_words(int(ent)))
+    n_zeros = len(dec) - len(dec.lstrip("0"))
+    dec_words = _num_to_words(int(dec))
+    if n_zeros == 0:
+        tail = dec_words
+    elif n_zeros < 4:
+        tail = " ".join(["zero"] * n_zeros) + " " + dec_words
+    else:
+        # divergence: the reference's >=4-zeros format drops the decimal
+        # words entirely (numbers.py:225-230 passes 4 args to a 3-slot
+        # format); we keep them after the 'times zero' prefix
+        tail = "{} times zero {}".format(_num_to_words(n_zeros), dec_words)
+    return "{} punt {}".format(_num_to_words(int(ent)), tail)
+
+
+def normalize_numbers(text, expand_symbols=True, **_):
+    """The full reference expansion chain (numbers.py:253-271): units and
+    math symbols, durations (3h 10min 5s) and clock times (hh:mm:ss),
+    comma/space/tiret normalization, £/$ amounts, decimals, ordinals, then
+    plain cardinals."""
+    if expand_symbols:
+        def units(m):
+            n, prefix, unit, per_time = m.groups()
+            out = "{} {}{}".format(n, _UNIT_PREFIX_EN.get(prefix, ""), _UNITS_EN[unit])
+            if int(n) > 1:
+                out += "s"
+            if per_time:
+                out += " per " + _TIME_WORDS[per_time]
+            return out
+
+        text = _UNITS_RE.sub(units, text)
+        text = _MATH_SYMBOL_RE.sub(
+            lambda m: " " + " ".join(_MATH_EN[s] for s in m.group(0).split()) + " ",
+            text,
+        )
+    text = _TIME_RE.sub(
+        lambda m: _expand_time_parts(
+            m.groups()[0],
+            m.groups()[1] or m.groups()[4],
+            m.groups()[2] or m.groups()[3] or m.groups()[5] or m.groups()[6],
+        ),
+        text,
+    )
+    text = _CLOCK_RE.sub(lambda m: _expand_time_parts(*m.groups()), text)
+    text = _COMMA_NUMBER_RE.sub(lambda m: m.group(1).replace(",", ""), text)
+    text = _TIRET_NUMBER_RE.sub(lambda m: m.group(1).replace("-", " - "), text)
+    text = _SPACE_NUMBER_RE.sub(lambda m: m.group(0).replace(" ", ""), text)
+    text = _POUNDS_RE.sub(r"\1 pounds", text)
+    text = _DOLLARS_RE.sub(lambda m: _expand_dollars(m.group(1)), text)
+    text = _DECIMAL_NUMBER_RE.sub(lambda m: _expand_decimal(m.group(1)), text)
+    text = _ORDINAL_RE.sub(lambda m: _ordinal_words(int(m.group(1))), text)
+    return re.sub(r"\d+", lambda m: _num_to_words(int(m.group(0))), text)
+
+
 def remove_tokens(text, tokens=(), **_):
     if not tokens:
         return text

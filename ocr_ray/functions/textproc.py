@@ -107,9 +107,31 @@ def merge_texts(
 
 
 def format_text(template: str, **values) -> str:
-    """Python-format template rendering (text_processing.py:298-327 M16;
-    the reference also supports jinja — py-format covers the data path)."""
-    return template.format(**values)
+    """Template rendering with the reference's dispatch
+    (text_processing.py:298-327 M16): no ``{`` -> returned verbatim,
+    ``{{``/``{%`` -> sandboxed jinja render, ``{name}`` -> python format,
+    anything else verbatim."""
+    if "{" not in template:
+        return template
+    if "{%" in template or "{{" in template:
+        return _compile_jinja(template).render(**values)
+    if re.search(r"\{[^\s\'\"]+\}", template):
+        return template.format(**values)
+    return template
+
+
+_JINJA_CACHE: dict = {}
+
+
+def _compile_jinja(template: str):
+    """Sandboxed jinja compile, cached (text_processing.py:329-345)."""
+    cached = _JINJA_CACHE.get(template)
+    if cached is None:
+        from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+        cached = ImmutableSandboxedEnvironment().from_string(template)
+        _JINJA_CACHE[template] = cached
+    return cached
 
 
 def chunk_text(
@@ -131,3 +153,98 @@ def chunk_text(
         tail = " ".join(prev.split()[-overlap:])
         out.append(tail + " " + cur)
     return out
+
+
+def filter_texts(
+    texts,
+    lengths,
+    *,
+    min_text_length: int = -1,
+    max_text_length: int = -1,
+    max_sentences: int = -1,
+    max_sentence_length: int = -1,
+    max_total_length: int = -1,
+    sort_by_length: bool = False,
+    max_texts: int = -1,
+    select_mode: str = "start",
+    required_idx: int = -1,
+    rng=None,
+    return_indices: bool = False,
+):
+    """Budgeted text selection (tokens_processing.py:83-193 F10).
+
+    ``lengths`` is per-text (1-D) or per-sentence (2-D list-of-lists).
+    Stages, in reference order: per-text length bounds; multi-sentence
+    bounds; a ``max_total_length`` token budget that drops texts once the
+    running sum (optionally over length-sorted order, ``required_idx``
+    first) exceeds the budget; a ``max_texts`` cap resolved by
+    ``select_mode`` in {'start', 'end', 'random'}; and required-idx
+    invalidation (if the required text fell, everything falls).
+
+    Divergence from the reference: random mode samples WITHOUT replacement
+    (``np.random.choice`` with the default replace=True can skip fewer
+    unique texts than requested) and takes an injectable ``rng`` so
+    pipelines stay deterministic.
+    """
+    import numpy as np
+
+    is_multi = bool(len(lengths)) and isinstance(lengths[0], (list, tuple, np.ndarray))
+    if is_multi:
+        text_lengths = np.asarray([int(sum(l)) for l in lengths], dtype=np.int64)
+        n_sentences = np.asarray(
+            [int(sum(1 for x in l if x > 0)) for l in lengths], dtype=np.int64
+        )
+        max_sentence = np.asarray(
+            [int(max(l)) if len(l) else 0 for l in lengths], dtype=np.int64
+        )
+    else:
+        text_lengths = np.asarray(lengths, dtype=np.int64)
+
+    valid = np.ones(len(text_lengths), dtype=bool)
+    if min_text_length > -1:
+        valid[text_lengths < min_text_length] = False
+    if max_text_length > -1:
+        valid[text_lengths > max_text_length] = False
+    if is_multi:
+        if max_sentences > 0:
+            valid[n_sentences > max_sentences] = False
+        if max_sentence_length > -1:
+            valid[max_sentence > max_sentence_length] = False
+
+    if max_total_length > 0 and text_lengths[valid].sum() > max_total_length:
+        if sort_by_length:
+            order = np.argsort(text_lengths, kind="stable")
+            order = order[valid[order]]
+        else:
+            order = np.where(valid)[0]
+        if required_idx != -1:
+            order = np.concatenate([[required_idx], order[order != required_idx]])
+        over = np.cumsum(text_lengths[order]) > max_total_length
+        valid[order[over]] = False
+
+    if max_texts > 0:
+        budget = max_texts - (1 if required_idx != -1 else 0)
+        if valid.sum() > budget:
+            idx = np.where(valid)[0]
+            if required_idx != -1:
+                idx = idx[idx != required_idx]
+            if select_mode == "random":
+                rng = rng or np.random.RandomState(0)
+                n_skip = max(0, len(idx) - budget)
+                skip = rng.choice(idx, size=n_skip, replace=False)
+            elif select_mode == "start":
+                skip = idx[budget:]
+            elif select_mode == "end":
+                skip = idx[:-budget] if budget else idx
+            else:
+                raise ValueError("Unknown `select_mode` : {}".format(select_mode))
+            valid[skip] = False
+
+    if required_idx != -1 and not valid[required_idx]:
+        valid[:] = False
+
+    kept = [t for t, v in zip(texts, valid) if v]
+    kept_lengths = [l for l, v in zip(lengths, valid) if v]
+    if return_indices:
+        return kept, kept_lengths, np.where(valid)[0].tolist()
+    return kept, kept_lengths

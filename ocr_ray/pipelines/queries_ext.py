@@ -57,34 +57,51 @@ SQL_MINHASH_DEDUP = (
 
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram Jaccard kernel on consecutive doc-id pairs (the verify
-    metric of the dedup pipelines, exposed standalone)."""
+    metric of the dedup pipelines, exposed standalone) — paired via a
+    distributed SELF-JOIN on doc_id+1, never a single-task repartition."""
     from ..stages.dedup import jaccard as jac, round_half_away
+    from ..stages.joins import hash_join
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    left = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    right = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def consecutive(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        order = np.argsort(ids, kind="stable")
-        a, b, j = [], [], []
-        for x, y in zip(order[:-1], order[1:]):
-            if ids[y] == ids[x] + 1:
-                a.append(ids[x])
-                b.append(ids[y])
-                j.append(round_half_away(jac(texts[x], texts[y]), 6))
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch.column("doc_id"), "text_a": batch.column("text")}
+        )
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        # right doc b joins left doc a = b - 1
+        return pa.table(
+            {
+                "a": pc.add(batch.column("doc_id"), pa.scalar(-1, pa.int64())),
+                "text_b": batch.column("text"),
+            }
+        )
+
+    joined = hash_join(
+        left.map_batches(as_left, batch_format="pyarrow"),
+        right.map_batches(as_right, batch_format="pyarrow"),
+        on="a",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        j = [
+            round_half_away(jac(x, y), 6)
+            for x, y in zip(
+                batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist()
+            )
+        ]
         return pa.table(
             {
                 "a": pa.array(a, pa.int64()),
-                "b": pa.array(b, pa.int64()),
+                "b": pa.array([v + 1 for v in a], pa.int64()),
                 "jaccard": pa.array(j, pa.float64()),
             }
         )
 
-    # repartition(1) so every consecutive pair is inside one batch: this is
-    # a kernel-correctness query, not a throughput path
-    return ds.repartition(1).map_batches(
-        consecutive, batch_format="pyarrow", batch_size=1 << 20
-    )
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 SQL_NGRAM_JACCARD = (
@@ -336,6 +353,40 @@ SQL_SPLIT_COUNTS = (
 )
 
 
+def q_doc_select_budget(sf_dir: str):
+    """Token-budget corpus selection (the filter_texts max_total_length
+    semantics, F10, applied corpus-wide): keep documents in doc_id order
+    while the running word total stays <= 10000.  The running total is a
+    DISTRIBUTED prefix-sum scan (stages.joins.bucketed_prefix_sum) — no
+    global sort and no driver-side row materialization."""
+    from ..stages.joins import bucketed_prefix_sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def n_words(batch: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_words": pa.array(n, pa.int64())}
+        )
+
+    rt = bucketed_prefix_sum(
+        ds.map_batches(n_words, batch_format="pyarrow"),
+        key="doc_id", value="n_words", out_col="rt", bucket_size=64,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.less_equal(batch.column("rt"), pa.scalar(10000)))
+        return out.select(["doc_id"])
+
+    return rt.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_DOC_SELECT_BUDGET = (
+    "SELECT doc_id FROM (SELECT doc_id, sum(len(string_split(text, ' '))) "
+    "OVER (ORDER BY doc_id) AS rt FROM documents) WHERE rt <= 10000"
+)
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF approximate kNN (ocr_ray.stages.similarity): k-means coarse
     quantizer, probe-limited scan.  Approximate by design -> rows-only
@@ -363,6 +414,7 @@ EXT_QUERIES = {
     "doc_chunks": q_doc_chunks,
     "events_sessionize": q_events_sessionize,
     "split_counts": q_split_counts,
+    "doc_select_budget": q_doc_select_budget,
     "knn_ivf": q_knn_ivf,
 }
 
@@ -376,4 +428,5 @@ EXT_ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "split_counts": SQL_SPLIT_COUNTS,
+    "doc_select_budget": SQL_DOC_SELECT_BUDGET,
 }

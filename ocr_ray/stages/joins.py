@@ -177,3 +177,49 @@ def running_window(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def bucketed_prefix_sum(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    value: str,
+    out_col: str,
+    bucket_size: int = 4096,
+) -> ray.data.Dataset:
+    """Global running total of ``value`` ordered by integer ``key`` — the
+    distributed scan: bucket keys into contiguous ranges (key // bucket
+    size), aggregate per-bucket totals (tiny), cumsum the offsets on the
+    driver, then one map_groups per bucket adds offset + in-bucket cumsum.
+    Two shuffles over small data, no global sort, no driver materialization
+    of the rows."""
+    import numpy as np
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["__bucket"] = (df[key].to_numpy() // bucket_size).astype("int64")
+        return df
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        bucketed.groupby("__bucket").aggregate(Sum(value, alias_name="__total"))
+        .to_pandas()
+        .sort_values("__bucket")
+    )
+    offsets = dict(
+        zip(
+            totals["__bucket"].tolist(),
+            np.concatenate([[0], totals["__total"].cumsum().to_numpy()[:-1]]).tolist(),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values(key, kind="stable")
+        g[out_col] = g[value].cumsum() + offs[int(g["__bucket"].iloc[0])]
+        return g.drop(columns=["__bucket"])
+
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

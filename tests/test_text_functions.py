@@ -194,3 +194,85 @@ def test_clean_array_vectorized_paths_match_scalar():
         col = cleaners.clean_array(pa.array(texts), [name])
         want = [cleaners.clean_text(t, [name]) for t in texts]
         assert col.to_pylist() == want, name
+
+
+def test_normalize_numbers_full_chain():
+    """M9: time/clock/money/ordinal/decimal expansion (numbers.py:253-271)."""
+    from ocr_ray.functions.cleaners import normalize_numbers as nn
+
+    assert nn("at 10:30:05") == "at ten hours and thirty minutes and five seconds"
+    assert nn("took 2h 15min 30s") == "took two hours and fifteen minutes and thirty seconds"
+    assert nn("paid $12.50 now") == "paid twelve dollars, fifty cents now"
+    assert nn("$1 only") == "one dollar only"
+    assert nn("owes £3,000") == "owes three thousand pounds"
+    assert nn("came 3rd and 21st and 12th") == "came third and twenty first and twelfth"
+    assert nn("pi is 3.14") == "pi is three punt fourteen"
+    assert nn("eps 3.05") == "eps three punt zero five"
+    assert nn("1,234 and 1 000 000") == (
+        "one thousand two hundred thirty four and one million"
+    )
+    assert nn("90 km/h limit") == "ninety kilometers per hour limit"
+    assert nn("2+3=5") == "two plus three equal five"
+
+
+def test_format_text_dispatch():
+    """M16: verbatim / py-format / jinja dispatch (text_processing.py:298-327)."""
+    from ocr_ray.functions.textproc import format_text
+
+    assert format_text("no placeholders") == "no placeholders"
+    assert format_text("hi {name}", name="ray") == "hi ray"
+    assert format_text("{{ a }} + {{ b }}", a=1, b=2) == "1 + 2"
+    assert (
+        format_text("{% for x in items %}{{ x }};{% endfor %}", items=[1, 2])
+        == "1;2;"
+    )
+    # '{' present but neither jinja nor a py-format field -> verbatim
+    assert format_text("brace { only") == "brace { only"
+
+
+def test_filter_texts_modes():
+    """F10: selection modes over a token budget (tokens_processing.py:83-193)."""
+    import numpy as np
+
+    from ocr_ray.functions.textproc import filter_texts
+
+    texts = ["a", "bb", "ccc", "dddd", "eeeee"]
+    lengths = [1, 2, 3, 4, 5]
+
+    kept, kl = filter_texts(texts, lengths, min_text_length=2, max_text_length=4)
+    assert kept == ["bb", "ccc", "dddd"]
+
+    # budget keeps the running-sum prefix
+    kept, kl = filter_texts(texts, lengths, max_total_length=6)
+    assert kept == ["a", "bb", "ccc"]
+
+    # sort_by_length packs shortest-first under the budget
+    kept, kl = filter_texts(texts[::-1], lengths[::-1], max_total_length=6,
+                            sort_by_length=True)
+    assert kept == ["ccc", "bb", "a"]
+
+    # select modes
+    kept, _ = filter_texts(texts, lengths, max_texts=2, select_mode="start")
+    assert kept == ["a", "bb"]
+    kept, _ = filter_texts(texts, lengths, max_texts=2, select_mode="end")
+    assert kept == ["dddd", "eeeee"]
+    kept, _ = filter_texts(texts, lengths, max_texts=2, select_mode="random",
+                           rng=np.random.RandomState(5))
+    assert len(kept) == 2
+
+    # required_idx rides first through the budget; its fall empties the set
+    kept, _, idx = filter_texts(texts, lengths, max_total_length=6,
+                                required_idx=4, return_indices=True)
+    assert 4 in idx and len(idx) >= 1
+    kept, _ = filter_texts(texts, lengths, max_text_length=4, required_idx=4)
+    assert kept == []
+
+    # multi-sentence (2-D lengths) bounds
+    kept, _ = filter_texts(
+        ["x", "y", "z"], [[2, 2], [5, 0], [9, 1]], max_sentences=1,
+    )
+    assert kept == ["y"]
+    kept, _ = filter_texts(
+        ["x", "y", "z"], [[2, 2], [5, 0], [9, 1]], max_sentence_length=5,
+    )
+    assert kept == ["x", "y"]
