@@ -67,6 +67,64 @@ class Tokenizer:
         return self.decode(collapsed)
 
 
+def log_softmax(logits: np.ndarray) -> np.ndarray:
+    m = logits.max(axis=-1, keepdims=True)
+    s = logits - m
+    return s - np.log(np.exp(s).sum(axis=-1, keepdims=True))
+
+
+def ctc_beam_decode(
+    logits: np.ndarray,
+    *,
+    blank: int = BLANK,
+    num_beams: int = 10,
+    top_paths: int = 1,
+):
+    """CTC prefix beam search over a (T, V) logit matrix
+    (the reference's ``method='beam'`` path, ctc_decoder.py:20-35, which
+    delegates to keras ``ops.ctc_decode``; reimplemented from scratch as
+    the standard prefix-merging beam).  Returns ``(paths, scores)`` where
+    scores are length-normalized total log-probabilities (the reference
+    divides by sequence length too)."""
+    lp = log_softmax(np.asarray(logits, dtype=np.float64))
+    T, V = lp.shape
+    NEG = -np.inf
+    # prefix -> (log P ending in blank, log P ending in non-blank)
+    beams: dict[tuple, tuple[float, float]] = {(): (0.0, NEG)}
+    for t in range(T):
+        new: dict[tuple, list[float]] = {}
+
+        def acc(prefix, d_pb, d_pnb):
+            cur = new.setdefault(prefix, [NEG, NEG])
+            cur[0] = np.logaddexp(cur[0], d_pb)
+            cur[1] = np.logaddexp(cur[1], d_pnb)
+
+        for prefix, (pb, pnb) in beams.items():
+            total = np.logaddexp(pb, pnb)
+            for s in range(V):
+                p = lp[t, s]
+                if s == blank:
+                    acc(prefix, total + p, NEG)
+                elif prefix and s == prefix[-1]:
+                    # repeat symbol: only a blank gap separates two copies
+                    acc(prefix, NEG, pnb + p)
+                    acc(prefix + (s,), NEG, pb + p)
+                else:
+                    acc(prefix + (s,), NEG, total + p)
+        ranked = sorted(
+            new.items(), key=lambda kv: -np.logaddexp(kv[1][0], kv[1][1])
+        )[:num_beams]
+        beams = {k: (v[0], v[1]) for k, v in ranked}
+    final = sorted(
+        ((np.logaddexp(pb, pnb), prefix) for prefix, (pb, pnb) in beams.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:top_paths]
+    return (
+        [list(prefix) for _, prefix in final],
+        [score / max(1, T) for score, _ in final],
+    )
+
+
 def pad_batch(sequences, *, pad_value: int = PAD) -> np.ndarray:
     """Right-pad int sequences to a [N, max_len] int32 matrix
     (sequence_utils.py:16)."""

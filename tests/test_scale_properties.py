@@ -89,3 +89,37 @@ def test_partition_count_change_invalidates_manifests(ray_session, tmp_path_fact
     # and a subsequent same-count resume skips everything
     stats2 = ex.run_extraction(corpus, out, n_partitions=4)
     assert stats2 == {"extracted": 0, "skipped_partitions": 4}
+
+
+def test_random_shuffle_deterministic_permutation(ray_session):
+    """O8: seeded random_shuffle is a deterministic permutation — same seed
+    twice gives identical order, and the row multiset is unchanged."""
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table({"x": pa.array(list(range(500)), pa.int64())})
+    a = ray.data.from_arrow(tbl).random_shuffle(seed=42).to_pandas()["x"].tolist()
+    b = ray.data.from_arrow(tbl).random_shuffle(seed=42).to_pandas()["x"].tolist()
+    assert a == b
+    assert a != list(range(500))
+    assert sorted(a) == list(range(500))
+
+
+def test_materialize_branch_reuse(ray_session):
+    """D9: a materialized mid-pipeline dataset feeds two downstream
+    consumers without recomputing upstream (the extract stage runs once)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray import synth
+    from ocr_ray.pipelines import extraction as ex
+
+    corpus = synth.synth_corpus(24)
+    extracted = ex.extract_pages(
+        ray.data.from_arrow(corpus).repartition(4), mode="fused"
+    ).materialize()
+    n1 = extracted.count()
+    digests = extracted.map_batches(
+        lambda b: b.select(["digest"]), batch_format="pyarrow"
+    ).to_pandas()
+    assert n1 == 24 and len(digests) == 24

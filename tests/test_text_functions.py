@@ -276,3 +276,33 @@ def test_filter_texts_modes():
         ["x", "y", "z"], [[2, 2], [5, 0], [9, 1]], max_sentence_length=5,
     )
     assert kept == ["x", "y"]
+
+
+def test_ctc_beam_decode():
+    """Beam CTC (ctc_decoder.py:20-35 analog): prefix-merging beats greedy
+    on the classic many-weak-paths-one-label case."""
+    import numpy as np
+
+    from ocr_ray.functions.tokenizer import ctc_beam_decode
+
+    # V=3: 0=blank(symbol BLANK index passed explicitly), symbols 1, 2.
+    # Greedy picks argmax per frame = [blank, blank] -> empty; but the
+    # total probability of label [1] (paths: 1-, -1, 11) is higher.
+    logits = np.log(np.array([
+        [0.4, 0.35, 0.25],
+        [0.4, 0.35, 0.25],
+    ]))
+    paths, scores = ctc_beam_decode(logits, blank=0, num_beams=8, top_paths=2)
+    assert paths[0] == [1]
+    assert len(paths) == 2 and scores[0] >= scores[1]
+
+    # unambiguous sequence decodes exactly; repeats need a blank gap
+    seq = np.full((5, 3), -10.0)
+    for t, s in enumerate([1, 0, 1, 2, 2]):
+        seq[t, s] = 0.0
+    paths, _ = ctc_beam_decode(seq, blank=0, num_beams=4)
+    assert paths[0] == [1, 1, 2]
+
+    # empty input
+    paths, scores = ctc_beam_decode(np.zeros((0, 3)), blank=0)
+    assert paths == [[]]
