@@ -264,15 +264,16 @@ SQL_LINEITEM_AGG = (
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """orders ⨝ customer via a both-sides-large hash join (customer is NOT
-    broadcast-sized: 1.5M rows at sf10, ~10^9 at web scale), aggregate by
+    """orders ⨝ customer via the size-planned join (auto_join: customer is
+    broadcast while provably under the limit, hash-partitioned Dataset.join
+    once it isn't — 1.5M rows at sf10, ~10^9 at web scale), aggregate by
     c_nationkey (25 groups), then map the 25-row result to nation names on
     the driver — only the genuinely tiny side ever leaves the pipeline."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import auto_join
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey")
+    joined = auto_join(orders, customer, on="o_custkey", right_on="c_custkey")
     out = (
         joined.groupby("c_nationkey")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))

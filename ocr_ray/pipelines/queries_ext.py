@@ -79,11 +79,15 @@ def q_ngram_jaccard(sf_dir: str):
             }
         )
 
-    joined = hash_join(
-        left.map_batches(as_left, batch_format="pyarrow"),
-        right.map_batches(as_right, batch_format="pyarrow"),
-        on="a",
-    )
+    from ..stages.joins import BROADCAST_BYTES, _collect_small, broadcast_lookup_join
+
+    left_m = left.map_batches(as_left, batch_format="pyarrow")
+    right_m = right.map_batches(as_right, batch_format="pyarrow")
+    src_size = right.size_bytes()
+    if src_size is not None and src_size <= BROADCAST_BYTES:
+        joined = broadcast_lookup_join(left_m, _collect_small(right_m), on="a")
+    else:
+        joined = hash_join(left_m, right_m, on="a")
 
     def score(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_pylist()

@@ -18,8 +18,9 @@ from ..stages import joins
 # ---------------------------------------------------------------------------
 
 def q_lineitem_order_join(sf_dir: str):
-    """lineitem ⨝ orders on orderkey (both sides large -> hash-partitioned
-    Dataset.join, NOT a broadcast), then revenue per order priority."""
+    """lineitem ⨝ orders on orderkey via the size-planned join (auto_join:
+    orders broadcasts while provably small, hash-partitioned Dataset.join
+    at scale), then revenue per order priority."""
     line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -33,9 +34,7 @@ def q_lineitem_order_join(sf_dir: str):
 
     line = line.map_batches(revenue, batch_format="pyarrow")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = joins.hash_join(
-        line, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16
-    )
+    joined = joins.auto_join(line, orders, on="l_orderkey", right_on="o_orderkey")
     out = joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_items"), Sum("revenue", alias_name="revenue")
     )

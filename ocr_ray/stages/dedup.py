@@ -237,17 +237,38 @@ def verify_pairs_against_corpus(
             }
         )
 
-    from .joins import default_num_partitions
+    from .joins import BROADCAST_BYTES, broadcast_fetch_join, default_num_partitions
 
-    # groupby().map_groups upstream emits schema-LESS empty blocks for
-    # groupless partitions, which break Dataset.join's Acero key lookup;
-    # a coalescing repartition (no shuffle) unifies them.  Cost is
-    # proportional to the candidate-pair set only, never the corpus.
-    sides = (
-        pairs.map_batches(explode, batch_format="pyarrow")
-        .repartition(default_num_partitions(pairs))
-    )
-    joined = hash_join(sides, docs, on=id_col, join_type="left_outer")
+    sides = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    size = sides.size_bytes()
+    if size is not None and size <= BROADCAST_BYTES:
+        # candidate set provably small: broadcast it and FETCH the payloads
+        # by streaming the corpus once (no corpus shuffle, no join actors)
+        from .joins import _collect_small
+
+        small = _collect_small(sides)
+        if small is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        metric_col: pa.array([], pa.float64()),
+                    }
+                )
+            )
+        joined = broadcast_fetch_join(small, docs, on=id_col)
+    else:
+        # candidate set is itself large: fall back to the shuffle join.
+        # (The coalescing repartition unifies the schema-less empty blocks
+        # groupby().map_groups emits for groupless partitions, which break
+        # Dataset.join's Acero key lookup.)
+        joined = hash_join(
+            sides.repartition(default_num_partitions(sides)),
+            docs,
+            on=id_col,
+            join_type="left_outer",
+        )
 
     def verify_bucket(g: pa.Table) -> pa.Table:
         import pandas as pd

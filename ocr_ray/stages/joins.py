@@ -66,6 +66,122 @@ def hash_join(
     )
 
 
+# A side at most this large is broadcast (ray.put once, zero-copy object
+# store reads in every task) instead of shuffled.
+BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _known_size(ds: ray.data.Dataset) -> int | None:
+    try:
+        return ds.size_bytes()
+    except Exception:
+        return None
+
+
+def _collect_small(ds: ray.data.Dataset):
+    """Small-by-contract dataset -> one Arrow table (schema-less empty
+    blocks from upstream map_groups are dropped)."""
+    import pyarrow as pa
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbls).combine_chunks() if tbls else None
+
+
+def broadcast_lookup_join(
+    left: ray.data.Dataset,
+    right_tbl,
+    *,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Broadcast-hash-join with a UNIQUE-key right side (dimension join):
+    the right table is ray.put once, every left batch resolves matches via
+    a vectorized ``pc.index_in`` + ``take`` — no shuffle, no per-row
+    Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key = right_on or on
+    ref = ray.put(right_tbl.combine_chunks())
+
+    def attach(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        idx = pc.index_in(batch.column(on), value_set=rt.column(key))
+        if join_type == "inner":
+            mask = pc.is_valid(idx)
+            batch = batch.filter(mask)
+            idx = idx.filter(mask)
+        taken = rt.take(idx)  # null index -> null row (left_outer fill)
+        for name in rt.column_names:
+            if name != key:
+                batch = batch.append_column(name, taken.column(name))
+        return batch
+
+    return left.map_batches(attach, batch_format="pyarrow")
+
+
+def broadcast_fetch_join(
+    small_tbl,
+    stream: ray.data.Dataset,
+    *,
+    on: str,
+    stream_on: str | None = None,
+) -> ray.data.Dataset:
+    """Broadcast-hash-join where the STREAM side has unique keys and the
+    broadcast side fetches its match: each stream batch emits the small
+    rows whose key falls in that batch (every key appears in exactly one
+    batch, so the union over batches is the exact inner join).  Used to
+    fetch corpus payloads for a small candidate set without shuffling the
+    corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key = stream_on or on
+    ref = ray.put(small_tbl.combine_chunks())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        idx = pc.index_in(st.column(on), value_set=batch.column(key))
+        mask = pc.is_valid(idx)
+        out = st.filter(mask)
+        taken = batch.take(idx.filter(mask))
+        for name in batch.column_names:
+            if name != key:
+                out = out.append_column(name, taken.column(name))
+        return out
+
+    return stream.map_batches(emit, batch_format="pyarrow")
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    broadcast_limit: int = BROADCAST_BYTES,
+) -> ray.data.Dataset:
+    """Join planning by size: broadcast the right side when its size is
+    KNOWN (parquet metadata / materialized blocks) and under the limit;
+    hash-partitioned ``Dataset.join`` otherwise.  Right keys must be unique
+    (dimension semantics) for the broadcast path — the standard
+    broadcast-vs-shuffle planner rule."""
+    rb = _known_size(right)
+    if (
+        rb is not None
+        and rb <= broadcast_limit
+        and join_type in ("inner", "left_outer")
+    ):
+        rt = _collect_small(right)
+        if rt is not None:
+            return broadcast_lookup_join(
+                left, rt, on=on, right_on=right_on, join_type=join_type
+            )
+    return hash_join(left, right, on=on, right_on=right_on, join_type=join_type)
+
+
 def _default_buckets() -> int:
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return 8 * max(4, cpus)
