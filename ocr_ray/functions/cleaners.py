@@ -325,6 +325,18 @@ def normalize_numbers(text, expand_symbols=True, **_):
     return re.sub(r"\d+", lambda m: _num_to_words(int(m.group(0))), text)
 
 
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+")
+_PHONE_RE = re.compile(r"\+?[0-9][0-9()\- ]{7,}[0-9]")
+
+
+def redact_pii(text, email_token="<EMAIL>", phone_token="<PHONE>", **_):
+    """Training-data hygiene: emails and phone-like digit runs replaced by
+    typed placeholders.  RE2-safe patterns (no lookaround) so the DuckDB
+    oracle can run the identical regexes."""
+    text = _EMAIL_RE.sub(email_token, text)
+    return _PHONE_RE.sub(phone_token, text)
+
+
 def remove_tokens(text, tokens=(), **_):
     if not tokens:
         return text

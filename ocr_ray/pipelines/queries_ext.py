@@ -297,6 +297,82 @@ SQL_DOC_CHUNKS = (
 )
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing (training-data hygiene): emails and phone-like digit
+    runs replaced with typed placeholders, vectorized per batch.  The
+    patterns are RE2-safe so the DuckDB oracle runs the SAME regexes."""
+    from ..functions.cleaners import redact_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        out = [redact_pii(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+SQL_PII_REDACT = (
+    "SELECT doc_id, regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), "
+    "'\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS text FROM documents"
+)
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination flagging: every 100th document is the
+    'held-out benchmark'; a corpus document is contaminated if it shares
+    at least one word-3gram shingle with any benchmark document.  The
+    benchmark shingle set is the broadcast small side (ray.put once);
+    the corpus streams through one map_batches."""
+    from ..stages.joins import _collect_small
+
+    def shingle_strs(text: str) -> set:
+        # same shingle definition as the dedup oracle SQL (word 3-grams,
+        # whole text when under 3 words); STRINGS not hashes, so the
+        # DuckDB comparison is exact (no crc collision false-positives)
+        words = text.split()
+        if len(words) < 3:
+            return {" ".join(words)} if words else set()
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick_bench(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist())
+        return batch.filter(pa.array(ids % 100 == 0))
+
+    # benchmark side: filtered in the pipeline, collected small-by-contract
+    # (a real benchmark is a fixed small file, never corpus-scale)
+    bench = _collect_small(ds.map_batches(pick_bench, batch_format="pyarrow"))
+    bench_shingles: set = set()
+    if bench is not None:
+        for t in bench.column("text").to_pylist():
+            bench_shingles.update(shingle_strs(t))
+    ref = ray.put(bench_shingles)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        keep = [
+            i for i, t in enumerate(batch.column("text").to_pylist())
+            if not bset.isdisjoint(shingle_strs(t))
+        ]
+        return batch.take(pa.array(keep, pa.int64())).select(["doc_id"])
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_CONTAMINATION = (
+    _JACCARD_SHINGLE_SQL
+    + ", bench AS (SELECT DISTINCT s FROM g, unnest(g.sh) AS u(s) "
+    "WHERE g.doc_id % 100 = 0) "
+    "SELECT g.doc_id FROM g WHERE EXISTS "
+    "(SELECT 1 FROM bench, unnest(g.sh) AS u(s) WHERE bench.s = u.s)"
+)
+
+
 # ---------------------------------------------------------------------------
 # sessionization (interval-merge over event time: combine_adjacent, G2)
 # ---------------------------------------------------------------------------
@@ -419,6 +495,8 @@ EXT_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "split_counts": q_split_counts,
     "doc_select_budget": q_doc_select_budget,
+    "pii_redact": q_pii_redact,
+    "contamination": q_contamination,
     "knn_ivf": q_knn_ivf,
 }
 
@@ -433,4 +511,6 @@ EXT_ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "split_counts": SQL_SPLIT_COUNTS,
     "doc_select_budget": SQL_DOC_SELECT_BUDGET,
+    "pii_redact": SQL_PII_REDACT,
+    "contamination": SQL_CONTAMINATION,
 }

@@ -306,3 +306,13 @@ def test_ctc_beam_decode():
     # empty input
     paths, scores = ctc_beam_decode(np.zeros((0, 3)), blank=0)
     assert paths == [[]]
+
+
+def test_redact_pii():
+    from ocr_ray.functions.cleaners import redact_pii
+
+    assert redact_pii("mail me at a.b+c@ex-ample.co.uk now") == "mail me at <EMAIL> now"
+    assert redact_pii("call +1 (555) 123-4567 today") == "call <PHONE> today"
+    assert redact_pii("ids 12345678901") == "ids <PHONE>"
+    assert redact_pii("short 1234567 stays") == "short 1234567 stays"
+    assert redact_pii("no pii here") == "no pii here"
