@@ -123,29 +123,53 @@ def count_tokens(text: str, *, mode: str = "whitespace") -> int:
 # ---------------------------------------------------------------------------
 
 _ROLL_BASE = 1_000_003
-_ROLL_MOD = (1 << 61) - 1
+_ROLL_MOD = 1 << 64  # wraparound modulus: exact under numpy uint64 arithmetic
+_ROLL_BASE_INV = pow(_ROLL_BASE, -1, _ROLL_MOD)  # base is odd -> invertible
+
+
+def _prefix_hashes(data: bytes):
+    """prefix[i] = rolling hash of data[:i] (mod 2^64), fully vectorized:
+    with t_j = d_j * B^-j,  prefix[i] = B^(i-1) * cumsum(t)[i-1] — every
+    multiply/add wraps mod 2^64, which uint64 arithmetic gives for free
+    (the round-1 per-byte Python loop was the slow part of this kernel)."""
+    import numpy as np
+
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(d)
+    binv = np.full(n, np.uint64(_ROLL_BASE_INV), dtype=np.uint64)
+    binv[0] = 1
+    binv_pow = np.cumprod(binv)          # B^-j, wrapping
+    b = np.full(n, np.uint64(_ROLL_BASE), dtype=np.uint64)
+    b[0] = 1
+    b_pow = np.cumprod(b)                # B^(i-1) for prefix index i
+    s = np.cumsum(d * binv_pow, dtype=np.uint64)
+    prefix = np.empty(n + 1, dtype=np.uint64)
+    prefix[0] = 0
+    prefix[1:] = s * b_pow
+    return prefix, b_pow
 
 
 def rolling_fingerprint(text: str) -> int:
-    """Polynomial rolling hash of the whole document (mod 2^61-1) — a
-    cheap order-sensitive fingerprint; window variants feed shingle
-    pipelines."""
-    h = 0
-    for ch in text.encode("utf-8"):
-        h = (h * _ROLL_BASE + ch) % _ROLL_MOD
-    return h
+    """Polynomial rolling hash of the whole document (mod 2^64) — a cheap
+    order-sensitive fingerprint; window variants feed shingle pipelines."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0
+    prefix, _ = _prefix_hashes(data)
+    return int(prefix[-1])
 
 
 def window_fingerprints(text: str, *, window: int = 32, stride: int = 16) -> list[int]:
     """Rolling-hash fingerprints of overlapping byte windows (the shingle
-    source for MinHash/LSH)."""
+    source for MinHash/LSH): h(i, i+w) = prefix[i+w] - prefix[i] * B^w,
+    one vectorized expression over all windows."""
+    import numpy as np
+
     data = text.encode("utf-8")
     if len(data) <= window:
         return [rolling_fingerprint(text)]
-    out = []
-    for start in range(0, len(data) - window + 1, stride):
-        h = 0
-        for ch in data[start : start + window]:
-            h = (h * _ROLL_BASE + ch) % _ROLL_MOD
-        out.append(h)
-    return out
+    prefix, b_pow = _prefix_hashes(data)
+    bw = np.uint64((b_pow[window - 1] * np.uint64(_ROLL_BASE)) & 0xFFFFFFFFFFFFFFFF)
+    starts = np.arange(0, len(data) - window + 1, stride)
+    h = prefix[starts + window] - prefix[starts] * bw
+    return [int(x) for x in h]
