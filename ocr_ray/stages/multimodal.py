@@ -89,16 +89,21 @@ def synth_media(n: int = 48, seed: int = 23) -> pa.Table:
 
 
 def decode_real(payload: bytes):
-    """Decode a real image codec (JPEG/PNG).  STUB: the sandbox ships no
-    codec libraries; production swaps this for PIL/turbojpeg."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode needs PIL/cv2 (not in this environment); "
-            "synthetic payloads decode via decode_media"
-        ) from exc
-    raise NotImplementedError("unreachable in this environment")
+    """Decode a real media codec: PNG / BMP / WAV are implemented from
+    scratch on stdlib+numpy (:mod:`ocr_ray.codecs`); JPEG/video still need
+    an external codec and fail fast with the gap stated."""
+    from .. import codecs
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return codecs.decode_png(payload)
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return codecs.decode_wav(payload)[0]
+    raise NotImplementedError(
+        "codec not available for this payload (PNG/BMP/WAV are built in; "
+        "JPEG/video need PIL/ffmpeg, absent in this environment)"
+    )
 
 
 def decode_media(payload: bytes) -> np.ndarray:

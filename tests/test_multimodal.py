@@ -29,9 +29,11 @@ def test_decode_roundtrip():
             assert arr.shape[0] == row["n_frames"]
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError, match="PIL|codec"):
-        mm.decode_media(b"\x89PNG\r\n\x1a\nxxxx")
+def test_decode_real_unknown_codec_fails_fast():
+    # PNG/BMP/WAV decode for real now (ocr_ray.codecs); JPEG still states
+    # the codec gap explicitly
+    with pytest.raises(NotImplementedError, match="JPEG|codec"):
+        mm.decode_media(b"\xff\xd8\xff\xe0 jpeg payload")
 
 
 def test_resize_media():
@@ -90,3 +92,106 @@ def test_media_pipeline_ray(ray_session):
     a = out.sort_values("media_id").reset_index(drop=True)
     b = out2.sort_values("media_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_png_roundtrip_all_colortypes():
+    import numpy as np
+
+    from ocr_ray import codecs
+
+    rng = np.random.RandomState(31)
+    for shape in ((7, 5), (7, 5, 2), (6, 9, 3), (4, 4, 4)):
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        back = codecs.decode_png(codecs.encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def test_png_filters_decode():
+    """Hand-built PNG using Sub/Up filters decodes to the right pixels."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from ocr_ray import codecs
+
+    w, h, ch = 4, 2, 1
+    # row0 filter 1 (Sub): raw deltas 10,5,5,5 -> recon 10,15,20,25
+    # row1 filter 2 (Up):  raw deltas 1,1,1,1  -> recon 11,16,21,26
+    raw = b"\x01" + bytes([10, 5, 5, 5]) + b"\x02" + bytes([1, 1, 1, 1])
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(">I", zlib.crc32(t + d))
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = codecs.decode_png(payload)
+    assert img.tolist() == [[10, 15, 20, 25], [11, 16, 21, 26]]
+
+
+def test_bmp_wav_roundtrip():
+    import numpy as np
+
+    from ocr_ray import codecs
+
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+
+    pcm = rng.randint(-32768, 32767, size=300, dtype=np.int16)
+    back, sr = codecs.decode_wav(codecs.encode_wav(pcm, 16000))
+    assert sr == 16000 and (back == pcm).all()
+    stereo = rng.randint(-32768, 32767, size=(100, 2), dtype=np.int16)
+    back2, _ = codecs.decode_wav(codecs.encode_wav(stereo, 8000))
+    assert back2.shape == (100, 2) and (back2 == stereo).all()
+
+
+def test_decode_real_dispatch_and_gap():
+    import numpy as np
+    import pytest
+
+    from ocr_ray import codecs
+    from ocr_ray.stages.multimodal import decode_real
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    assert decode_real(codecs.encode_png(img)).shape == (3, 3, 3)
+    assert decode_real(codecs.encode_bmp(img)).shape == (3, 3, 3)
+    assert decode_real(codecs.encode_wav(np.zeros(10, dtype=np.int16), 8000)).shape == (10,)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_media_features_on_real_codecs(ray_session):
+    """PNG/BMP/WAV payloads flow through the actor-pool feature stage."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray import codecs
+    from ocr_ray.stages.multimodal import MEDIA, media_features
+
+    rng = np.random.RandomState(37)
+    rows = []
+    for i, kind in enumerate(("image", "image", "audio")):
+        if i == 0:
+            payload = codecs.encode_png(rng.randint(0, 256, (8, 8, 3), dtype=np.uint8))
+        elif i == 1:
+            payload = codecs.encode_bmp(rng.randint(0, 256, (6, 6, 3), dtype=np.uint8))
+        else:
+            payload = codecs.encode_wav(
+                rng.randint(-32768, 32767, 200, dtype=np.int16), 16000
+            )
+        rows.append(
+            {"media_id": i, "kind": kind, "payload": payload, "width": 0,
+             "height": 0, "sample_rate": 0, "n_frames": 0}
+        )
+    out = media_features(
+        ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA))
+    ).to_pandas()
+    assert list(out["status"]) == ["ok"] * 3
+    assert (out["n_bytes"] > 0).all()
