@@ -199,8 +199,13 @@ def main_single() -> dict:
     pages_path = ensure_bench_pages(sf_dir)
     headline = run_headline(pages_path, "/tmp/ocr_ray_bench/out")
     log("headline:", headline)
-    qtimes = run_queries(sf_dir)
-    log("queries:", qtimes)
+    # scaling sub-runs skip the query sweep: it is irrelevant to the
+    # throughput ratio and its wall time buys an extra interleaved rep
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        qtimes = {}
+    else:
+        qtimes = run_queries(sf_dir)
+        log("queries:", qtimes)
     ray.shutdown()
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -276,7 +281,7 @@ def main_scaling() -> dict:
     have_taskset = _shutil.which("taskset") is not None
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         cmd = [sys.executable, os.path.abspath(__file__)]
         if have_taskset:
             # pin the run to exactly ncpu vCPUs: an unpinned low-parallelism
@@ -296,7 +301,7 @@ def main_scaling() -> dict:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     # the sandbox box has noisy background load: interleave the levels and
     # take the min wall per level so a noise spike can't flip the ratio
     runs_lo, runs_hi = [], []
