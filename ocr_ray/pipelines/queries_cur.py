@@ -322,6 +322,106 @@ def q_extract_exploded(sf_dir: str):
     return ds.select_columns(["url", "kind", "status", "n_blocks", "digest"])
 
 
+def q_knn_l2(sf_dir: str):
+    """Brute-force EUCLIDEAN top-10 vs the vec_id=0 vector through the
+    distance registry (functions.distances, the reference's by-name
+    dispatch): per-batch kernel + partial top-k, tiny global sort."""
+    from .queries import _query_vector
+    from ..functions.distances import distance
+
+    q = _query_vector(sf_dir)
+    q_ref = ray.put(q)
+    k = 10
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = distance(qv, emb, "l2", as_matrix=True)[0]
+        top = np.argsort(d, kind="stable")[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "d": pa.array(d[top], pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(batch_topk, batch_format="pyarrow")
+        .sort(["d", "vec_id"])
+        .limit(k)
+    )
+    return out.select_columns(["vec_id"])
+
+
+SQL_KNN_L2 = (
+    "SELECT vec_id FROM embeddings "
+    "ORDER BY list_distance(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) ASC, "
+    "vec_id ASC LIMIT 10"
+)
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label centroid embeddings (compute_centroids,
+    reference utils/embeddings.py:289-323 segment_mean): per-batch partial
+    (label, sum-vector, count), one small groupby(label) combine, output
+    exploded to (label, dim, v) scalar rows for the SQL oracle."""
+    from ..stages.dedup import round_half_away
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        uniq = np.unique(labels)
+        sums = np.stack([emb[labels == u].sum(axis=0) for u in uniq])
+        counts = np.asarray([(labels == u).sum() for u in uniq], dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "vsum": pa.array([list(map(float, s)) for s in sums],
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        label = g.column("label")[0].as_py()
+        sums = np.asarray(g.column("vsum").to_pylist(), dtype=np.float64).sum(axis=0)
+        n = sum(g.column("n").to_pylist())
+        centroid = sums / n
+        dims = np.arange(len(centroid), dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array([label] * len(dims), pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "v": pa.array(
+                    [round_half_away(float(x), 6) for x in centroid], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = (
+    "SELECT CAST(label AS BIGINT) AS label, CAST(s.i - 1 AS BIGINT) AS dim, "
+    "round(avg(CAST(s.e AS DOUBLE)), 6) AS v FROM "
+    "(SELECT label, unnest(list_transform(embedding, "
+    "(x, i) -> struct_pack(e := x, i := i))) AS s FROM embeddings) GROUP BY 1, 2"
+)
+
+
 CUR_QUERIES = {
     "extract_archetypes": q_extract_archetypes,
     "events_value_stats": q_events_value_stats,
@@ -331,6 +431,8 @@ CUR_QUERIES = {
     "extract_exploded": q_extract_exploded,
     "hash_sample": q_hash_sample,
     "knn_multi": q_knn_multi,
+    "knn_l2": q_knn_l2,
+    "embedding_centroids": q_embedding_centroids,
     "corpus_curation": q_corpus_curation,
 }
 
@@ -341,5 +443,7 @@ CUR_ORACLE_SQL = {
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "hash_sample": SQL_HASH_SAMPLE,
     "knn_multi": SQL_KNN_MULTI,
+    "knn_l2": SQL_KNN_L2,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "corpus_curation": SQL_CORPUS_CURATION,
 }
