@@ -60,14 +60,18 @@ def ensure_bench_pages(sf_dir: str) -> str:
         for i in ids:
             arch = synth.ARCHETYPES[i % len(synth.ARCHETYPES)]
             rng = synth._rng(7, i)
-            payload = (
-                synth._make_pdf(arch, rng, i, scale=PAGE_SCALE)
-                if arch.startswith("pdf")
-                else synth._make_html(arch, rng, i, scale=PAGE_SCALE)
-            )
+            if arch.startswith("pdf"):
+                payload = synth._make_pdf(arch, rng, i, scale=PAGE_SCALE)
+            elif arch in synth.DOC_ARCH_EXT:
+                payload = synth._make_doc(arch, rng, i, scale=PAGE_SCALE)
+            else:
+                payload = synth._make_html(arch, rng, i, scale=PAGE_SCALE)
+            url = synth.page_url(i, arch)
+            if arch in synth.DOC_ARCH_EXT:
+                url += "." + synth.DOC_ARCH_EXT[arch]
             rows.append(
                 {
-                    "url": synth.page_url(i, arch),
+                    "url": url,
                     "warc_ts": synth.EPOCH_US + i * 1_000_000,
                     "html": payload,
                     "text": "",
