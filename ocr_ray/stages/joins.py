@@ -227,19 +227,27 @@ def asof_join(
     driver, and Python is invoked once per bucket, not once per key.
     """
     n_buckets = _default_buckets()
+    # arrow types of the keep columns, so right rows ship NULLS (validity
+    # bitmap only) instead of filled constants across the shuffle
+    lschema = left.schema()
+    keep_types = {
+        n: t for n, t in zip(lschema.names, lschema.types) if n in left_keep
+    }
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"key": df[left_key].to_numpy(), "ts": df[left_ts].to_numpy()})
         out["__side"] = "L"
         for c in left_keep:
-            out[c] = df[c].to_numpy()
+            out[c] = df[c].astype(pd.ArrowDtype(keep_types[c]))
         return _add_key_bucket(out, key="key", n_buckets=n_buckets)
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"key": df[right_key].to_numpy(), "ts": df[right_ts].to_numpy()})
         out["__side"] = "R"
         for c in left_keep:
-            out[c] = -1
+            out[c] = pd.Series(
+                [None] * len(out), dtype=pd.ArrowDtype(keep_types[c]), index=out.index
+            )
         return _add_key_bucket(out, key="key", n_buckets=n_buckets)
 
     both = left.map_batches(tag_left, batch_format="pandas").union(
