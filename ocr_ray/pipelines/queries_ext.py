@@ -117,6 +117,33 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment: the MinHash pipeline's verified pairs
+    (jaccard >= 0.8) resolved to connected components — one
+    (doc_id, cluster_id=min id in component) row per clustered doc
+    (stages.dedup.connected_components: driver union-find under the
+    broadcast limit, distributed min-label propagation above it).  Oracle:
+    a recursive CTE computing min-reachable-id over the exact pair graph."""
+    from ..stages import dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.connected_components(ray.data.from_arrow(pairs.select(["a", "b"])))
+
+
+SQL_DEDUP_CLUSTERS = (
+    _JACCARD_SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM g a JOIN g b "
+    "ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(a.sh || b.sh)) >= 0.8), "
+    "edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs), "
+    "reach AS (SELECT u AS node, u AS r FROM edges "
+    "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node) "
+    "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
+)
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup: 64-bit fingerprints, 4x16-bit band blocking,
     hamming<=3 verify.  No SQL oracle (simhash is not SQL-expressible):
@@ -484,6 +511,7 @@ def q_knn_ivf(sf_dir: str):
 
 EXT_QUERIES = {
     "minhash_dedup": q_minhash_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
@@ -502,6 +530,7 @@ EXT_QUERIES = {
 
 EXT_ORACLE_SQL = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_quality": SQL_DOC_QUALITY,

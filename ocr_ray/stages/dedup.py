@@ -332,6 +332,153 @@ def minhash_dedup_pairs(
     return pa.Table.from_pandas(verified, preserve_index=False)
 
 
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    broadcast_limit: int = 64 * 1024 * 1024,
+    max_iters: int = 64,
+) -> pa.Table:
+    """Duplicate-cluster assignment: verified (a, b) pairs -> one
+    ``(doc_id, cluster_id)`` row per clustered doc, cluster_id = the
+    component's min doc_id.
+
+    Size-planned like the joins: a pair set provably under the broadcast
+    limit resolves with a driver union-find (exact, one pass); a larger one
+    runs distributed min-label propagation — per round, every edge offers
+    each endpoint the other side's current label, and a groupby(node) min
+    folds the offers (converges in <= graph-diameter rounds; capped and
+    checked).  Either way the corpus itself is never touched: the pair set
+    is orders of magnitude smaller than the corpus it came from.
+    """
+    mat = pairs.materialize()
+    size = mat.size_bytes()
+    if size is not None and size <= broadcast_limit:
+        from .joins import _collect_small
+
+        tbl = _collect_small(mat)
+        if tbl is None:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min id so the representative is the min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        nodes = sorted(parent)
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
+            }
+        )
+
+    # distributed min-label propagation
+    from .joins import default_num_partitions, hash_join
+
+    npart = default_num_partitions(mat)
+    # the coalescing repartitions unify the schema-less empty blocks
+    # groupby().map_groups can emit, which break Dataset.join (see
+    # verify_pairs_against_corpus)
+    edges = mat.repartition(npart)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+        )
+        return pa.table({"node": ids, "label": ids})
+
+    def min_label(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": g.column("node").slice(0, 1),
+                "label": pa.array([pc.min(g.column("label")).as_py()], pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .repartition(npart)
+        .materialize()
+    )
+
+    def rn(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column(col), "label": batch.column("label")})
+
+        return f
+
+    def as_old(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"), "label_old": batch.column("label")}
+        )
+
+    for _ in range(max_iters):
+        # offers: each edge endpoint receives the label of the other side
+        la = hash_join(edges, labels, on="a", right_on="node").select_columns(["b", "label"])
+        lb = hash_join(edges, labels, on="b", right_on="node").select_columns(["a", "label"])
+        offers = (
+            la.map_batches(rn("b"), batch_format="pyarrow")
+            .union(lb.map_batches(rn("a"), batch_format="pyarrow"))
+            .union(labels)
+        )
+        new_labels = (
+            offers.groupby("node")
+            .map_groups(min_label, batch_format="pyarrow")
+            .repartition(npart)
+            .materialize()
+        )
+        old = labels.map_batches(as_old, batch_format="pyarrow")
+        changed = (
+            hash_join(new_labels, old, on="node")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "c": pa.array(
+                            [
+                                pc.sum(
+                                    pc.cast(
+                                        pc.not_equal(
+                                            b.column("label"), b.column("label_old")
+                                        ),
+                                        pa.int64(),
+                                    )
+                                ).as_py()
+                                or 0
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["c"]
+            .sum()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def simhash_rows(batch: pa.Table) -> pa.Table:
     """documents batch -> one row per (doc, 16-bit band of the simhash);
     signatures come from the vectorized batch kernel."""

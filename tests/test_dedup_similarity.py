@@ -274,3 +274,53 @@ def test_ivf_partitioned_index_probe_limited(ray_session, tmp_path):
     truth = set(np.argsort(-cos, kind="stable")[:10].tolist())
     got = set(ivf_search_index(index_dir, q, k=10, nprobe=3))
     assert len(got & truth) >= 7
+
+
+def _edges_tbl(pairs):
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def test_connected_components_unionfind(ray_session):
+    import ray.data
+
+    # two components: {1,2,3,7} (chain+extra) and {10,11}
+    out = dedup.connected_components(
+        ray.data.from_arrow(_edges_tbl([(2, 3), (1, 2), (3, 7), (10, 11)]))
+    )
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_distributed_path(ray_session):
+    """broadcast_limit=0 forces min-label propagation; a chain needs
+    diameter rounds, so this exercises the iteration + convergence check."""
+    import ray.data
+
+    chain = [(i, i + 1) for i in range(12)]
+    extra = [(100, 101), (101, 102)]
+    out = dedup.connected_components(
+        ray.data.from_arrow(_edges_tbl(chain + extra)), broadcast_limit=0
+    )
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist()))
+    assert all(got[i] == 0 for i in range(13))
+    assert got[100] == got[101] == got[102] == 100
+
+
+def test_connected_components_paths_agree(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    pairs = set()
+    while len(pairs) < 30:
+        a, b = sorted(rng.randint(0, 40, size=2).tolist())
+        if a != b:
+            pairs.add((a, b))
+    tbl = _edges_tbl(sorted(pairs))
+    fast = dedup.connected_components(ray.data.from_arrow(tbl))
+    slow = dedup.connected_components(ray.data.from_arrow(tbl), broadcast_limit=0)
+    assert fast.to_pydict() == slow.to_pydict()
