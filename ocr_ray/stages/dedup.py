@@ -62,12 +62,50 @@ _PERM_A, _PERM_B = _perm_params()
 
 def minhash_signature(text: str) -> np.ndarray:
     """[N_PERM] uint64 MinHash signature over word-3gram shingles."""
-    sh = _shingle_hashes(text)
-    if sh.size == 0:
-        return np.zeros(N_PERM, dtype=np.uint64)
-    # (a * x + b) mod p for every (perm, shingle) pair, then min per perm
-    vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    return minhash_signature_batch([text])[0]
+
+
+_TOKEN_CHUNK = 1 << 16  # bound the (64, T) permutation matrix per slice
+
+
+def minhash_signature_batch(texts) -> np.ndarray:
+    """[n, N_PERM] uint64 signatures for a whole batch: shingle hashes of
+    all docs concatenated once, the (perm, shingle) matrix evaluated in
+    bounded chunks, per-doc mins via segment reduceat — no per-doc numpy
+    allocation (the signature stage dominates the dedup family at corpus
+    scale).  Bit-identical to the per-doc formula."""
+    hashes = []
+    offsets = [0]
+    for t in texts:
+        sh = _shingle_hashes(t)
+        hashes.append(sh)
+        offsets.append(offsets[-1] + len(sh))
+    n = len(texts)
+    out = np.zeros((n, N_PERM), dtype=np.uint64)
+    if offsets[-1] == 0:
+        return out
+    H = np.concatenate(hashes)
+    sentinel = np.iinfo(np.uint64).max
+    d0 = 0
+    while d0 < n:
+        d1 = d0 + 1
+        while d1 < n and offsets[d1 + 1] - offsets[d0] <= _TOKEN_CHUNK:
+            d1 += 1
+        seg = H[offsets[d0] : offsets[d1]]
+        lengths = np.diff(offsets[d0 : d1 + 1])
+        if seg.size:
+            # (a * x + b) mod p for every (perm, shingle) pair
+            vals = (_PERM_A[:, None] * seg[None, :] + _PERM_B[:, None]) % _MERSENNE
+            # sentinel column keeps empty/trailing segment starts valid
+            vals = np.concatenate(
+                [vals, np.full((N_PERM, 1), sentinel, dtype=np.uint64)], axis=1
+            )
+            starts = np.asarray(offsets[d0 : d1]) - offsets[d0]
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            mins[:, lengths == 0] = 0  # reduceat quirk on empty segments
+            out[d0:d1] = mins.T
+        d0 = d1
+    return out
 
 
 def round_half_away(x: float, digits: int = 6) -> float:
@@ -151,13 +189,14 @@ def hamming64(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 def minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """documents batch -> one row per (doc, band): the LSH explode."""
+    """documents batch -> one row per (doc, band): the LSH explode
+    (signatures from the vectorized batch kernel)."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     rows_per_band = N_PERM // N_BANDS
+    sigs = minhash_signature_batch(texts)
     doc_ids, band_ids, band_hashes = [], [], []
-    for doc_id, text in zip(ids, texts):
-        sig = minhash_signature(text)
+    for doc_id, sig in zip(ids, sigs):
         for band in range(N_BANDS):
             chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
             h = zlib.crc32(chunk.tobytes())
