@@ -476,9 +476,13 @@ def q_doc_select_budget(sf_dir: str):
             {"doc_id": batch.column("doc_id"), "n_words": pa.array(n, pa.int64())}
         )
 
+    # bucket count must stay driver-small: ~8k buckets regardless of corpus
+    # size (parquet row count is metadata, not a scan)
+    n_rows = ds.count()
     rt = bucketed_prefix_sum(
         ds.map_batches(n_words, batch_format="pyarrow"),
-        key="doc_id", value="n_words", out_col="rt", bucket_size=64,
+        key="doc_id", value="n_words", out_col="rt",
+        bucket_size=max(64, n_rows // 8192),
     )
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -316,7 +316,9 @@ def bucketed_prefix_sum(
     size), aggregate per-bucket totals (tiny), cumsum the offsets on the
     driver, then one map_groups per bucket adds offset + in-bucket cumsum.
     Two shuffles over small data, no global sort, no driver materialization
-    of the rows."""
+    of the rows.  Contract: callers size ``bucket_size`` so the BUCKET
+    COUNT (key range / bucket_size) stays driver-small — at 10^12 keys that
+    means bucket_size >= ~10^8, not the default."""
     import numpy as np
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
