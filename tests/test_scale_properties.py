@@ -123,3 +123,26 @@ def test_materialize_branch_reuse(ray_session):
         lambda b: b.select(["digest"]), batch_format="pyarrow"
     ).to_pandas()
     assert n1 == 24 and len(digests) == 24
+
+
+def test_url_hash_partitioning_breaks_host_skew():
+    """The synth corpus has Zipf host skew (host 0 owns ~25% of pages);
+    crc32(url) partitioning must spread rows near-uniformly anyway —
+    the explicit-skew-handling claim of the north rule."""
+    import collections
+    import zlib
+
+    from ocr_ray import synth
+    from ocr_ray.state.manifest import url_partition
+
+    corpus = synth.synth_corpus(2400)
+    urls = corpus.column("url").to_pylist()
+    hosts = collections.Counter(u.split("/")[2] for u in urls)
+    assert hosts.most_common(1)[0][1] > len(urls) * 0.2  # skew exists
+
+    n_parts = 32
+    parts = collections.Counter(url_partition(u, n_parts) for u in urls)
+    mean = len(urls) / n_parts
+    assert len(parts) == n_parts
+    assert max(parts.values()) < 1.5 * mean  # balanced despite host skew
+    assert min(parts.values()) > 0.5 * mean
