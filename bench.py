@@ -271,9 +271,13 @@ def main_scaling() -> dict:
     # overheads amortize as they would at production page sizes, so the
     # ratio measures the engine, not the sandbox's startup costs
     # (BASELINE.md 'realistic page sizes' section)
+    # 200k docs: long enough that the ~2 s fixed cost (executor startup,
+    # read ramp) stops taxing the short 32-CPU run ~8% more than the 8-CPU
+    # run — the 100k config under-reported raw efficiency by ~0.1
+    # (BASELINE.md 'Scaling at 200k docs')
     for var, default in (
-        ("GRAFT_BENCH_ARCH", "60000"),
-        ("GRAFT_BENCH_REPEAT", "8"),
+        ("GRAFT_BENCH_ARCH", "120000"),
+        ("GRAFT_BENCH_REPEAT", "16"),
         ("GRAFT_BENCH_SCALE", "30"),
     ):
         os.environ.setdefault(var, default)
