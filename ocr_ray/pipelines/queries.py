@@ -345,9 +345,14 @@ SQL_EVENTS_WINDOW = (
 # ---------------------------------------------------------------------------
 
 def _query_vector(sf_dir: str) -> np.ndarray:
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    idx = tbl.column("vec_id").to_pylist().index(0)
-    return np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    """The vec_id=0 embedding — predicate pushed into the parquet read so
+    only matching row groups reach the driver (never the whole column)."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    return np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def q_knn_cosine(sf_dir: str):
