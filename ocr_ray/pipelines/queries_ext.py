@@ -513,6 +513,31 @@ def q_knn_ivf(sf_dir: str):
     return pa.table({"vec_id": pa.array(ids, pa.int64())})
 
 
+def q_knn_ivf_indexed(sf_dir: str):
+    """IVF with the CLUSTER-PARTITIONED layout (stages.similarity
+    ivf_build_index / ivf_search_index): the corpus is written bucketed by
+    coarse centroid once, then the query reads ONLY its nprobe clusters'
+    partitions (probe-limited scan).  Approximate by design -> rows-only;
+    the probe-limited-read property is pinned in pytest."""
+    import shutil
+    import tempfile
+
+    from .queries import _query_vector
+    from ..stages.similarity import ivf_build_index, ivf_search_index
+
+    q = _query_vector(sf_dir)
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
+    try:
+        ivf_build_index(emb, index_dir, n_clusters=8)
+        ids = ivf_search_index(index_dir, q, k=10, nprobe=4)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+
 EXT_QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
@@ -530,6 +555,7 @@ EXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_indexed": q_knn_ivf_indexed,
 }
 
 EXT_ORACLE_SQL = {
