@@ -371,6 +371,42 @@ def _input_partition_digests(source, n_partitions: int) -> dict[int, str]:
     }
 
 
+def compact_partitions(output_dir: str, *, max_files_per_partition: int = 1) -> dict:
+    """Output maintenance: merge each committed partition's many small
+    files (the writer emits one per task x partition) into
+    ``max_files_per_partition``.  Safe under the manifest contract: the
+    new file is written alongside, the partition's combined digest is
+    recomputed and REQUIRED to match the committed ``output_digest``
+    before the old files are removed — a mismatch aborts that partition
+    untouched.  Returns ``{'compacted': n, 'skipped': k}``."""
+    done = mf.completed_partitions(output_dir)
+    compacted = skipped = 0
+    for pid, entry in sorted(done.items()):
+        pdir = os.path.join(output_dir, "partition_id={}".format(pid))
+        if not os.path.isdir(pdir):
+            skipped += 1
+            continue
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        if len(files) <= max_files_per_partition:
+            skipped += 1
+            continue
+        tbl = pq.read_table(pdir)
+        digest = mf.combine_digests(tbl.column("digest").to_pylist())
+        if digest != entry.get("output_digest"):
+            skipped += 1  # integrity mismatch: leave the partition alone
+            continue
+        tmp = os.path.join(pdir, "compact-{:016x}.parquet.tmp".format(
+            int(digest[:16], 16)))
+        pq.write_table(tbl, tmp)
+        final = tmp[: -len(".tmp")]
+        os.replace(tmp, final)
+        for f in files:
+            if f != os.path.basename(final):
+                os.remove(os.path.join(pdir, f))
+        compacted += 1
+    return {"compacted": compacted, "skipped": skipped}
+
+
 def read_extracted(output_dir: str) -> pa.Table:
     """Driver-side read-back of a finished run, sorted by url (test helper)."""
     tbl = pq.read_table(output_dir)
