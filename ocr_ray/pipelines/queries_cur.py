@@ -322,6 +322,38 @@ def q_extract_exploded(sf_dir: str):
     return ds.select_columns(["url", "kind", "status", "n_blocks", "digest"])
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic STRATIFIED sample: the 20 smallest-hash docs per
+    language (Knuth multiplicative hash, ties by doc_id) — per-group
+    quotas via groupby(lang) + an in-group vectorized top-k, the
+    group-wise analog of hash_sample (O7/O8)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    k = 20
+
+    def hkey(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        h = (ids * 2654435761) % 4294967296
+        return batch.append_column("hkey", pa.array(h, pa.int64()))
+
+    def top_k(group: pa.Table) -> pa.Table:
+        out = group.sort_by([("hkey", "ascending"), ("doc_id", "ascending")])
+        return out.slice(0, k).select(["doc_id", "lang"])
+
+    return (
+        ds.map_batches(hkey, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(top_k, batch_format="pyarrow")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = (
+    "SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+    "FROM documents) WHERE rn <= 20"
+)
+
+
 def q_knn_l2(sf_dir: str):
     """Brute-force EUCLIDEAN top-10 vs the vec_id=0 vector through the
     distance registry (functions.distances, the reference's by-name
@@ -430,6 +462,7 @@ CUR_QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "extract_exploded": q_extract_exploded,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "knn_multi": q_knn_multi,
     "knn_l2": q_knn_l2,
     "embedding_centroids": q_embedding_centroids,
@@ -442,6 +475,7 @@ CUR_ORACLE_SQL = {
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "hash_sample": SQL_HASH_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "knn_multi": SQL_KNN_MULTI,
     "knn_l2": SQL_KNN_L2,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
