@@ -498,6 +498,32 @@ SQL_DOC_SELECT_BUDGET = (
 )
 
 
+def q_distinct_tokens_hll(sf_dir: str):
+    """Approximate distinct-token count over the corpus via HyperLogLog:
+    one 4096-register partial per batch (map_batches), register-wise-max
+    merge on the driver over the tiny partials — the mergeable-sketch
+    aggregation shape.  Approximate by design -> rows-only; the pytest
+    gate pins the estimate within 3% of the exact count."""
+    from ..functions import sketches
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = sketches.hll_empty()
+        for t in batch.column("text").to_pylist():
+            sketches.hll_add(regs, t.split())
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    regs = sketches.hll_empty()
+    for r in parts:
+        regs = sketches.hll_merge(regs, np.frombuffer(r["registers"], dtype=np.uint8))
+    return pa.table(
+        {"distinct_tokens_est": pa.array([int(round(sketches.hll_estimate(regs)))],
+                                         pa.int64())}
+    )
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF approximate kNN (ocr_ray.stages.similarity): k-means coarse
     quantizer, probe-limited scan.  Approximate by design -> rows-only
@@ -556,6 +582,7 @@ EXT_QUERIES = {
     "contamination": q_contamination,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
+    "distinct_tokens_hll": q_distinct_tokens_hll,
 }
 
 EXT_ORACLE_SQL = {

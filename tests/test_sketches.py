@@ -1,0 +1,60 @@
+"""HyperLogLog sketch tests (accuracy, merge associativity, determinism)."""
+
+import numpy as np
+
+from ocr_ray.functions import sketches as sk
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.RandomState(7)
+    values = ["item-{}".format(i) for i in range(20000)]
+    # split across 8 'tasks' with overlap (duplicates between partials)
+    parts = []
+    for c in range(8):
+        chunk = values[c * 2500 : (c + 1) * 2500] + [
+            values[rng.randint(0, 20000)] for _ in range(500)
+        ]
+        regs = sk.hll_empty()
+        sk.hll_add(regs, chunk)
+        parts.append(regs)
+    merged = sk.hll_empty()
+    for p in parts:
+        merged = sk.hll_merge(merged, p)
+    est = sk.hll_estimate(merged)
+    assert abs(est - 20000) / 20000 < 0.03  # ~1.6% standard error at m=4096
+
+    # merge is order-insensitive
+    merged2 = sk.hll_empty()
+    for p in reversed(parts):
+        merged2 = sk.hll_merge(merged2, p)
+    assert (merged == merged2).all()
+
+
+def test_hll_small_range_exactish():
+    regs = sk.hll_empty()
+    sk.hll_add(regs, ["a", "b", "c", "a", "b"])
+    assert 2 <= sk.hll_estimate(regs) <= 4  # linear-counting regime
+
+
+def test_hll_deterministic():
+    r1, r2 = sk.hll_empty(), sk.hll_empty()
+    sk.hll_add(r1, ["x", "y", "z"])
+    sk.hll_add(r2, ["z", "y", "x"])
+    assert (r1 == r2).all()
+
+
+def test_hll_query_vs_exact(ray_session):
+    """The pipeline estimate lands within 3% of the exact distinct-token
+    count on the sf0.001 documents table."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_ext import q_distinct_tokens_hll
+
+    est = q_distinct_tokens_hll("/root/testdata/sf0.001").column(
+        "distinct_tokens_est"
+    )[0].as_py()
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    exact = len({w for t in texts for w in t.split()})
+    assert abs(est - exact) / exact < 0.03, (est, exact)
