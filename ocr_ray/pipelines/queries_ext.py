@@ -43,8 +43,8 @@ def q_minhash_dedup(sf_dir: str):
     from ..stages import dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dedup.minhash_dedup_pairs(docs, threshold=0.8)
-    return out.select(["a", "b"])
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.8)  # Dataset, distributed
+    return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
 SQL_MINHASH_DEDUP = (
@@ -127,8 +127,8 @@ def q_dedup_clusters(sf_dir: str):
     from ..stages import dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
-    return dedup.connected_components(ray.data.from_arrow(pairs.select(["a", "b"])))
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)  # Dataset end-to-end
+    return dedup.connected_components(pairs.select_columns(["a", "b"])).sort("doc_id")
 
 
 SQL_DEDUP_CLUSTERS = (
@@ -151,7 +151,8 @@ def q_simhash_dedup(sf_dir: str):
     from ..stages import dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.simhash_dedup_pairs(docs, max_hamming=3).select(["a", "b"])
+    out = dedup.simhash_dedup_pairs(docs, max_hamming=3)  # Dataset, distributed
+    return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -173,7 +174,7 @@ def q_embedding_neardup(sf_dir: str):
     )
     both = pa.concat_tables([tbl, planted])
     out = dedup.embedding_neardup_pairs(ray.data.from_arrow(both), min_cosine=0.95)
-    return out.select(["a", "b"])
+    return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
 SQL_EMBEDDING_NEARDUP = (
