@@ -46,11 +46,16 @@ def q_knn_multi(sf_dir: str):
     query matrix is broadcast (ray.put) and every batch does ONE [B,D]x[D,Q]
     matmul — the batched-inference shape for embedding search.  Per-batch
     per-query top-5 partials, then a small groupby-free global resolve."""
+    # predicate pushed into the parquet read: only the 10 query rows'
+    # row groups reach the driver, never the whole embeddings table
+    # (VERDICT r2 #3; same shape as queries._query_vector)
     tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 10)],
     )
     ids = tbl.column("vec_id").to_pylist()
-    q_rows = sorted((i, j) for j, i in enumerate(ids) if i < 10)
+    q_rows = sorted((i, j) for j, i in enumerate(ids))
     q_ids = [i for i, _ in q_rows]
     qm = np.asarray(
         [tbl.column("embedding")[j].as_py() for _, j in q_rows], dtype=np.float64
@@ -325,22 +330,29 @@ def q_extract_exploded(sf_dir: str):
 def q_stratified_sample(sf_dir: str):
     """Deterministic STRATIFIED sample: the 20 smallest-hash docs per
     language (Knuth multiplicative hash, ties by doc_id) — per-group
-    quotas via groupby(lang) + an in-group vectorized top-k, the
+    quotas via PER-BATCH partial top-k per stratum (<= k rows per
+    (batch, lang) survive the shuffle — a dominant language at corpus
+    scale never lands as one whole-stratum task; VERDICT r2 #4), then a
+    tiny grouped resolve over the partials — the knn_multi shape, the
     group-wise analog of hash_sample (O7/O8)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
     k = 20
 
-    def hkey(batch: pa.Table) -> pa.Table:
+    def partial_topk(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
         h = (ids * 2654435761) % 4294967296
-        return batch.append_column("hkey", pa.array(h, pa.int64()))
+        df = batch.append_column("hkey", pa.array(h, pa.int64())).to_pandas()
+        df = df.sort_values(["lang", "hkey", "doc_id"]).groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def top_k(group: pa.Table) -> pa.Table:
+        # resolve over <= k * n_batches partial rows per lang, never the
+        # stratum's full row set
         out = group.sort_by([("hkey", "ascending"), ("doc_id", "ascending")])
         return out.slice(0, k).select(["doc_id", "lang"])
 
     return (
-        ds.map_batches(hkey, batch_format="pyarrow")
+        ds.map_batches(partial_topk, batch_format="pyarrow")
         .groupby("lang")
         .map_groups(top_k, batch_format="pyarrow")
     )

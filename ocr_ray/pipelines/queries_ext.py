@@ -407,27 +407,39 @@ SQL_CONTAMINATION = (
 
 def q_events_sessionize(sf_dir: str):
     """Per-user sessionization: events sorted by ts merge into sessions
-    while the gap stays <= 30 min — the 1-D interval-merge cascade
-    (functions.intervals.combine_adjacent) applied to event time, via
-    groupby(user_id).map_groups."""
-    from ..functions.intervals import combine_adjacent
+    while the gap stays <= 30 min — the 1-D interval-merge semantics of
+    functions.intervals.combine_adjacent (G2), vectorized.  The shuffle is
+    by user-HASH-BUCKET, and inside each bucket ONE pandas
+    sort + shift/diff sessionizes every user at once (per-key map_groups
+    calls were measured 10x slower; VERDICT r2 #5, the running_window
+    shape)."""
+    import pandas as pd
+
+    from ..stages.joins import _add_key_bucket, _default_buckets
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = _default_buckets()
 
-    def sessions(group: pa.Table) -> pa.Table:
-        user = group.column("user_id")[0].as_py()
-        ts = np.sort(group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False))
-        iv = np.stack([ts, ts], axis=1).astype(np.float64)
-        envelopes, _ = combine_adjacent(iv, max_gap=30 * 60 * 1_000_000)
-        return pa.table(
-            {
-                "user_id": pa.array([user], pa.int64()),
-                "n_sessions": pa.array([len(envelopes)], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
-            }
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_sess = new_user | (g["ts"].diff() > pd.Timedelta(minutes=30))
+        out = (
+            g.assign(__new=new_sess.astype("int64"))
+            .groupby("user_id", sort=True)
+            .agg(n_sessions=("__new", "sum"), n_events=("__new", "size"))
+            .reset_index()
         )
+        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 SQL_EVENTS_SESSIONIZE = (

@@ -125,7 +125,7 @@ def test_materialize_branch_reuse(ray_session):
     assert n1 == 24 and len(digests) == 24
 
 
-def test_url_hash_partitioning_breaks_host_skew():
+def test_url_hash_partitioning_breaks_host_skew_corpus():
     """The synth corpus has Zipf host skew (host 0 owns ~25% of pages);
     crc32(url) partitioning must spread rows near-uniformly anyway —
     the explicit-skew-handling claim of the north rule."""
@@ -146,3 +146,57 @@ def test_url_hash_partitioning_breaks_host_skew():
     assert len(parts) == n_parts
     assert max(parts.values()) < 1.5 * mean  # balanced despite host skew
     assert min(parts.values()) > 0.5 * mean
+
+
+def test_knn_multi_query_read_is_pushed_down(ray_session, monkeypatch):
+    """VERDICT r2 #3: the driver-side read that fetches the 10 query
+    vectors must carry a parquet predicate (filters=) — never the whole
+    embeddings table."""
+    import pyarrow.parquet as pq_mod
+
+    from ocr_ray.pipelines import queries_cur
+
+    real = pq_mod.read_table
+    seen = {}
+
+    def checked(*a, **k):
+        seen["filters"] = k.get("filters")
+        assert k.get("filters"), "driver read of embeddings without a predicate"
+        return real(*a, **k)
+
+    monkeypatch.setattr("ocr_ray.pipelines.queries_cur.pq.read_table", checked)
+    out = queries_cur.q_knn_multi("/root/testdata/sf0.001")
+    assert out.num_rows == 50
+    assert seen["filters"] == [("vec_id", "<", 10)]
+
+
+def test_stratified_sample_partials_bounded(ray_session):
+    """VERDICT r2 #4: a dominant stratum must never land as one whole-
+    language group task — per-batch partials keep <= k rows per
+    (batch, lang).  Pin by running the query over a corpus where one lang
+    owns 95% of rows and checking the answer is still the exact top-k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+    import ray.data
+
+    from ocr_ray.pipelines import queries_cur
+
+    import tempfile, os
+    n = 4000
+    ids = list(range(n))
+    langs = ["en"] * int(n * 0.95) + ["fr"] * (n - int(n * 0.95))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+    with tempfile.TemporaryDirectory() as d:
+        pq_mod.write_table(tbl, os.path.join(d, "documents.parquet"))
+        out = queries_cur.q_stratified_sample(d).to_pandas()
+    assert len(out) == 40  # 20 per lang
+    # exact expected top-20 per lang by the Knuth hash
+    import numpy as np
+    h = (np.asarray(ids, dtype=np.int64) * 2654435761) % 4294967296
+    for lang in ("en", "fr"):
+        members = [i for i in ids if langs[i] == lang]
+        expect = sorted(members, key=lambda i: (h[i], i))[:20]
+        got = sorted(out.loc[out["lang"] == lang, "doc_id"].tolist(),
+                     key=lambda i: (h[i], i))
+        assert got == expect
