@@ -178,6 +178,21 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _calibrate(pages_path: str, nrows: int = 600) -> float:
+    """Single-process extraction docs/sec measured right now — a hypervisor
+    steal meter.  Identical engine runs vary up to 1.7x on this host
+    (BASELINE.md); recording the calibration NEXT TO each headline rep
+    makes BENCH_rN numbers comparable across rounds: a depressed headline
+    with an equally depressed calibration is host noise, not a regression."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    _mp_extract((files[0], 50))  # warm imports + page cache
+    t0 = time.perf_counter()
+    done = _mp_extract((files[0], nrows))
+    return done / (time.perf_counter() - t0)
+
+
 def main_single() -> dict:
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,8 +216,21 @@ def main_single() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     pages_path = ensure_bench_pages(sf_dir)
-    headline = run_headline(pages_path, "/tmp/ocr_ray_bench/out")
-    log("headline:", headline)
+    # min-of-N interleaved reps with a per-rep single-process calibration:
+    # the recorded headline reflects the engine, not the host's steal
+    # (VERDICT r2 #7).  Scaling sub-runs keep 1 rep — main_scaling already
+    # interleaves its own reps across parallelism levels.
+    default_reps = "1" if os.environ.get("GRAFT_SKIP_QUERIES") else "3"
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", default_reps))
+    headline_reps, calibs = [], []
+    headline = None
+    for _ in range(reps):
+        calibs.append(round(_calibrate(pages_path), 1))
+        r = run_headline(pages_path, "/tmp/ocr_ray_bench/out")
+        headline_reps.append(round(r["sec"], 3))
+        if headline is None or r["sec"] < headline["sec"]:
+            headline = r
+        log("headline rep:", r, "calib docs/s:", calibs[-1])
     # scaling sub-runs skip the query sweep: it is irrelevant to the
     # throughput ratio and its wall time buys an extra interleaved rep
     if os.environ.get("GRAFT_SKIP_QUERIES"):
@@ -222,6 +250,8 @@ def main_single() -> dict:
         "num_cpus": ncpus,
         "docs": headline["rows"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "headline_reps": headline_reps,
+        "calib_docs_per_sec_1p": calibs,
     }
 
 
