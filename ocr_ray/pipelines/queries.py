@@ -477,3 +477,6 @@ ORACLE_SQL = {
 ORACLE_SQL.update(EXT_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(CUR_ORACLE_SQL)
+# exploded reassembly reproduces the same identity contract as the fused
+# path (registered here because queries_cur cannot import queries at load)
+ORACLE_SQL["extract_exploded"] = SQL_EXTRACT_IDENTITY

@@ -146,13 +146,41 @@ SQL_DEDUP_CLUSTERS = (
 
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup: 64-bit fingerprints, 4x16-bit band blocking,
-    hamming<=3 verify.  No SQL oracle (simhash is not SQL-expressible):
-    the driver records a rows-only check; tests pin the planted answer."""
+    hamming<=3 verify.  Oracle-checked since r3 via PLANTED pairs (the
+    embedding_neardup pattern, VERDICT r2 #8): each doc is salted with as
+    many per-doc-unique tokens as it has words — that decorrelates every
+    ORGANIC near-dup far past hamming 3 (half of each fingerprint's votes
+    come from tokens no other doc shares) — then byte-identical copies are
+    planted at doc_id+100000 for doc_id%10==0, so the expected pair list
+    is exactly the planted set and therefore SQL.  Organic-near-dup
+    behavior stays pinned by tests/test_dedup_similarity.py."""
     from ..stages import dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dedup.simhash_dedup_pairs(docs, max_hamming=3)  # Dataset, distributed
+
+    def salt_and_plant(batch: pa.Table) -> pa.Table:
+        out_i, out_t = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            n = len(t.split())
+            salted = t + " " + " ".join(f"u{i}w{j}" for j in range(n + 8))
+            out_i.append(i)
+            out_t.append(salted)
+            if i % 10 == 0:
+                out_i.append(i + 100000)
+                out_t.append(salted)
+        return pa.table(
+            {"doc_id": pa.array(out_i, pa.int64()), "text": pa.array(out_t)}
+        )
+
+    salted = docs.map_batches(salt_and_plant, batch_format="pyarrow")
+    out = dedup.simhash_dedup_pairs(salted, max_hamming=3)  # Dataset, distributed
     return out.select_columns(["a", "b"]).sort(["a", "b"])
+
+
+SQL_SIMHASH_DEDUP = (
+    "SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id % 10 = 0"
+)
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -602,6 +630,7 @@ EXT_ORACLE_SQL = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash_dedup": SQL_SIMHASH_DEDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
