@@ -119,12 +119,19 @@ SQL_RUNNING_TOTAL = (
 
 def q_media_features(sf_dir: str):
     """Actor-pool feature extraction over a deterministic synthetic media
-    table (image/audio/video binary payloads).  Rows-only check (binary
-    payload semantics aren't SQL-expressible); pinned by
-    tests/test_multimodal.py."""
+    table: the raw dialect payloads (image/audio/video) plus REAL codec
+    payloads (PNG/BMP/WAV/baseline-JPEG 4:4:4 and 4:2:0, decoded by the
+    from-scratch decoders in ocr_ray.codecs / ocr_ray.jpeg).  Rows-only
+    check (binary payload semantics aren't SQL-expressible); pinned by
+    tests/test_multimodal.py and tests/test_jpeg.py."""
+    import pyarrow as _pa
+
     from ..stages import multimodal
 
-    media = ray.data.from_arrow(multimodal.synth_media(48))
+    table = _pa.concat_tables(
+        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+    )
+    media = ray.data.from_arrow(table)
     out = multimodal.media_features(media, concurrency=2, batch_size=16)
     return out.select_columns(["media_id", "kind", "n_bytes", "mean", "std", "status"])
 

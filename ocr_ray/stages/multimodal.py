@@ -88,10 +88,56 @@ def synth_media(n: int = 48, seed: int = 23) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA)
 
 
+def synth_media_real(n: int = 16, seed: int = 31) -> pa.Table:
+    """Deterministic media table whose payloads are REAL codec bytes
+    (PNG / BMP / WAV / baseline JPEG in both 4:4:4 and 4:2:0), exercising
+    the from-scratch decoders in :mod:`ocr_ray.codecs` / :mod:`ocr_ray.jpeg`
+    end-to-end through the feature-extraction actor pool."""
+    from .. import codecs, jpeg
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        fmt = ("png", "bmp", "wav", "jpeg444", "jpeg420")[i % 5]
+        if fmt == "wav":
+            sr, ns = 8000, int(rng.randint(64, 512))
+            pcm = rng.randint(-32768, 32767, size=ns, dtype=np.int16)
+            payload = codecs.encode_wav(pcm, sr)
+            kind, meta = "audio", (0, 0, sr, 0)
+        else:
+            w, h = int(rng.randint(9, 33)), int(rng.randint(9, 33))
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if fmt == "png":
+                payload = codecs.encode_png(img)
+            elif fmt == "bmp":
+                payload = codecs.encode_bmp(img)
+            else:
+                payload = jpeg.encode_jpeg(
+                    img,
+                    quality=92,
+                    subsampling="420" if fmt == "jpeg420" else "444",
+                    restart_interval=3 if fmt == "jpeg420" else 0,
+                )
+            kind, meta = "image", (w, h, 0, 0)
+        rows.append(
+            {
+                "media_id": 1000 + i,
+                "kind": kind,
+                "payload": payload,
+                "width": meta[0],
+                "height": meta[1],
+                "sample_rate": meta[2],
+                "n_frames": meta[3],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA)
+
+
 def decode_real(payload: bytes):
-    """Decode a real media codec: PNG / BMP / WAV are implemented from
-    scratch on stdlib+numpy (:mod:`ocr_ray.codecs`); JPEG/video still need
-    an external codec and fail fast with the gap stated."""
+    """Decode a real media codec: PNG / BMP / WAV / baseline JPEG are
+    implemented from scratch on stdlib+numpy (:mod:`ocr_ray.codecs`,
+    :mod:`ocr_ray.jpeg`); video still needs an external codec and fails
+    fast with the gap stated."""
     from .. import codecs
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -100,9 +146,13 @@ def decode_real(payload: bytes):
         return codecs.decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return codecs.decode_wav(payload)[0]
+    if payload[:2] == b"\xff\xd8":
+        from .. import jpeg
+
+        return jpeg.decode_jpeg(payload)
     raise NotImplementedError(
-        "codec not available for this payload (PNG/BMP/WAV are built in; "
-        "JPEG/video need PIL/ffmpeg, absent in this environment)"
+        "codec not available for this payload (PNG/BMP/WAV/baseline-JPEG "
+        "are built in; video needs ffmpeg, absent in this environment)"
     )
 
 

@@ -30,10 +30,10 @@ def test_decode_roundtrip():
 
 
 def test_decode_real_unknown_codec_fails_fast():
-    # PNG/BMP/WAV decode for real now (ocr_ray.codecs); JPEG still states
-    # the codec gap explicitly
-    with pytest.raises(NotImplementedError, match="JPEG|codec"):
-        mm.decode_media(b"\xff\xd8\xff\xe0 jpeg payload")
+    # PNG/BMP/WAV/JPEG decode for real now (ocr_ray.codecs, ocr_ray.jpeg);
+    # an unknown container (e.g. video) still states the codec gap
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_media(b"\x00\x00\x00\x18ftypmp42 video payload")
 
 
 def test_resize_media():
@@ -162,8 +162,13 @@ def test_decode_real_dispatch_and_gap():
     assert decode_real(codecs.encode_png(img)).shape == (3, 3, 3)
     assert decode_real(codecs.encode_bmp(img)).shape == (3, 3, 3)
     assert decode_real(codecs.encode_wav(np.zeros(10, dtype=np.int16), 8000)).shape == (10,)
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")
+    from ocr_ray import jpeg
+
+    assert decode_real(jpeg.encode_jpeg(img)).shape == (3, 3, 3)
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")  # truncated JPEG: hard error
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_real(b"\x00\x00\x00\x18ftypmp42")  # video: stated gap
 
 
 def test_media_features_on_real_codecs(ray_session):
