@@ -64,3 +64,49 @@ def test_running_window(ray_session):
     assert out.loc[0, "run"] == 6.0   # 5 + 1 (id 0 before id 1 at t=2)
     assert out.loc[1, "run"] == 16.0
     assert out.loc[3, "run"] == 7.0
+
+
+def test_auto_join_shuffle_path_hot_key(ray_session):
+    """Force auto_join's shuffle fallback (broadcast_limit=0) on skewed
+    data: 80% of the left rows share one key.  The hash join must complete
+    and match pandas exactly — a hot key lands in one hash partition, but
+    the probe side streams through it batch-by-batch, so per-task memory
+    stays bounded by the BUILD side (right), not by the hot key's probe
+    rows.  (asof_join has the opposite contract: a whole key's rows sit in
+    one group task — salt hot keys upstream there, joins.py:9-13.)
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    n = 50_000
+    rng = np.random.RandomState(5)
+    keys = np.where(rng.rand(n) < 0.8, 7, rng.randint(0, 100, n)).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    ).repartition(16)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": np.arange(100, dtype=np.int64),
+                "rv": [f"r{i}" for i in range(100)],
+            }
+        )
+    )
+
+    out = joins.auto_join(
+        left, right, on="k", right_on="rk", broadcast_limit=0
+    ).to_pandas()
+
+    expect = pd.merge(
+        pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)}),
+        pd.DataFrame({"rk": np.arange(100), "rv": [f"r{i}" for i in range(100)]}),
+        left_on="k",
+        right_on="rk",
+    )
+    assert len(out) == len(expect) == n
+    got = out.sort_values("lv").reset_index(drop=True)
+    want = expect.sort_values("lv").reset_index(drop=True)
+    assert (got["rv"].to_numpy() == want["rv"].to_numpy()).all()
+    # the hot key resolved to the right row everywhere
+    assert (got.loc[got["k"] == 7, "rv"] == "r7").all()
