@@ -1,0 +1,108 @@
+"""CC-curation operator tests: paragraph-level corpus dedup, per-source
+caps, exact distributed quantiles (ocr_ray.pipelines.queries_cc)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_ray.pipelines import queries_cc as cc
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_paragraph_dedup_planted(ray_session):
+    w = ["w%d" % i for i in range(30)]
+    boiler = " ".join("b%d" % i for i in range(10))  # exactly one paragraph
+    rows = [
+        (0, " ".join(w[:20])),                # two clean paragraphs
+        (1, boiler + " " + " ".join(w[20:30])),  # boiler first seen here
+        (2, boiler),                           # only the boiler -> drops out
+        (3, " ".join(w[10:20])),               # dup of doc 0's 2nd paragraph
+    ]
+    out = (
+        cc.paragraph_dedup(_docs_ds(rows), n_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1]  # docs 2 and 3 fully deduped away
+    assert out.loc[0, "text_dedup"] == " ".join(w[:20])
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "text_dedup"] == boiler + " " + " ".join(w[20:30])
+    assert out.loc[1, "n_kept"] == 2
+
+
+def test_paragraph_dedup_keeps_first_occurrence_order(ray_session):
+    # same paragraph in many docs -> survives only at the smallest
+    # (doc_id, pidx) rank; later docs keep their unique tail paragraphs
+    par = " ".join("x%d" % i for i in range(10))
+    rows = [(i, par + " " + " ".join("u%d_%d" % (i, j) for j in range(10)))
+            for i in range(20)]
+    out = cc.paragraph_dedup(_docs_ds(rows), n_buckets=4).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert len(out) == 20
+    assert out.loc[0, "n_kept"] == 2 and out.loc[0, "text_dedup"].startswith(par)
+    assert (out.loc[1:, "n_kept"] == 1).all()
+    assert not out.loc[1, "text_dedup"].startswith(par)
+
+
+def test_source_cap(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "source": pa.array(["hot"] * 80 + ["s%d" % i for i in range(20)]),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = cc.q_source_cap(d).to_pandas()
+    hot = out[out["source"] == "hot"]
+    assert len(hot) == 10 and list(hot["doc_id"].sort_values()) == list(range(10))
+    assert len(out) == 10 + 20  # every small source keeps its single doc
+
+
+def test_len_quantiles_exact(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    langs = np.repeat(["en", "fr"], 500)
+    lens = np.concatenate([rng.randint(10, 200, 500), rng.randint(50, 400, 500)])
+    t = pa.table(
+        {
+            "lang": pa.array(langs.tolist()),
+            "n_chars": pa.array(lens.astype(np.int64).tolist(), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = cc.q_len_quantiles(d)
+    assert len(out) == 2 * len(cc.QUANTILES)
+    for lang in ("en", "fr"):
+        vals = np.sort(lens[langs == lang])
+        for q in cc.QUANTILES:
+            want = int(vals[int(np.ceil(q * len(vals))) - 1])
+            got = int(
+                out[(out["lang"] == lang) & (out["q"] == q)]["value"].iloc[0]
+            )
+            assert got == want, (lang, q, got, want)
