@@ -200,3 +200,115 @@ def test_media_features_on_real_codecs(ray_session):
     ).to_pandas()
     assert list(out["status"]) == ["ok"] * 3
     assert (out["n_bytes"] > 0).all()
+
+
+def _png_chunk(t, d):
+    import struct as st
+    import zlib
+
+    return st.pack(">I", len(d)) + t + d + st.pack(">I", zlib.crc32(t + d))
+
+
+def _build_png(w, h, depth, color_type, raw_scanlines, extra_chunks=(), interlace=0):
+    import struct as st
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", st.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
+    for c in extra_chunks:
+        out += c
+    out += _png_chunk(b"IDAT", zlib.compress(raw_scanlines)) + _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_decode():
+    import numpy as np
+
+    from ocr_ray import codecs
+
+    # 4x2 palette-8 image over a 3-color palette
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2, 1]) + b"\x00" + bytes([2, 2, 0, 0])
+    payload = _build_png(4, 2, 8, 3, raw, extra_chunks=[_png_chunk(b"PLTE", palette)])
+    img = codecs.decode_png(payload)
+    assert img.shape == (2, 4, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 2].tolist() == [0, 0, 255]
+    assert img[1, 3].tolist() == [255, 0, 0]
+
+    # with tRNS -> RGBA, entry 0 transparent
+    payload = _build_png(
+        4, 2, 8, 3, raw,
+        extra_chunks=[_png_chunk(b"PLTE", palette), _png_chunk(b"tRNS", bytes([0]))],
+    )
+    rgba = codecs.decode_png(payload)
+    assert rgba.shape == (2, 4, 4)
+    assert rgba[0, 0, 3] == 0 and rgba[0, 1, 3] == 255
+
+
+def test_png_subbyte_gray_decode():
+    from ocr_ray import codecs
+
+    # 1-bit gray, 10 px wide (2 bytes per row, MSB first): 1010101010 / 0101010101
+    raw = b"\x00" + bytes([0b10101010, 0b10000000]) + b"\x00" + bytes([0b01010101, 0b01000000])
+    img = codecs.decode_png(_build_png(10, 2, 1, 0, raw))
+    assert img.shape == (2, 10)
+    assert img[0].tolist() == [255, 0] * 5
+    assert img[1].tolist() == [0, 255] * 5
+
+    # 4-bit gray, 3 px wide: values 0,8,15 -> scaled x17 = 0,136,255
+    raw4 = b"\x00" + bytes([0x08, 0xF0])
+    img4 = codecs.decode_png(_build_png(3, 1, 4, 0, raw4))
+    assert img4[0].tolist() == [0, 136, 255]
+
+    # 2-bit palette
+    palette = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    raw2 = b"\x00" + bytes([0b00011011])  # indices 0,1,2,3
+    p = codecs.decode_png(
+        _build_png(4, 1, 2, 3, raw2, extra_chunks=[_png_chunk(b"PLTE", palette)])
+    )
+    assert p[0].tolist() == [[10] * 3, [20] * 3, [30] * 3, [40] * 3]
+
+
+def test_png_16bit_decode():
+    import numpy as np
+
+    from ocr_ray import codecs
+
+    # 16-bit gray 2x1: samples 0x1234, 0xFF00 -> high bytes 0x12, 0xFF
+    raw = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00])
+    img = codecs.decode_png(_build_png(2, 1, 16, 0, raw))
+    assert img.tolist() == [[0x12, 0xFF]]
+
+
+def test_png_adam7_interlace_decode():
+    import numpy as np
+
+    from ocr_ray import codecs
+
+    rng = np.random.RandomState(11)
+    h, w = 9, 11  # odd dims exercise every pass boundary
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = b""
+    for x0, y0, xs, ys in passes:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    out = codecs.decode_png(_build_png(w, h, 8, 0, raw, interlace=1))
+    assert (out == img).all()
+
+
+def test_png_invalid_combos_rejected():
+    import pytest
+
+    from ocr_ray import codecs
+
+    # RGB at bit depth 4 is not a legal PNG combination
+    raw = b"\x00" + bytes([0, 0])
+    with pytest.raises(ValueError, match="color type"):
+        codecs.decode_png(_build_png(1, 1, 4, 2, raw))
