@@ -189,16 +189,47 @@ def q_extract_archetypes(sf_dir: str):
     """Full archetype extraction through the Ray pipeline (chrome strip,
     sections, tables, link numbering, PDF layout parse, footnotes, error
     rows) — the driver-visible smoke of every extraction branch.
-    Deterministic; rows-only (the per-archetype semantics are pinned by the
-    golden digest corpus in tests/golden/)."""
+    Oracle-checked since r3: runs exactly the two corpora pinned by the
+    golden digest files (tests/golden/, the regression spec regenerated
+    only by a conscious ``python -m tests.regen_golden``), and the oracle
+    is a VALUES literal built from those files — so the driver now
+    hash-checks every archetype digest, not just row counts."""
+    import pyarrow as _pa
+
     from ..stages.extract import extract_batch
     from ..synth import synth_corpus
 
-    corpus = synth_corpus(240)
+    corpus = _pa.concat_tables([synth_corpus(120, seed=7), synth_corpus(96, seed=11)])
     ds = ray.data.from_arrow(corpus).repartition(8).map_batches(
         extract_batch, batch_format="pyarrow", batch_size=64
     )
-    return ds.select_columns(["url", "kind", "status", "n_blocks", "digest"])
+    return ds.select_columns(["url", "status", "n_blocks", "digest"])
+
+
+def _archetype_oracle_sql() -> str | None:
+    """VALUES-literal oracle from the golden digest files; None (rows-only
+    fallback) if the goldens are absent in the deployed tree."""
+    import json
+    import os
+
+    gdir = os.path.join(os.path.dirname(__file__), "..", "..", "tests", "golden")
+    rows = []
+    try:
+        for fname in ("corpus_digests.json", "corpus_digests_seed11.json"):
+            with open(os.path.join(gdir, fname)) as f:
+                for url, m in json.load(f).items():
+                    rows.append(
+                        "('{}', '{}', {}, '{}')".format(
+                            url, m["status"], int(m["n_blocks"]), m["digest"]
+                        )
+                    )
+    except OSError:
+        return None
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, status, n_blocks, digest)"
+    )
 
 
 
@@ -494,3 +525,7 @@ CUR_ORACLE_SQL = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "corpus_curation": SQL_CORPUS_CURATION,
 }
+
+_arch_sql = _archetype_oracle_sql()
+if _arch_sql is not None:
+    CUR_ORACLE_SQL["extract_archetypes"] = _arch_sql

@@ -216,7 +216,11 @@ SQL_EMBEDDING_NEARDUP = (
 
 def q_doc_langid(sf_dir: str):
     """Language-ID (stopword/CJK heuristic) counts per detected lang.
-    Rows-only check; kernel unit-tested in tests/test_text_functions.py."""
+    Oracle-checked since r3: the heuristic is a pure closed-form function
+    of the text (CJK char ratio, marker-word hit argmax with alphabetical
+    tie-break), so the DuckDB oracle replays the SAME rule with
+    regexp_extract_all + list_filter.  Kernel unit-tested in
+    tests/test_text_functions.py."""
     from ..functions.analysis import detect_language
 
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -229,6 +233,40 @@ def q_doc_langid(sf_dir: str):
         ds.map_batches(detect, batch_format="pyarrow")
         .groupby("detected")
         .aggregate(Count(alias_name="n"))
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """Replay detect_language in SQL: same word regex, same marker sets
+    (imported so the two can never drift), same strict-argmax tie-break
+    (alphabetical lang order, as sorted(_LANG_MARKERS) iterates)."""
+    from ..functions.analysis import _LANG_MARKERS
+
+    hit_cols = ", ".join(
+        "len(list_filter(words, x -> list_contains([{}], x))) AS h_{}".format(
+            ", ".join("'{}'".format(w) for w in sorted(_LANG_MARKERS[lang])), lang
+        )
+        for lang in sorted(_LANG_MARKERS)
+    )
+    best = "greatest({})".format(
+        ", ".join("h_{}".format(lang) for lang in sorted(_LANG_MARKERS))
+    )
+    case = " ".join(
+        "WHEN h_{lang} = {best} THEN '{lang}'".format(lang=lang, best=best)
+        for lang in sorted(_LANG_MARKERS)
+    )
+    return (
+        "WITH w AS (SELECT text,"
+        " list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ɏ'']+'), x -> lower(x)) AS words,"
+        " len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS n_cjk,"
+        " greatest(1, length(text)) AS n_chars FROM documents),"
+        " h AS (SELECT n_cjk, n_chars, len(words) AS n_words, " + hit_cols + " FROM w),"
+        " d AS (SELECT CASE"
+        " WHEN CAST(n_cjk AS DOUBLE) / n_chars > 0.15 THEN 'zh'"
+        " WHEN n_words = 0 OR " + best + " = 0 THEN 'und' "
+        + case
+        + " END AS detected FROM h)"
+        " SELECT detected, count(*) AS n FROM d GROUP BY detected"
     )
 
 
@@ -631,6 +669,7 @@ EXT_ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_dedup": SQL_SIMHASH_DEDUP,
+    "doc_langid": _langid_oracle_sql(),
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,

@@ -29,6 +29,10 @@ PICKS = [
     "split_counts",
     "doc_chunks",
     "distinct_segments",
+    "paragraph_dedup",
+    "source_cap",
+    "len_quantiles",
+    "doc_langid",
 ]
 
 
