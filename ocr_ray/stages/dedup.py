@@ -435,6 +435,77 @@ def verify_pairs_against_corpus(
     )
 
 
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    keys,
+    fn,
+    *,
+    empty_result: pa.Table,
+    n_buckets: int | None = None,
+    min_group_size: int = 1,
+) -> ray.data.Dataset:
+    """``groupby(keys).map_groups(fn)`` semantics at ONE Python task call
+    per hash BUCKET of keys instead of one per key group — the
+    _add_key_bucket lesson (joins.py:190) applied to the LSH candidate
+    stages, whose group count is corpus-proportional (docs x bands): the
+    shuffle moves the same rows, but the number of Python invocations
+    drops from O(#groups) to O(n_buckets).
+
+    ``keys`` must be integer columns.  Inside a bucket task the rows are
+    sorted by ``keys`` once, group boundaries found vectorized, and ``fn``
+    called only on groups of at least ``min_group_size`` rows (pair
+    generators pass 2 — singleton buckets, the vast majority under LSH,
+    never reach Python at all).  ``empty_result`` pins the output schema
+    for buckets that yield nothing (schema-less empty blocks break
+    downstream joins)."""
+    if n_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_buckets = 8 * max(4, cpus)
+    keys = list(keys)
+    prime = np.uint64(1099511628211)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = batch.column(k).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = h * prime + col
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def apply_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__bucket"])
+        n = group.num_rows
+        if n == 0:
+            return empty_result
+        group = group.sort_by([(k, "ascending") for k in keys])
+        change = np.zeros(max(0, n - 1), dtype=bool)
+        for k in keys:
+            c = group.column(k).to_numpy(zero_copy_only=False)
+            change |= c[1:] != c[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < min_group_size:
+                continue
+            out = fn(group.slice(s, e - s))
+            if out is not None and out.num_rows:
+                outs.append(out)
+        if not outs:
+            return empty_result
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(apply_bucket, batch_format="pyarrow")
+    )
+
+
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
 def minhash_dedup_pairs(
     docs: ray.data.Dataset,
     *,
@@ -450,9 +521,12 @@ def minhash_dedup_pairs(
     text ever reaches the driver.  ``docs`` must carry doc_id + text.
     """
     bands = docs.map_batches(minhash_band_rows, batch_format="pyarrow")
-    candidates = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(_pairs_from_groups, batch_format="pyarrow")
+    candidates = bucketed_group_apply(
+        bands,
+        ("band_id", "band_hash"),
+        _pairs_from_groups,
+        empty_result=_EMPTY_PAIRS,
+        min_group_size=2,
     )
     # distinct (a, b) via an AGGREGATE — a pair colliding in many bands
     # must be verified once; one Python call per block, not per pair
@@ -679,10 +753,18 @@ def simhash_dedup_pairs(
             }
         )
 
-    pairs = (
-        docs.map_batches(simhash_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(pairs_with_hashes, batch_format="pyarrow")
+    pairs = bucketed_group_apply(
+        docs.map_batches(simhash_rows, batch_format="pyarrow"),
+        ("band_id", "band_val"),
+        pairs_with_hashes,
+        empty_result=pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        ),
+        min_group_size=2,
     )
     # distinct (a pair within hamming can collide in several bands) via an
     # AGGREGATE; hamming is constant per pair so per-key Min carries it.
@@ -787,9 +869,13 @@ def embedding_neardup_pairs(
         return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
     candidates = distinct_rows(  # distinct across tables/buckets, one call per block
-        emb.map_batches(bucket_rows, batch_format="pyarrow", batch_size=4096)
-        .groupby(["table_id", "bucket"])
-        .map_groups(pairs, batch_format="pyarrow"),
+        bucketed_group_apply(
+            emb.map_batches(bucket_rows, batch_format="pyarrow", batch_size=4096),
+            ("table_id", "bucket"),
+            pairs,
+            empty_result=_EMPTY_PAIRS,
+            min_group_size=2,
+        ),
         ["a", "b"],
     )
     # Acero hash joins reject list<float> payload columns: ship the vectors
