@@ -166,6 +166,75 @@ SQL_SOURCE_CAP = (
 )
 
 
+def q_dedup_canonical(sf_dir: str):
+    """Canonical-document selection per duplicate cluster — the retention
+    step a curation pipeline runs AFTER near-dup clustering: keep the
+    longest member (n_chars, ties -> smallest doc_id) of every MinHash
+    cluster.  The argmax is ONE native Max aggregate over a packed
+    (n_chars, ~doc_id) key plus a Count in the same groupby — no
+    map_groups, no per-cluster Python, one shuffle after the join."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages import dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    clusters = dedup.connected_components(pairs.select_columns(["a", "b"]))
+    lens = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    joined = auto_join(clusters, lens, on="doc_id")
+
+    B = np.int64(1) << np.int64(32)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        packed = nc.astype(np.int64) * B + (B - np.int64(1) - ids.astype(np.int64))
+        return pa.table(
+            {
+                "cluster_id": batch.column("cluster_id"),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(pack, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Max("packed", alias_name="mx"), Count(alias_name="n_members"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mx = batch.column("mx").to_numpy(zero_copy_only=False).astype(np.int64)
+        canonical = (B - np.int64(1)) - (mx % B)
+        return pa.table(
+            {
+                "cluster_id": batch.column("cluster_id"),
+                "canonical": pa.array(canonical, pa.int64()),
+                "n_members": pc.cast(batch.column("n_members"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+from .queries_ext import SQL_CLUSTER_GRAPH_CTE  # noqa: E402
+
+SQL_DEDUP_CANONICAL = (
+    # same recursive-CTE cluster graph as dedup_clusters, then a window
+    # argmax per cluster
+    SQL_CLUSTER_GRAPH_CTE
+    + ", clusters AS (SELECT node AS doc_id, min(r) AS cluster_id "
+    "FROM reach GROUP BY node), "
+    "j AS (SELECT c.cluster_id, c.doc_id, d.n_chars FROM clusters c "
+    "JOIN documents d USING (doc_id)), "
+    "ranked AS (SELECT cluster_id, doc_id, "
+    "row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn, "
+    "count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j) "
+    "SELECT cluster_id, doc_id AS canonical, n_members FROM ranked WHERE rn = 1"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -220,10 +289,12 @@ CC_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "source_cap": q_source_cap,
     "len_quantiles": q_len_quantiles,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 CC_ORACLE_SQL = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "source_cap": SQL_SOURCE_CAP,
     "len_quantiles": SQL_LEN_QUANTILES,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
 }

@@ -131,7 +131,9 @@ def q_dedup_clusters(sf_dir: str):
     return dedup.connected_components(pairs.select_columns(["a", "b"])).sort("doc_id")
 
 
-SQL_DEDUP_CLUSTERS = (
+# the recursive cluster-graph CTE (exact all-pairs jaccard >= 0.8 ->
+# edges -> min-reachable-id) — shared with dedup_canonical (queries_cc)
+SQL_CLUSTER_GRAPH_CTE = (
     _JACCARD_SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + ", pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM g a JOIN g b "
     "ON a.doc_id < b.doc_id "
@@ -139,8 +141,12 @@ SQL_DEDUP_CLUSTERS = (
     "len(list_distinct(a.sh || b.sh)) >= 0.8), "
     "edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs), "
     "reach AS (SELECT u AS node, u AS r FROM edges "
-    "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node) "
-    "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
+    "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node)"
+)
+
+SQL_DEDUP_CLUSTERS = (
+    SQL_CLUSTER_GRAPH_CTE
+    + " SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
 )
 
 

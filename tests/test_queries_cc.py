@@ -106,3 +106,31 @@ def test_len_quantiles_exact(ray_session):
                 out[(out["lang"] == lang) & (out["q"] == q)]["value"].iloc[0]
             )
             assert got == want, (lang, q, got, want)
+
+
+def test_dedup_canonical_picks_longest(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    # cluster {0,1,2}: near-identical texts, lengths favor doc 1;
+    # doc 3 is unrelated (no cluster row at all)
+    base = " ".join("tok%d" % i for i in range(40))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([base, base + " extra", base + " other", "unrelated words only here"]),
+            "n_chars": pa.array([len(base), len(base) + 6, len(base) + 6, 25], pa.int64()),
+        }
+    )
+    import ocr_ray.pipelines.queries_cc as cc
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = cc.q_dedup_canonical(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["cluster_id"] == 0 and row["n_members"] == 3
+    # docs 1 and 2 tie on n_chars -> smaller doc_id wins
+    assert row["canonical"] == 1
