@@ -235,6 +235,251 @@ SQL_DEDUP_CANONICAL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# recrawl dedup: URL canonicalization + keep-latest per canonical url
+# ---------------------------------------------------------------------------
+
+# tracking-query / fragment variants a recrawl emits for the same page
+_URL_VARIANTS = ("", "?utm_source=feed&ref=rss", "#section-2")
+
+
+def q_url_dedup(sf_dir: str):
+    """Recrawl deduplication — the FIRST operator a Common-Crawl-style
+    pipeline runs: canonicalize urls (strip query string + fragment, the
+    tracking-param/anchor variants crawlers collect) and keep the LATEST
+    crawl per canonical url, reporting crawl multiplicity.
+
+    Input pages are synthesized from ``documents`` with the same pure
+    url/warc_ts functions as the extraction fixture (synth.page_url): doc d
+    yields ``1 + d % 3`` crawls — the canonical url plus utm-query and
+    fragment variants at later timestamps — so the DuckDB oracle can
+    rebuild the exact crawl set in SQL.
+
+    Scale shape: synthesis and canonicalization are map-side (one vectorized
+    regex per batch); the only shuffle is the groupby(canonical url) with
+    native Max/Count aggregates — no map_groups, no driver state."""
+    from ray.data.aggregate import Count, Max
+
+    from .. import synth
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def crawls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_revs = 1 + ids % 3
+        rep = np.repeat(ids, n_revs)
+        # rev index within each doc's run: 0..n_revs-1
+        starts = np.cumsum(n_revs) - n_revs
+        rev = np.arange(rep.size, dtype=np.int64) - np.repeat(starts, n_revs)
+        urls = [
+            synth.page_url(int(d)) + _URL_VARIANTS[r]
+            for d, r in zip(rep, rev)
+        ]
+        ts = synth.EPOCH_US + (rep * 10 + rev) * 1_000_000
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    def canonicalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            0,
+            "url",
+            pc.replace_substring_regex(batch.column("url"), r"[?#].*$", ""),
+        )
+
+    return (
+        ds.map_batches(crawls, batch_format="pyarrow")
+        .map_batches(canonicalize, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Max("ts", alias_name="latest_ts"), Count(alias_name="n_crawls"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("n_crawls"),
+                "n_crawls",
+                b.column("n_crawls").cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_URL_DEDUP = (
+    # rebuild the crawl set (same pure url/ts functions as synth.page_url /
+    # wrap_documents_batch), canonicalize with the same regex, keep latest
+    "WITH revs AS ("
+    "  SELECT doc_id, CAST(s['i'] AS BIGINT) AS rev"
+    "  FROM (SELECT doc_id, unnest(list_transform(range(1 + doc_id % 3),"
+    " i -> struct_pack(i := i))) AS s FROM documents)"
+    "), crawls AS ("
+    "  SELECT printf('https://host-%03d.example/p/%08d',"
+    "    CASE WHEN (doc_id * 48271) % 100 < 25 THEN 0"
+    "         WHEN (doc_id * 48271) % 100 < 40 THEN 1"
+    "         ELSE 2 + (doc_id * 69621) % 48 END, doc_id)"
+    "  || CASE rev WHEN 1 THEN '?utm_source=feed&ref=rss'"
+    "              WHEN 2 THEN '#section-2' ELSE '' END AS url,"
+    "  1577836800000000 + (doc_id * 10 + rev) * 1000000 AS ts"
+    "  FROM revs"
+    ") SELECT regexp_replace(url, '[?#].*$', '') AS url,"
+    " max(ts) AS latest_ts, count(*) AS n_crawls"
+    " FROM crawls GROUP BY 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (vectorized word/bigram run-length kernel)
+# ---------------------------------------------------------------------------
+
+
+def _run_stats(keys: tuple, row_idx: np.ndarray, n_rows: int):
+    """Per-row (#distinct, max multiplicity) over grouped keys, fully
+    vectorized: lexsort -> run-length encode -> bincount / reduceat.
+    ``keys`` are parallel arrays forming the composite key within a row."""
+    if row_idx.size == 0:
+        z = np.zeros(n_rows, np.int64)
+        return z, z.copy()
+    order = np.lexsort(tuple(reversed(keys)) + (row_idx,))
+    r = row_idx[order]
+    diff = r[1:] != r[:-1]  # row change or any key change starts a run
+    for k in keys:
+        ks = k[order]
+        diff = diff | (ks[1:] != ks[:-1])
+    run_starts = np.flatnonzero(np.r_[True, diff])
+    run_lengths = np.diff(np.append(run_starts, r.size))
+    run_rows = r[run_starts]
+    n_distinct = np.bincount(run_rows, minlength=n_rows).astype(np.int64)
+    row_first = np.flatnonzero(np.r_[True, run_rows[1:] != run_rows[:-1]])
+    top = np.zeros(n_rows, np.int64)
+    top[run_rows[row_first]] = np.maximum.reduceat(run_lengths, row_first)
+    return n_distinct, top
+
+
+def _repetition_signals(batch: pa.Table) -> pa.Table:
+    """The Gopher repetition-filter signals (duplicate-word fraction, most-
+    common word/bigram mass) without a single Python loop over rows or
+    words: Arrow split + dictionary-encode, then numpy run-length stats."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    # ChunkedArray.combine_chunks() yields a plain ListArray
+    split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+    flat = split.flatten()
+    codes = np.asarray(flat.dictionary_encode().indices, dtype=np.int64)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+
+    n_distinct, top_word = _run_stats((codes,), row_idx, n)
+
+    same_row = row_idx[1:] == row_idx[:-1] if row_idx.size else np.zeros(0, bool)
+    _, top_bigram = _run_stats(
+        (codes[:-1][same_row], codes[1:][same_row]), row_idx[:-1][same_row], n
+    )
+
+    n_words = sizes.astype(np.float64)
+    n_bigrams = np.maximum(sizes - 1, 0)
+
+    def r4(x: np.ndarray) -> np.ndarray:
+        # vectorized round-half-away-from-zero at 4 digits (values >= 0),
+        # matching DuckDB round() (stages.dedup.round_half_away)
+        return np.floor(x * 1e4 + 0.5) / 1e4
+
+    top_bigram_frac = np.where(
+        n_bigrams > 0, top_bigram / np.maximum(n_bigrams, 1), 0.0
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(sizes, pa.int64()),
+            "distinct_word_frac": pa.array(r4(n_distinct / n_words), pa.float64()),
+            "top_word_frac": pa.array(r4(top_word / n_words), pa.float64()),
+            "top_bigram_frac": pa.array(r4(top_bigram_frac), pa.float64()),
+        }
+    )
+
+
+def q_doc_repetition(sf_dir: str):
+    """Per-document repetition signals (Gopher table A1 rules: fraction of
+    distinct words, top-word mass, top-bigram mass) — embarrassingly
+    parallel, zero shuffles, one vectorized kernel per batch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_repetition_signals, batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " base AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS nd, w"
+    " FROM t),"
+    " words AS (SELECT doc_id, unnest(w) AS word FROM t),"
+    " wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),"
+    " tw AS (SELECT doc_id, max(c) AS top_w FROM wc GROUP BY 1),"
+    " bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),"
+    " i -> w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1])) AS bigram"
+    " FROM t),"
+    " bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),"
+    " tb AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY 1)"
+    " SELECT b.doc_id, b.n_words,"
+    " round(CAST(b.nd AS DOUBLE) / b.n_words, 4) AS distinct_word_frac,"
+    " round(CAST(tw.top_w AS DOUBLE) / b.n_words, 4) AS top_word_frac,"
+    " CASE WHEN b.n_words < 2 THEN 0.0"
+    " ELSE round(CAST(tb.top_b AS DOUBLE) / (b.n_words - 1), 4) END"
+    " AS top_bigram_frac"
+    " FROM base b JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)"
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic source mixing (weighted down-sampling per source)
+# ---------------------------------------------------------------------------
+
+
+def q_source_mix(sf_dir: str):
+    """Deterministic weighted source mixing: each source keeps a fixed
+    fraction of its documents (10/30/50/70% by source index mod 4) via the
+    same Knuth multiplicative hash as hash_sample — reproducible across
+    runs, resumes, and cluster sizes, unlike random sampling.  Reports the
+    per-source mixing outcome.
+
+    Scale shape: the keep decision and the per-source partial counts are
+    map-side; the only shuffle is a groupby(source) over <= (#batches x
+    #sources) partial rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        src_num = df["source"].str.slice(3).astype(np.int64)
+        rate = 10 + 20 * (src_num % 4)
+        kept = (df["doc_id"].to_numpy() * 2654435761) % 100 < rate
+        out = (
+            pd.DataFrame({"source": df["source"], "kept": kept.astype(np.int64)})
+            .groupby("source", sort=False)
+            .agg(n_total=("kept", "size"), n_kept=("kept", "sum"))
+            .reset_index()
+        )
+        out["n_total"] = out["n_total"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"), Sum("n_kept", alias_name="n_kept")
+        )
+    )
+
+
+SQL_SOURCE_MIX = (
+    "SELECT source, count(*) AS n_total,"
+    " CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 <"
+    " 10 + 20 * (CAST(substr(source, 4) AS BIGINT) % 4)"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"
+    " FROM documents GROUP BY source"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -290,6 +535,9 @@ CC_QUERIES = {
     "source_cap": q_source_cap,
     "len_quantiles": q_len_quantiles,
     "dedup_canonical": q_dedup_canonical,
+    "url_dedup": q_url_dedup,
+    "doc_repetition": q_doc_repetition,
+    "source_mix": q_source_mix,
 }
 
 CC_ORACLE_SQL = {
@@ -297,4 +545,7 @@ CC_ORACLE_SQL = {
     "source_cap": SQL_SOURCE_CAP,
     "len_quantiles": SQL_LEN_QUANTILES,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "url_dedup": SQL_URL_DEDUP,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "source_mix": SQL_SOURCE_MIX,
 }

@@ -134,3 +134,67 @@ def test_dedup_canonical_picks_longest(ray_session):
     assert row["cluster_id"] == 0 and row["n_members"] == 3
     # docs 1 and 2 tie on n_chars -> smaller doc_id wins
     assert row["canonical"] == 1
+
+
+def test_repetition_signals_known_values(ray_session):
+    # "a a a b": 4 words, 2 distinct, top word a x3, bigrams (a a)x2,(a b) -> top 2/3
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a a b", "x y"], pa.string()),
+        }
+    )
+    out = cc._repetition_signals(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_words"] == 4
+    assert out.loc[0, "distinct_word_frac"] == 0.5
+    assert out.loc[0, "top_word_frac"] == 0.75
+    assert out.loc[0, "top_bigram_frac"] == round(2 / 3, 4)
+    assert out.loc[1, "n_words"] == 2
+    assert out.loc[1, "distinct_word_frac"] == 1.0
+    assert out.loc[1, "top_word_frac"] == 0.5
+    assert out.loc[1, "top_bigram_frac"] == 1.0
+
+
+def test_repetition_signals_empty_batch(ray_session):
+    batch = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    assert cc._repetition_signals(batch).num_rows == 0
+
+
+def test_url_dedup_canonicalizes_and_keeps_latest(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_ray import synth
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 5], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_url_dedup(str(tmp_path)).to_pandas().set_index("url")
+    # doc 0: 1 crawl; doc 1: 2 crawls; doc 2 and 5: 3 crawls each
+    assert len(out) == 4
+    for d, expect in [(0, 1), (1, 2), (2, 3), (5, 3)]:
+        u = synth.page_url(d)
+        assert "?" not in u and "#" not in u
+        assert out.loc[u, "n_crawls"] == expect
+        # latest crawl is the highest rev for that doc
+        assert out.loc[u, "latest_ts"] == synth.EPOCH_US + (d * 10 + expect - 1) * 1_000_000
+
+
+def test_source_mix_rates(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(["src%d" % (i % 4) for i in range(n)], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_source_mix(str(tmp_path)).to_pandas().set_index("source")
+    assert out["n_total"].sum() == n
+    for s in range(4):
+        rate = 10 + 20 * (s % 4)
+        grp = [i for i in range(n) if i % 4 == s]
+        want = sum(1 for i in grp if (i * 2654435761) % 100 < rate)
+        assert out.loc["src%d" % s, "n_kept"] == want
