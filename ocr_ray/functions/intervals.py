@@ -197,7 +197,7 @@ def lanms(intervals, scores, *, merge_threshold: float = 0.5, method: str = "ave
     return arr[kept], sc[kept]
 
 
-_SORT_CRITERIA = ("start", "end", "length", "score", "reading")
+_SORT_CRITERIA = ("start", "end", "length", "score", "reading", "column")
 
 
 def sort_intervals(intervals, *, criterion: str = "reading", scores=None) -> np.ndarray:
@@ -218,6 +218,14 @@ def sort_intervals(intervals, *, criterion: str = "reading", scores=None) -> np.
         return np.lexsort((np.arange(len(arr)), -np.asarray(scores)))
     if criterion == "reading":
         return np.lexsort((arr[:, 1], arr[:, 0]))
+    if criterion == "column":
+        # the reference's 'left' column-layout order (processing.py:73:
+        # argsort(round(x * columns) + y) over RELATIVE coords): quantize
+        # start into `columns` buckets, read down each column by end
+        columns = 10.0
+        return np.lexsort(
+            (np.arange(len(arr)), np.round(arr[:, 0] * columns) + arr[:, 1])
+        )
     raise ValueError("unknown criterion {!r}; one of {}".format(criterion, _SORT_CRITERIA))
 
 

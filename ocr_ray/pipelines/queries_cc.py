@@ -480,6 +480,96 @@ SQL_SOURCE_MIX = (
 )
 
 
+# ---------------------------------------------------------------------------
+# incremental crawl diff (added / removed / changed between two snapshots)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_diff(sf_dir: str):
+    """Diff two crawl snapshots — the incremental-recrawl primitive: which
+    urls were added, removed, or changed content between crawl A and crawl
+    B.  Snapshot membership and content are pure functions of doc_id (A =
+    docs with doc_id % 5 != 0, B = docs with doc_id % 7 != 0; content
+    differs when doc_id % 3 == 0), so the oracle rebuilds both sides in SQL.
+
+    Scale shape: a FULL OUTER JOIN expressed as tagged union + one
+    groupby(url) with native Sum aggregates — membership and content-digest
+    comparison decoded map-side from the sums, no join operator, no
+    map_groups, one shuffle.  (Digest here is n_chars as a stand-in for a
+    content hash; at 100 TB you'd sum a 64-bit text digest the same way.)"""
+    from ..sources.io import read_table as _rt
+
+    def snapshot(mod: int, tag: int):
+        ds = _rt(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+        def emit(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ids % mod != 0
+            ids, nc = ids[keep], nc[keep]
+            # crawl B rewrites content for docs divisible by 3
+            digest = nc + (100_000 if tag == 1 else 0) * (ids % 3 == 0)
+            from .. import synth
+
+            urls = [synth.page_url(int(d)) for d in ids]
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "in_a": pa.array((tag == 0) * np.ones_like(ids), pa.int64()),
+                    "in_b": pa.array((tag == 1) * np.ones_like(ids), pa.int64()),
+                    "dig_a": pa.array(digest * (tag == 0), pa.int64()),
+                    "dig_b": pa.array(digest * (tag == 1), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(emit, batch_format="pyarrow")
+
+    both = snapshot(5, 0).union(snapshot(7, 1))
+    agg = both.groupby("url").aggregate(
+        Sum("in_a", alias_name="in_a"),
+        Sum("in_b", alias_name="in_b"),
+        Sum("dig_a", alias_name="dig_a"),
+        Sum("dig_b", alias_name="dig_b"),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        in_a = batch.column("in_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        in_b = batch.column("in_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch.column("dig_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("dig_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        status = np.where(
+            in_a == 0,
+            "added",
+            np.where(in_b == 0, "removed", np.where(da != db, "changed", "unchanged")),
+        )
+        return pa.table(
+            {"url": batch.column("url"), "status": pa.array(status, pa.string())}
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+_SQL_CRAWL_URL = (
+    "printf('https://host-%03d.example/p/%08d',"
+    " CASE WHEN (doc_id * 48271) % 100 < 25 THEN 0"
+    " WHEN (doc_id * 48271) % 100 < 40 THEN 1"
+    " ELSE 2 + (doc_id * 69621) % 48 END, doc_id)"
+)
+
+SQL_CRAWL_DIFF = (
+    "WITH a AS (SELECT " + _SQL_CRAWL_URL + " AS url, n_chars AS dig"
+    " FROM documents WHERE doc_id % 5 <> 0),"
+    " b AS (SELECT " + _SQL_CRAWL_URL + " AS url,"
+    " n_chars + CASE WHEN doc_id % 3 = 0 THEN 100000 ELSE 0 END AS dig"
+    " FROM documents WHERE doc_id % 7 <> 0)"
+    " SELECT coalesce(a.url, b.url) AS url,"
+    " CASE WHEN a.url IS NULL THEN 'added'"
+    " WHEN b.url IS NULL THEN 'removed'"
+    " WHEN a.dig <> b.dig THEN 'changed' ELSE 'unchanged' END AS status"
+    " FROM a FULL OUTER JOIN b ON a.url = b.url"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -538,6 +628,7 @@ CC_QUERIES = {
     "url_dedup": q_url_dedup,
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
+    "crawl_diff": q_crawl_diff,
 }
 
 CC_ORACLE_SQL = {
@@ -548,4 +639,5 @@ CC_ORACLE_SQL = {
     "url_dedup": SQL_URL_DEDUP,
     "doc_repetition": SQL_DOC_REPETITION,
     "source_mix": SQL_SOURCE_MIX,
+    "crawl_diff": SQL_CRAWL_DIFF,
 }

@@ -87,6 +87,14 @@ def test_sort_criteria():
     assert iv.sort_intervals(spans, criterion="reading").tolist() == [1, 2, 0]
 
 
+def test_sort_column_layout():
+    # relative [0,1] intervals (reference processing.py:73 'left' mode):
+    # two "columns" — starts near 0.0 and near 0.5; within a column order
+    # by end, across columns by the quantized start bucket
+    spans = [(0.51, 0.6), (0.02, 0.9), (0.0, 0.1), (0.52, 0.55)]
+    assert iv.sort_intervals(spans, criterion="column").tolist() == [2, 1, 3, 0]
+
+
 def test_filters():
     spans = [(0, 2), (0, 50), (10, 14)]
     assert iv.size_filter(spans, min_length=3, max_length=20).tolist() == [False, False, True]

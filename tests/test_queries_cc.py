@@ -198,3 +198,26 @@ def test_source_mix_rates(ray_session, tmp_path):
         grp = [i for i in range(n) if i % 4 == s]
         want = sum(1 for i in grp if (i * 2654435761) % 100 < rate)
         assert out.loc["src%d" % s, "n_kept"] == want
+
+
+def test_crawl_diff_statuses(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_ray import synth
+
+    # doc 35: in neither (no row); doc 5: only in B -> added; doc 7: only
+    # in A -> removed; doc 3: in both, content rewritten -> changed;
+    # doc 1: in both, same -> unchanged
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 3, 5, 7, 35], pa.int64()),
+            "n_chars": pa.array([100, 200, 300, 400, 500], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_crawl_diff(str(tmp_path)).to_pandas().set_index("url")["status"]
+    assert len(out) == 4
+    assert out[synth.page_url(1)] == "unchanged"
+    assert out[synth.page_url(3)] == "changed"
+    assert out[synth.page_url(5)] == "added"
+    assert out[synth.page_url(7)] == "removed"
