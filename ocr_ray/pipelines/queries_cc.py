@@ -481,6 +481,88 @@ SQL_SOURCE_MIX = (
 
 
 # ---------------------------------------------------------------------------
+# feature-hashing embedding (hashing-vectorizer, exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+_EMBED_DIM = 16
+_HASH_MOD = 1024
+
+
+def _word_dims(words: list) -> np.ndarray:
+    """Polynomial codepoint hash per word -> dimension index, vectorized
+    over words (the only loop is over character POSITIONS, bounded by the
+    longest word).  Matches DuckDB's
+    ``list_reduce(codepoints, (a,b) -> (a*31+b) % 1024) % 16`` exactly:
+    the first codepoint seeds the accumulator un-modded."""
+    if not words:
+        return np.zeros(0, np.int64)
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    max_len = int(lens.max())
+    # codepoint matrix [n_words, max_len] via utf-32 round-trip
+    buf = np.zeros((len(words), max_len), dtype=np.int64)
+    for j, w in enumerate(words):  # fallback only for ragged fill
+        cps = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+        buf[j, : len(w)] = cps
+    h = buf[:, 0].copy()
+    for pos in range(1, max_len):
+        live = lens > pos
+        h[live] = (h[live] * 31 + buf[live, pos]) % _HASH_MOD
+    return h % _EMBED_DIM
+
+
+def _embed_hash_batch(batch: pa.Table) -> pa.Table:
+    """16-dim hashed token-count embedding per document (feature hashing /
+    hashing-vectorizer): hash each word once per batch VOCABULARY
+    (dictionary-encode, then hash dictionary values only), scatter-add
+    counts per (row, dim)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+    flat = split.flatten()
+    enc = flat.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = enc.dictionary.to_pylist()
+    dim_of_code = _word_dims(vocab)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    # drop empty-string tokens (SQL side filters w <> '')
+    keep = np.array([len(w) > 0 for w in vocab], dtype=bool)[codes]
+    counts = np.zeros((n, _EMBED_DIM), dtype=np.int64)
+    np.add.at(counts, (row_idx[keep], dim_of_code[codes[keep]]), 1)
+    cols = {"doc_id": batch.column("doc_id")}
+    for d in range(_EMBED_DIM):
+        cols["d%d" % d] = pa.array(counts[:, d], pa.int64())
+    return pa.table(cols)
+
+
+def q_doc_embed_hash(sf_dir: str):
+    """Hashing-vectorizer document embeddings (16 int count dims) — the
+    deterministic stand-in for a text-embedding model stage: zero shuffles,
+    per-batch vocabulary hashing, scatter-add counts.  Unlike a float
+    model embedding this one is EXACTLY reproducible in SQL, so the whole
+    feature-extraction path is oracle-checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_embed_hash_batch, batch_format="pyarrow")
+
+
+SQL_DOC_EMBED_HASH = (
+    "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+    " FROM documents),"
+    " h AS (SELECT doc_id,"
+    " list_reduce(list_transform(string_split(w, ''), c -> ascii(c)),"
+    " (a, b) -> (a * 31 + b) % 1024) % 16 AS dim"
+    " FROM words WHERE w <> '')"
+    " SELECT doc_id, "
+    + ", ".join(
+        "CAST(sum(CASE WHEN dim = {d} THEN 1 ELSE 0 END) AS BIGINT) AS d{d}".format(d=d)
+        for d in range(_EMBED_DIM)
+    )
+    + " FROM h GROUP BY doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # incremental crawl diff (added / removed / changed between two snapshots)
 # ---------------------------------------------------------------------------
 
@@ -629,6 +711,7 @@ CC_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "source_mix": q_source_mix,
     "crawl_diff": q_crawl_diff,
+    "doc_embed_hash": q_doc_embed_hash,
 }
 
 CC_ORACLE_SQL = {
@@ -640,4 +723,5 @@ CC_ORACLE_SQL = {
     "doc_repetition": SQL_DOC_REPETITION,
     "source_mix": SQL_SOURCE_MIX,
     "crawl_diff": SQL_CRAWL_DIFF,
+    "doc_embed_hash": SQL_DOC_EMBED_HASH,
 }

@@ -221,3 +221,33 @@ def test_crawl_diff_statuses(ray_session, tmp_path):
     assert out[synth.page_url(3)] == "changed"
     assert out[synth.page_url(5)] == "added"
     assert out[synth.page_url(7)] == "removed"
+
+
+def test_embed_hash_known_values(ray_session):
+    # hash('ab') = (97*31 + 98) % 1024 = 33 -> dim 33 % 16 = 1
+    # hash('a')  = 97 -> dim 97 % 16 = 1 (un-modded seed, same as DuckDB
+    # list_reduce where the first codepoint seeds the accumulator)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["ab a ab"], pa.string()),
+        }
+    )
+    out = cc._embed_hash_batch(batch).to_pandas()
+    assert out.loc[0, "d1"] == 3  # both words land in dim 1
+    assert out.drop(columns=["doc_id"]).sum(axis=1).iloc[0] == 3
+
+
+def test_word_dims_matches_duckdb_fold(ray_session):
+    import duckdb
+
+    words = ["the", "data", "x", "merge", "é-mixed", "longerword123"]
+    got = cc._word_dims(words)
+    con = duckdb.connect()
+    for w, g in zip(words, got):
+        want = con.execute(
+            "SELECT list_reduce(list_transform(string_split(?, ''),"
+            " c -> ascii(c)), (a, b) -> (a * 31 + b) % 1024) % 16",
+            [w],
+        ).fetchone()[0]
+        assert g == want, w
