@@ -563,6 +563,108 @@ SQL_DOC_EMBED_HASH = (
 
 
 # ---------------------------------------------------------------------------
+# tf-idf distinctive terms per source (two-stage aggregate + broadcast join)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_by_source(sf_dir: str):
+    """Top-3 distinctive terms per source by tf-idf — the corpus-analysis
+    op behind source fingerprinting.  idf uses the integer surrogate
+    ``1 + N_sources - df`` (df = #sources containing the word) so the
+    score is exactly integer-reproducible in SQL; the classic ``ln(N/df)``
+    is monotone in the same df, so the ranking shape is identical.
+
+    Scale shape: map-side (source, word) partial counts -> one
+    groupby-sum to tf; df is a groupby-count over the tf table (vocab-
+    sized, distributed); tf joins df via the size-planned auto_join
+    (broadcast when vocab is provably small); per-batch partial top-3 per
+    source then a tiny grouped resolve — no whole-source task, no driver
+    vocabulary."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+        src = np.repeat(
+            np.asarray(batch.column("source").to_pylist(), dtype=object), sizes
+        )
+        df = (
+            pd.DataFrame({"source": src, "word": split.flatten().to_pylist()})
+            .groupby(["source", "word"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tf = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("cnt", alias_name="tf"))
+    )
+    df_tbl = tf.groupby("word").aggregate(Count(alias_name="df"))
+    n_sources = len(ds.unique("source"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_v = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "word": batch.column("word"),
+                "score": pa.array(tf_v * (1 + n_sources - df_v), pa.int64()),
+            }
+        )
+
+    scored = auto_join(tf, df_tbl, on="word").map_batches(
+        score, batch_format="pyarrow"
+    )
+    k = 3
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.sort_values(["source", "score", "word"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["score", "word"], ascending=[False, True]
+        ).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        scored.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(resolve, batch_format="pyarrow")
+        .select_columns(["source", "word", "score", "rank"])
+    )
+
+
+SQL_TFIDF_BY_SOURCE = (
+    "WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS word"
+    " FROM documents),"
+    " tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY 1, 2),"
+    " df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),"
+    " n AS (SELECT count(DISTINCT source) AS ns FROM documents),"
+    " s AS (SELECT tf.source, tf.word, tf.tf * (1 + n.ns - df.df) AS score"
+    " FROM tf JOIN df USING (word) CROSS JOIN n),"
+    " ranked AS (SELECT source, word, score, row_number() OVER"
+    " (PARTITION BY source ORDER BY score DESC, word) AS rank FROM s)"
+    " SELECT source, word, score, rank FROM ranked WHERE rank <= 3"
+)
+
+
+# ---------------------------------------------------------------------------
 # incremental crawl diff (added / removed / changed between two snapshots)
 # ---------------------------------------------------------------------------
 
@@ -712,6 +814,7 @@ CC_QUERIES = {
     "source_mix": q_source_mix,
     "crawl_diff": q_crawl_diff,
     "doc_embed_hash": q_doc_embed_hash,
+    "tfidf_by_source": q_tfidf_by_source,
 }
 
 CC_ORACLE_SQL = {
@@ -724,4 +827,5 @@ CC_ORACLE_SQL = {
     "source_mix": SQL_SOURCE_MIX,
     "crawl_diff": SQL_CRAWL_DIFF,
     "doc_embed_hash": SQL_DOC_EMBED_HASH,
+    "tfidf_by_source": SQL_TFIDF_BY_SOURCE,
 }

@@ -251,3 +251,31 @@ def test_word_dims_matches_duckdb_fold(ray_session):
             [w],
         ).fetchone()[0]
         assert g == want, w
+
+
+def test_tfidf_by_source_distinctive_terms(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # 'alpha' only in src0 (df=1), 'shared' in both (df=2); N=2 sources
+    # src0 scores: alpha tf=2 * (1+2-1)=4; shared tf=1 * (1+2-2)=1
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "source": pa.array(["src0", "src1"], pa.string()),
+            "text": pa.array(["alpha alpha shared", "shared beta"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        cc.q_tfidf_by_source(str(tmp_path))
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    s0 = out[out["source"] == "src0"]
+    assert list(s0["word"]) == ["alpha", "shared"]
+    assert list(s0["score"]) == [4, 1]
+    assert list(s0["rank"]) == [1, 2]
+    s1 = out[out["source"] == "src1"]
+    assert list(s1["word"]) == ["beta", "shared"]
+    assert list(s1["score"]) == [2, 1]
