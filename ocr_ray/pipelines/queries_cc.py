@@ -19,7 +19,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from ..sources.io import read_table
+from ..sources.io import cpu_count, read_table, table_shuffle_blocks
 from ..stages.joins import _add_key_bucket, auto_join
 
 # paragraph contract shared with the SQL oracle: non-overlapping 10-word
@@ -177,8 +177,12 @@ def q_dedup_canonical(sf_dir: str):
 
     from ..stages import dedup
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, shuffle_blocks=table_shuffle_blocks(sf_dir, "documents")
+    )
     clusters = dedup.connected_components(pairs.select_columns(["a", "b"]))
     lens = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
     joined = auto_join(clusters, lens, on="doc_id")

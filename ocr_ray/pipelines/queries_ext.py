@@ -18,7 +18,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
-from ..sources.io import read_table
+from ..sources.io import cpu_count, read_table, table_shuffle_blocks
 
 # ---------------------------------------------------------------------------
 # dedup family (SURVEY §2.8 D4-D5 cross-document; training-data extensions)
@@ -42,8 +42,14 @@ def q_minhash_dedup(sf_dir: str):
     all-pairs answer."""
     from ..stages import dedup
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dedup.minhash_dedup_pairs(docs, threshold=0.8)  # Dataset, distributed
+    # wide read: the signature kernel is CPU-heavy per row; the tiny
+    # downstream shuffles are coalesced via shuffle_blocks instead
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+    out = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, shuffle_blocks=table_shuffle_blocks(sf_dir, "documents")
+    )  # Dataset, distributed
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
@@ -126,8 +132,12 @@ def q_dedup_clusters(sf_dir: str):
     a recursive CTE computing min-reachable-id over the exact pair graph."""
     from ..stages import dedup
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)  # Dataset end-to-end
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, shuffle_blocks=table_shuffle_blocks(sf_dir, "documents")
+    )  # Dataset end-to-end
     return dedup.connected_components(pairs.select_columns(["a", "b"])).sort("doc_id")
 
 
@@ -162,7 +172,9 @@ def q_simhash_dedup(sf_dir: str):
     behavior stays pinned by tests/test_dedup_similarity.py."""
     from ..stages import dedup
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
 
     def salt_and_plant(batch: pa.Table) -> pa.Table:
         out_i, out_t = [], []
@@ -180,7 +192,9 @@ def q_simhash_dedup(sf_dir: str):
         )
 
     salted = docs.map_batches(salt_and_plant, batch_format="pyarrow")
-    out = dedup.simhash_dedup_pairs(salted, max_hamming=3)  # Dataset, distributed
+    out = dedup.simhash_dedup_pairs(
+        salted, max_hamming=3, shuffle_blocks=table_shuffle_blocks(sf_dir, "documents")
+    )  # Dataset, distributed
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
@@ -207,7 +221,11 @@ def q_embedding_neardup(sf_dir: str):
         pc.add(planted.column("vec_id"), 100000),
     )
     both = pa.concat_tables([tbl, planted])
-    out = dedup.embedding_neardup_pairs(ray.data.from_arrow(both), min_cosine=0.95)
+    out = dedup.embedding_neardup_pairs(
+        ray.data.from_arrow(both),
+        min_cosine=0.95,
+        shuffle_blocks=table_shuffle_blocks(sf_dir, "embeddings"),
+    )
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
@@ -346,7 +364,10 @@ def q_bpe_roundtrip(sf_dir: str):
     SQL-expressible: the oracle is the documents table itself."""
     from ..functions.bpe import BPETokenizer
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # byte-level encode/decode is the rare CPU-heavy per-row kernel here:
+    # keep map parallelism even when the file is tiny (sized reads would
+    # otherwise hand the whole table to one actor)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], min_blocks=8)
     sample = ds.limit(64).take_all()
     tok = BPETokenizer.train([r["text"] for r in sample], n_merges=200)
     tok_ref = ray.put(tok.to_dict())

@@ -27,8 +27,66 @@ def read_pages(source, *, columns=None, override_num_blocks=None) -> ray.data.Da
     )
 
 
-def read_table(sf_dir: str, name: str, *, columns=None) -> ray.data.Dataset:
-    """One driver-generated testdata table (TESTDATA.md)."""
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, name + ".parquet"), columns=columns
-    )
+# Read-task sizing: Ray Data's default splits even a 1 MB parquet into ~64
+# blocks, and every downstream groupby/sort/aggregate pays a FIXED per-block
+# shuffle cost (measured on this box: a 5000-row groupby costs 7.7 s at 64
+# input blocks vs 0.8 s at 4).  Scale block count with the UNCOMPRESSED
+# bytes (parquet footer metadata — no data pages read) instead: one read
+# task per 2 MiB at the small end (capped at 4x CPUs so medium inputs still
+# fan out; measured on the 600k-row lineitem aggregate: 2 blocks = 6.5-8 s
+# serial decode, 8+ blocks = 2-2.7 s), one per 128 MiB at the large end (a
+# 100-TB table gets thousands of read tasks, not millions).  Dynamic block
+# splitting still bounds in-memory block size above this.
+_BLOCK_TARGET_SMALL = 2 << 20
+_BLOCK_TARGET_LARGE = 128 << 20
+
+
+def parquet_uncompressed_bytes(path: str) -> int:
+    """Total uncompressed byte size from the parquet footer (row-group
+    metadata only)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+
+
+def sized_num_blocks(total_bytes: int, *, min_blocks: int = 1) -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    small = -(-total_bytes // _BLOCK_TARGET_SMALL)
+    large = -(-total_bytes // _BLOCK_TARGET_LARGE)
+    return max(min(small, 4 * cpus), large, min_blocks, 1)
+
+
+def cpu_count() -> int:
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
+def table_shuffle_blocks(sf_dir: str, name: str) -> int:
+    """Shuffle width hint for pipelines derived from one testdata table:
+    the derived row set (signatures, candidate pairs, exploded tokens) is
+    byte-proportional to the source, so size the downstream all-to-alls by
+    the SOURCE uncompressed bytes (a footer read, no execution barrier)."""
+    try:
+        return sized_num_blocks(
+            parquet_uncompressed_bytes(os.path.join(sf_dir, name + ".parquet"))
+        )
+    except OSError:
+        return cpu_count()
+
+
+def read_table(
+    sf_dir: str, name: str, *, columns=None, min_blocks: int = 1
+) -> ray.data.Dataset:
+    """One driver-generated testdata table (TESTDATA.md), with read tasks
+    sized by uncompressed bytes (see :func:`sized_num_blocks`).  Pass
+    ``min_blocks`` (e.g. the CPU count) for pipelines whose per-row compute
+    is heavy enough that map parallelism matters more than shuffle
+    overhead (MinHash signatures, BPE encoding)."""
+    path = os.path.join(sf_dir, name + ".parquet")
+    try:
+        nblocks = sized_num_blocks(
+            parquet_uncompressed_bytes(path), min_blocks=min_blocks
+        )
+    except OSError:
+        nblocks = None
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nblocks)

@@ -283,7 +283,7 @@ def _pairs_from_groups(
 
 
 def distinct_rows(
-    ds: ray.data.Dataset, cols, min_cols=()
+    ds: ray.data.Dataset, cols, min_cols=(), *, pre_shuffle_blocks: int | None = None
 ) -> ray.data.Dataset:
     """Distributed DISTINCT over ``cols`` via a groupby AGGREGATE — the
     vectorized per-block sort-combine, one Python call per BLOCK rather
@@ -295,6 +295,10 @@ def distinct_rows(
 
     aggs = [Min(c, alias_name=c) for c in min_cols] or [Count(alias_name="__n")]
     keep = list(cols) + list(min_cols)
+    if pre_shuffle_blocks:
+        # the all-to-all pays a FIXED per-input-block cost (~120 ms/block
+        # measured); coalesce first when the caller knows the data is small
+        ds = ds.repartition(pre_shuffle_blocks, shuffle=False)
     return (
         ds.groupby(list(cols))
         .aggregate(*aggs)
@@ -312,6 +316,7 @@ def verify_pairs_against_corpus(
     n_buckets: int = 64,
     metric=None,
     metric_col: str = "jaccard",
+    pre_shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed exact-metric verify of candidate ``(a, b)`` pairs —
     the 10^12-doc shape: the corpus is NEVER materialized on the driver.
@@ -428,6 +433,8 @@ def verify_pairs_against_corpus(
             return out_schema.empty_table()
         return batch
 
+    if pre_shuffle_blocks:
+        joined = joined.repartition(pre_shuffle_blocks, shuffle=False)
     return (
         joined.groupby("pair_bucket")
         .map_groups(verify_bucket, batch_format="pyarrow")
@@ -443,6 +450,7 @@ def bucketed_group_apply(
     empty_result: pa.Table,
     n_buckets: int | None = None,
     min_group_size: int = 1,
+    pre_shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """``groupby(keys).map_groups(fn)`` semantics at ONE Python task call
     per hash BUCKET of keys instead of one per key group — the
@@ -496,9 +504,13 @@ def bucketed_group_apply(
             return empty_result
         return pa.concat_tables(outs)
 
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if pre_shuffle_blocks:
+        # fixed per-input-block all-to-all cost: coalesce (no shuffle)
+        # when the caller sized the data as small (see sized_num_blocks)
+        bucketed = bucketed.repartition(pre_shuffle_blocks, shuffle=False)
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        bucketed.groupby("__bucket")
         .map_groups(apply_bucket, batch_format="pyarrow")
     )
 
@@ -510,6 +522,7 @@ def minhash_dedup_pairs(
     docs: ray.data.Dataset,
     *,
     threshold: float = 0.5,
+    shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup pipeline -> verified (a, b, jaccard) pairs
     as a DATASET — the pair set is corpus-proportional at 100 TB, so it
@@ -527,11 +540,14 @@ def minhash_dedup_pairs(
         _pairs_from_groups,
         empty_result=_EMPTY_PAIRS,
         min_group_size=2,
+        pre_shuffle_blocks=shuffle_blocks,
     )
     # distinct (a, b) via an AGGREGATE — a pair colliding in many bands
     # must be verified once; one Python call per block, not per pair
-    distinct = distinct_rows(candidates, ["a", "b"])
-    return verify_pairs_against_corpus(distinct, docs, threshold=threshold)
+    distinct = distinct_rows(candidates, ["a", "b"], pre_shuffle_blocks=shuffle_blocks)
+    return verify_pairs_against_corpus(
+        distinct, docs, threshold=threshold, pre_shuffle_blocks=shuffle_blocks
+    )
 
 
 def connected_components(
@@ -707,6 +723,7 @@ def simhash_dedup_pairs(
     *,
     max_hamming: int = 3,
     max_distinct_per_bucket: int = 256,
+    shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """SimHash near-dup: 4x16-bit band blocking (a pair within hamming<=3 of
     64 bits shares at least one identical 16-bit band by pigeonhole), then
@@ -765,12 +782,15 @@ def simhash_dedup_pairs(
             }
         ),
         min_group_size=2,
+        pre_shuffle_blocks=shuffle_blocks,
     )
     # distinct (a pair within hamming can collide in several bands) via an
     # AGGREGATE; hamming is constant per pair so per-key Min carries it.
     # Returned as a Dataset — verified near-dup pairs are
     # corpus-proportional at 100 TB; callers collect small results only.
-    return distinct_rows(pairs, ["a", "b"], min_cols=("hamming",))
+    return distinct_rows(
+        pairs, ["a", "b"], min_cols=("hamming",), pre_shuffle_blocks=shuffle_blocks
+    )
 
 
 def cosine_sim(v_a, v_b) -> float:
@@ -800,6 +820,7 @@ def embedding_neardup_pairs(
     n_tables: int = 4,
     seed: int = 29,
     max_distinct_per_bucket: int = 256,
+    shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup: multi-table random-hyperplane LSH,
     bounded per-bucket work, distributed exact-cosine verify.
@@ -875,8 +896,10 @@ def embedding_neardup_pairs(
             pairs,
             empty_result=_EMPTY_PAIRS,
             min_group_size=2,
+            pre_shuffle_blocks=shuffle_blocks,
         ),
         ["a", "b"],
+        pre_shuffle_blocks=shuffle_blocks,
     )
     # Acero hash joins reject list<float> payload columns: ship the vectors
     # through the verify join as packed float64 binary instead.
@@ -903,4 +926,5 @@ def embedding_neardup_pairs(
         text_col="embedding",
         metric=cosine_packed,
         metric_col="cosine",
+        pre_shuffle_blocks=shuffle_blocks,
     )
