@@ -758,6 +758,85 @@ SQL_CRAWL_DIFF = (
 )
 
 
+# ---------------------------------------------------------------------------
+# duplicated-substring detection (overlapping-window corpus repetition)
+# ---------------------------------------------------------------------------
+
+_WIN_WORDS = 10
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring detection (the Lee-et-al dedup signal at
+    window granularity): for every document with >= 10 words, count how
+    many of its OVERLAPPING 10-word windows (stride 1) occur at least
+    twice in the whole corpus.  Complements paragraph_dedup (non-
+    overlapping windows, rewrites text) — this one only measures, which
+    is the signal a filter thresholds on.
+
+    Scale shape: explode -> one groupby(window) count -> size-planned join
+    back -> one groupby(doc) with native Sum/Count.  The window TEXT is
+    the shuffle key to keep the oracle comparison exact; at 100 TB you
+    would key on a 128-bit window hash instead (same note as
+    paragraph_dedup)."""
+    from ray.data.aggregate import Count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, wins = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (text or "").split(" ")
+            for i in range(len(words) - _WIN_WORDS + 1):
+                ids.append(did)
+                wins.append(" ".join(words[i : i + _WIN_WORDS]))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "win": pa.array(wins, pa.string())}
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    counts = exploded.groupby("win").aggregate(Count(alias_name="c"))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = pc.greater_equal(batch.column("c"), pa.scalar(2)).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "dup": dup})
+
+    return (
+        auto_join(exploded, counts, on="win")
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_windows"), Sum("dup", alias_name="n_dup_windows")
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_windows": b.column("n_windows").cast(pa.int64()),
+                    "n_dup_windows": b.column("n_dup_windows").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_SUBSTRING_DEDUP = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+    " wins AS (SELECT doc_id, array_to_string("
+    "w[CAST(s['i'] AS BIGINT) + 1 : CAST(s['i'] AS BIGINT) + 10], ' ') AS win"
+    " FROM (SELECT doc_id, w, unnest(list_transform(range(len(w) - 9),"
+    " i -> struct_pack(i := i))) AS s FROM t WHERE len(w) >= 10)),"
+    " cnt AS (SELECT win, count(*) AS c FROM wins GROUP BY 1)"
+    " SELECT doc_id, count(*) AS n_windows,"
+    " CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows"
+    " FROM wins JOIN cnt USING (win) GROUP BY doc_id"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -819,6 +898,7 @@ CC_QUERIES = {
     "crawl_diff": q_crawl_diff,
     "doc_embed_hash": q_doc_embed_hash,
     "tfidf_by_source": q_tfidf_by_source,
+    "substring_dedup": q_substring_dedup,
 }
 
 CC_ORACLE_SQL = {
@@ -832,4 +912,5 @@ CC_ORACLE_SQL = {
     "crawl_diff": SQL_CRAWL_DIFF,
     "doc_embed_hash": SQL_DOC_EMBED_HASH,
     "tfidf_by_source": SQL_TFIDF_BY_SOURCE,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
 }

@@ -279,3 +279,29 @@ def test_tfidf_by_source_distinctive_terms(ray_session, tmp_path):
     s1 = out[out["source"] == "src1"]
     assert list(s1["word"]) == ["beta", "shared"]
     assert list(s1["score"]) == [2, 1]
+
+
+def test_substring_dedup_planted_window(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    w = ["w%d" % i for i in range(30)]
+    shared = " ".join(w[:10])  # a 10-word window shared by docs 0 and 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    shared + " " + " ".join(w[10:15]),  # windows 0..5 (6 wins)
+                    " ".join(w[15:20]) + " " + shared,  # shared at offset 5
+                    " ".join(w[20:30]),                 # 10 unique words, 1 win
+                    "too short",                        # < 10 words: no row
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_substring_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 3 not in out.index
+    assert out.loc[0, "n_windows"] == 6 and out.loc[0, "n_dup_windows"] == 1
+    assert out.loc[1, "n_windows"] == 6 and out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[2, "n_windows"] == 1 and out.loc[2, "n_dup_windows"] == 0
