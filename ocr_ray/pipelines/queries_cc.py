@@ -837,6 +837,145 @@ SQL_SUBSTRING_DEDUP = (
 )
 
 
+# ---------------------------------------------------------------------------
+# end-to-end near-dup curation (cluster -> canonical retention -> source cap)
+# ---------------------------------------------------------------------------
+
+
+def q_curation_neardup(sf_dir: str):
+    """The near-dup retention pipeline end to end: MinHash clusters ->
+    keep only the canonical member of each cluster (longest, ties ->
+    smallest doc_id) plus every unclustered doc -> cap survivors at 20 per
+    source.  This is the composition a production curation run executes
+    after quality filtering (corpus_curation covers the exact-dedup half).
+
+    Scale shape: the keep decision is a TAGGED UNION + one groupby(doc_id)
+    with native Max aggregates (no anti-join operator): tag 0 = corpus row
+    (carries source), tag 1 = clustered, tag 2 = canonical; keep iff not
+    clustered or canonical.  The cap is per-batch partial top-k per source
+    + a tiny grouped resolve (source_cap shape)."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages import dedup
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, shuffle_blocks=table_shuffle_blocks(sf_dir, "documents")
+    )
+    clusters = dedup.connected_components(pairs.select_columns(["a", "b"]))
+
+    # canonical per cluster: packed argmax (the dedup_canonical kernel)
+    lens = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    joined = auto_join(clusters, lens, on="doc_id")
+    B = np.int64(1) << np.int64(32)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        packed = nc.astype(np.int64) * B + (B - np.int64(1) - ids.astype(np.int64))
+        return pa.table(
+            {"cluster_id": batch.column("cluster_id"),
+             "packed": pa.array(packed, pa.int64())}
+        )
+
+    def decode_canon(batch: pa.Table) -> pa.Table:
+        mx = batch.column("mx").to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = (B - np.int64(1)) - (mx % B)
+        return pa.table(
+            {
+                "doc_id": pa.array(canon, pa.int64()),
+                "src": pa.array([""] * len(batch), pa.string()),
+                "clustered": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+                "canonical": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    canon = (
+        joined.map_batches(pack, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Max("packed", alias_name="mx"))
+        .map_batches(decode_canon, batch_format="pyarrow")
+    )
+
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "src": b.column("source"),
+                "clustered": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "canonical": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    in_cluster = clusters.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "src": pa.array([""] * b.num_rows, pa.string()),
+                "clustered": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                "canonical": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    tagged = corpus.union(in_cluster).union(canon)
+    folded = tagged.groupby("doc_id").aggregate(
+        Max("src", alias_name="source"),
+        Max("clustered", alias_name="clustered"),
+        Max("canonical", alias_name="canonical"),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.or_(
+            pc.equal(batch.column("clustered"), pa.scalar(0)),
+            pc.equal(batch.column("canonical"), pa.scalar(1)),
+        )
+        return batch.filter(mask).select(["doc_id", "source"])
+
+    survivors = folded.map_batches(keep, batch_format="pyarrow")
+    k = 20
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["source", "doc_id"]).groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        return group.sort_by([("doc_id", "ascending")]).slice(0, k)
+
+    return (
+        survivors.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(resolve, batch_format="pyarrow")
+        .select_columns(["doc_id", "source"])
+    )
+
+
+SQL_CURATION_NEARDUP = (
+    SQL_CLUSTER_GRAPH_CTE
+    + ", clusters AS (SELECT node AS doc_id, min(r) AS cluster_id "
+    "FROM reach GROUP BY node), "
+    "jn AS (SELECT c.cluster_id, c.doc_id, d.n_chars FROM clusters c "
+    "JOIN documents d USING (doc_id)), "
+    "canon AS (SELECT doc_id FROM (SELECT cluster_id, doc_id, "
+    "row_number() OVER (PARTITION BY cluster_id "
+    "ORDER BY n_chars DESC, doc_id) AS rn FROM jn) WHERE rn = 1), "
+    "keep AS (SELECT d.doc_id, d.source FROM documents d "
+    "LEFT JOIN clusters c USING (doc_id) "
+    "LEFT JOIN canon ON d.doc_id = canon.doc_id "
+    "WHERE c.doc_id IS NULL OR canon.doc_id IS NOT NULL) "
+    "SELECT doc_id, source FROM (SELECT doc_id, source, "
+    "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM keep) "
+    "WHERE rn <= 20"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -899,6 +1038,7 @@ CC_QUERIES = {
     "doc_embed_hash": q_doc_embed_hash,
     "tfidf_by_source": q_tfidf_by_source,
     "substring_dedup": q_substring_dedup,
+    "curation_neardup": q_curation_neardup,
 }
 
 CC_ORACLE_SQL = {
@@ -913,4 +1053,5 @@ CC_ORACLE_SQL = {
     "doc_embed_hash": SQL_DOC_EMBED_HASH,
     "tfidf_by_source": SQL_TFIDF_BY_SOURCE,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "curation_neardup": SQL_CURATION_NEARDUP,
 }

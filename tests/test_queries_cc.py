@@ -305,3 +305,24 @@ def test_substring_dedup_planted_window(ray_session, tmp_path):
     assert out.loc[0, "n_windows"] == 6 and out.loc[0, "n_dup_windows"] == 1
     assert out.loc[1, "n_windows"] == 6 and out.loc[1, "n_dup_windows"] == 1
     assert out.loc[2, "n_windows"] == 1 and out.loc[2, "n_dup_windows"] == 0
+
+
+def test_curation_neardup_keeps_canonical_and_unclustered(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    base = " ".join("tok%d" % i for i in range(40))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [base, base + " extra", base + " other", "unrelated words only here"]
+            ),
+            "n_chars": pa.array([len(base), len(base) + 6, len(base) + 6, 25], pa.int64()),
+            "source": pa.array(["s0"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_curation_neardup(str(tmp_path)).to_pandas()
+    # cluster {0,1,2} -> canonical 1 (longest, tie -> smaller id); doc 3 unclustered
+    assert sorted(out["doc_id"]) == [1, 3]
+    assert set(out["source"]) == {"s0"}
