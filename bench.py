@@ -222,15 +222,24 @@ def main_single() -> dict:
     # interleaves its own reps across parallelism levels.
     default_reps = "1" if os.environ.get("GRAFT_SKIP_QUERIES") else "3"
     reps = int(os.environ.get("GRAFT_BENCH_REPS", default_reps))
+    # if EVERY rep's paired calibration shows heavy steal (below this
+    # fraction of the quiet single-core kernel rate, BASELINE.md: 721
+    # docs/s), spend up to EXTRA more reps hunting a quieter window —
+    # min-of-N only reflects the engine if at least one rep ran clean
+    QUIET_1P = float(os.environ.get("GRAFT_QUIET_1P", "721"))
+    CALIB_OK = 0.85 * QUIET_1P
+    extra = 0 if reps == 1 else int(os.environ.get("GRAFT_BENCH_EXTRA", "3"))
     headline_reps, calibs = [], []
     headline = None
-    for _ in range(reps):
+    done = 0
+    while done < reps or (done < reps + extra and max(calibs) < CALIB_OK):
         calibs.append(round(_calibrate(pages_path), 1))
         r = run_headline(pages_path, "/tmp/ocr_ray_bench/out")
         headline_reps.append(round(r["sec"], 3))
         if headline is None or r["sec"] < headline["sec"]:
             headline = r
         log("headline rep:", r, "calib docs/s:", calibs[-1])
+        done += 1
     # scaling sub-runs skip the query sweep: it is irrelevant to the
     # throughput ratio and its wall time buys an extra interleaved rep
     if os.environ.get("GRAFT_SKIP_QUERIES"):

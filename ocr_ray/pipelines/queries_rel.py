@@ -136,15 +136,83 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "n_bytes", "mean", "std", "status"])
 
 
+# ---------------------------------------------------------------------------
+# range join (windowed attribution): per event, same-user events that follow
+# within a fixed horizon — the interval-predicate join Ray Data lacks natively
+# ---------------------------------------------------------------------------
+
+_FOLLOW_US = 5 * 60 * 1_000_000  # 5-minute horizon, microseconds
+
+
+def q_events_range_join(sf_dir: str):
+    """Self range join over events: for every event, count the SAME user's
+    events with ts in (t, t + 5 min] — the attribution/window-join shape
+    (SQL: a non-equi interval predicate on top of an equi key).
+
+    Scale shape: ONE groupby shuffle by user-hash bucket (joins._add_key_bucket
+    — one Python call per bucket, never per user), then a fully vectorized
+    in-task kernel: sort by (user, ts), make per-user segments disjoint by
+    offsetting ts with segment_id x (range + horizon), and answer ALL
+    anchors with a single global searchsorted — no per-user loop, no
+    per-anchor loop, no O(n^2) pair enumeration."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_buckets = 64
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_us"] = df["ts"].astype("int64")
+        return joins._add_key_bucket(
+            df[["event_id", "user_id", "ts_us"]], key="user_id", n_buckets=n_buckets
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        # disjoint per-user time axes: segment index x (global span + horizon)
+        seg = np.r_[0, np.cumsum(uid[1:] != uid[:-1])]
+        span = (ts.max() - ts.min() + _FOLLOW_US + 1) if len(ts) else 1
+        adj = ts - (ts.min() if len(ts) else 0) + seg * span
+        hi = np.searchsorted(adj, adj + _FOLLOW_US, side="right")
+        n_follow = hi - np.arange(len(adj)) - 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "n_follow": pa.array(n_follow, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .select_columns(["event_id", "n_follow"])
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = (
+    "SELECT a.event_id, count(b.event_id) AS n_follow"
+    " FROM events a LEFT JOIN events b ON b.user_id = a.user_id"
+    " AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE"
+    " GROUP BY a.event_id"
+)
+
+
 REL_QUERIES = {
     "lineitem_order_join": q_lineitem_order_join,
     "asof_last_event": q_asof_last_event,
     "running_total": q_running_total,
     "media_features": q_media_features,
+    "events_range_join": q_events_range_join,
 }
 
 REL_ORACLE_SQL = {
     "lineitem_order_join": SQL_LINEITEM_ORDER_JOIN,
     "asof_last_event": SQL_ASOF_LAST_EVENT,
     "running_total": SQL_RUNNING_TOTAL,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
 }

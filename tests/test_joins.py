@@ -110,3 +110,34 @@ def test_auto_join_shuffle_path_hot_key(ray_session):
     assert (got["rv"].to_numpy() == want["rv"].to_numpy()).all()
     # the hot key resolved to the right row everywhere
     assert (got.loc[got["k"] == 7, "rv"] == "r7").all()
+
+
+def test_events_range_join_counts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_rel import q_events_range_join
+
+    base = 1_700_000_000_000_000  # us
+    s = 1_000_000
+    # user 1: 0s, 100s, 200s, 400s; horizon 300s inclusive at the right edge
+    # user 2: one event
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base + 100 * s, base + 200 * s, base + 400 * s, base],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_events_range_join(str(tmp_path)).to_pandas().set_index("event_id")
+    # anchors: 0s -> {100,200} (300s edge: 400 > 300) = 2; 100s -> {200,400} = 2
+    # 200s -> {400} = 1 (exactly not: 200 <= 300, inclusive) ; 400s -> 0
+    assert out.loc[1, "n_follow"] == 2
+    assert out.loc[2, "n_follow"] == 2
+    assert out.loc[3, "n_follow"] == 1
+    assert out.loc[4, "n_follow"] == 0
+    assert out.loc[5, "n_follow"] == 0
