@@ -976,6 +976,87 @@ SQL_CURATION_NEARDUP = (
 )
 
 
+# ---------------------------------------------------------------------------
+# group-stats normalization (z-score per language, broadcast stats)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_zscore(sf_dir: str):
+    """Per-document z-score of length within its language — the group-
+    normalization feature op (normalize a signal by its group's mean/std
+    before thresholding or training).
+
+    Scale shape: one small groupby(lang) of map-side partials (sum, sum of
+    squares, count — the mergeable moments), stats broadcast via ray.put,
+    then a map-side normalize pass.  The corpus is streamed twice but
+    never shuffled; the driver holds only #langs rows.  Integer moment
+    accumulation keeps the oracle bitwise-exact (population std; ddof=0)."""
+    stats_src = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nc = df["n_chars"].astype(np.int64)
+        g = (
+            pd.DataFrame({"lang": df["lang"], "s": nc, "s2": nc * nc})
+            .groupby("lang", sort=False)
+            .agg(s=("s", "sum"), s2=("s2", "sum"), n=("s", "size"))
+            .reset_index()
+        )
+        for c in ("s", "s2", "n"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        stats_src.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("s", alias_name="s"), Sum("s2", alias_name="s2"), Sum("n", alias_name="n")
+        )
+        .to_pandas()  # #langs rows only
+    )
+    mean = {r["lang"]: r["s"] / r["n"] for _, r in stats.iterrows()}
+    std = {
+        r["lang"]: float(np.sqrt(r["s2"] / r["n"] - (r["s"] / r["n"]) ** 2))
+        for _, r in stats.iterrows()
+    }
+    stats_ref = ray.put((mean, std))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        mean_d, std_d = ray.get(stats_ref)
+        langs = batch.column("lang").to_pylist()
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = np.array([mean_d[lg] for lg in langs])
+        sd = np.array([std_d[lg] for lg in langs])
+        z = np.where(sd > 0, (nc - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        # round half away from zero at 4 digits (DuckDB round semantics)
+        z = np.where(
+            z >= 0, np.floor(z * 1e4 + 0.5), -np.floor(-z * 1e4 + 0.5)
+        ) / 1e4
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "z_len": pa.array(z, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(normalize, batch_format="pyarrow")
+
+
+SQL_DOC_ZSCORE = (
+    "WITH st AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) / count(*) AS mu,"
+    " sqrt(CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*)"
+    " - (CAST(sum(n_chars) AS DOUBLE) / count(*)) ^ 2) AS sd,"
+    " count(*) AS n FROM documents GROUP BY lang)"
+    " SELECT d.doc_id, d.lang,"
+    " CASE WHEN st.sd > 0 THEN round((d.n_chars - st.mu) / st.sd, 4)"
+    " ELSE 0.0 END AS z_len"
+    " FROM documents d JOIN st USING (lang)"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -1039,6 +1120,7 @@ CC_QUERIES = {
     "tfidf_by_source": q_tfidf_by_source,
     "substring_dedup": q_substring_dedup,
     "curation_neardup": q_curation_neardup,
+    "doc_zscore": q_doc_zscore,
 }
 
 CC_ORACLE_SQL = {
@@ -1054,4 +1136,5 @@ CC_ORACLE_SQL = {
     "tfidf_by_source": SQL_TFIDF_BY_SOURCE,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "curation_neardup": SQL_CURATION_NEARDUP,
+    "doc_zscore": SQL_DOC_ZSCORE,
 }

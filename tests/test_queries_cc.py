@@ -326,3 +326,22 @@ def test_curation_neardup_keeps_canonical_and_unclustered(ray_session, tmp_path)
     # cluster {0,1,2} -> canonical 1 (longest, tie -> smaller id); doc 3 unclustered
     assert sorted(out["doc_id"]) == [1, 3]
     assert set(out["source"]) == {"s0"}
+
+
+def test_doc_zscore_known_values(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # lang en: lengths 10, 20 -> mu 15, sd 5 -> z = -1, +1
+    # lang fr: single doc -> sd 0 -> z = 0
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "lang": pa.array(["en", "en", "fr"], pa.string()),
+            "n_chars": pa.array([10, 20, 7], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_doc_zscore(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "z_len"] == -1.0
+    assert out.loc[1, "z_len"] == 1.0
+    assert out.loc[2, "z_len"] == 0.0
