@@ -42,3 +42,19 @@ def test_actor_pool_fused_path_matches(ray_session):
     )
     got = got.select(oracle.column_names).cast(oracle.schema).sort_by("url")
     assert got.equals(oracle)
+
+
+def test_sized_num_blocks_scales_with_bytes(ray_session):
+    from ocr_ray.sources.io import sized_num_blocks
+
+    cpus = 4  # conftest session: num_cpus=4
+    # tiny: one block
+    assert sized_num_blocks(100_000) == 1
+    # small: one task per 2 MiB
+    assert sized_num_blocks(6 << 20) == 3
+    # medium: capped at 4x CPUs
+    assert sized_num_blocks(1 << 30) == 4 * cpus
+    # huge: one task per 128 MiB dominates the cap
+    assert sized_num_blocks(100 << 30) == (100 << 30) // (128 << 20)
+    # floor wins when the caller needs map parallelism
+    assert sized_num_blocks(100_000, min_blocks=8) == 8
