@@ -165,6 +165,15 @@ def run_queries(sf_dir: str) -> dict:
         "knn_cosine",
         "top_orders",
         "embedding_norms",
+        # round-3 additions (keep the 11 above stable for cross-round
+        # comparability; these extend coverage to the new operator families)
+        "url_dedup",
+        "doc_repetition",
+        "crawl_diff",
+        "substring_dedup",
+        "tfidf_by_source",
+        "events_range_join",
+        "curation_neardup",
     ]
     import ray.data
 

@@ -780,7 +780,14 @@ def q_substring_dedup(sf_dir: str):
     paragraph_dedup)."""
     from ray.data.aggregate import Count
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # wide read: the window-join explode is the CPU-heavy stage; the
+    # groupby shuffles coalesce to a source-sized width instead
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+    # exploded window text is ~7x the source bytes (60 windows x ~70 B per
+    # ~300 B doc): size the all-to-alls accordingly
+    shuffle_blocks = table_shuffle_blocks(sf_dir, "documents", scale=8)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, wins = [], []
@@ -796,7 +803,11 @@ def q_substring_dedup(sf_dir: str):
         )
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
-    counts = exploded.groupby("win").aggregate(Count(alias_name="c"))
+    counts = (
+        exploded.repartition(shuffle_blocks, shuffle=False)
+        .groupby("win")
+        .aggregate(Count(alias_name="c"))
+    )
 
     def flag(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -807,6 +818,7 @@ def q_substring_dedup(sf_dir: str):
     return (
         auto_join(exploded, counts, on="win")
         .map_batches(flag, batch_format="pyarrow")
+        .repartition(shuffle_blocks, shuffle=False)
         .groupby("doc_id")
         .aggregate(
             Count(alias_name="n_windows"), Sum("dup", alias_name="n_dup_windows")

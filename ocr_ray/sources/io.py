@@ -61,14 +61,17 @@ def cpu_count() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
-def table_shuffle_blocks(sf_dir: str, name: str) -> int:
+def table_shuffle_blocks(sf_dir: str, name: str, *, scale: float = 1.0) -> int:
     """Shuffle width hint for pipelines derived from one testdata table:
     the derived row set (signatures, candidate pairs, exploded tokens) is
     byte-proportional to the source, so size the downstream all-to-alls by
-    the SOURCE uncompressed bytes (a footer read, no execution barrier)."""
+    the SOURCE uncompressed bytes (a footer read, no execution barrier).
+    ``scale`` is the caller's expansion factor (e.g. ~8x for overlapping
+    10-word windows of ~300-byte docs)."""
     try:
         return sized_num_blocks(
-            parquet_uncompressed_bytes(os.path.join(sf_dir, name + ".parquet"))
+            int(scale * parquet_uncompressed_bytes(
+                os.path.join(sf_dir, name + ".parquet")))
         )
     except OSError:
         return cpu_count()
