@@ -66,3 +66,55 @@ def hll_estimate(registers: np.ndarray) -> float:
     if est > (1 / 30) * 2**64:
         return -(2**64) * np.log(1 - est / 2**64)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summary)
+# ---------------------------------------------------------------------------
+#
+# The bounded-memory counterpart of exact top-k token counting: a k-counter
+# summary whose guarantee is that every item with true frequency > n/k is
+# PRESENT in the summary, and each reported count undershoots the true count
+# by at most n/k (Misra & Gries 1982; merge rule from Agarwal et al. 2012 —
+# public algorithms).  Summaries merge by counter addition + a rank-k
+# decrement, so per-batch partials compose exactly like the HLL registers.
+
+
+def mg_empty() -> dict:
+    return {}
+
+
+def mg_add(summary: dict, values, k: int = 64) -> dict:
+    """Fold ``values`` into a k-counter Misra-Gries summary (in place)."""
+    for v in values:
+        if v in summary:
+            summary[v] += 1
+        elif len(summary) < k - 1:
+            summary[v] = 1
+        else:  # decrement-all step, dropping zeroed counters
+            dead = []
+            for key in summary:
+                summary[key] -= 1
+                if summary[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del summary[key]
+    return summary
+
+
+def mg_merge(a: dict, b: dict, k: int = 64) -> dict:
+    """Merge two summaries: add counters, then subtract the k-th largest
+    count and drop non-positive counters (keeps the n/k error bound
+    additive across merges)."""
+    out = dict(a)
+    for key, c in b.items():
+        out[key] = out.get(key, 0) + c
+    if len(out) >= k:
+        kth = sorted(out.values(), reverse=True)[k - 1]
+        out = {key: c - kth for key, c in out.items() if c - kth > 0}
+    return out
+
+
+def mg_topk(summary: dict, n: int) -> list:
+    """Top-n (item, lower-bound count) pairs, count desc then item asc."""
+    return sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:n]

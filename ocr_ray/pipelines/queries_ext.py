@@ -630,6 +630,48 @@ def q_distinct_tokens_hll(sf_dir: str):
     )
 
 
+def q_top_tokens_mg(sf_dir: str):
+    """Heavy hitters via a Misra-Gries k-counter summary (the bounded-
+    memory counterpart of the exact top_tokens groupby): one 256-counter
+    partial per batch (map_batches), counter-addition merge on the driver
+    over the tiny partials.  Counts are lower bounds (undershoot <= n/k);
+    approximate by design -> rows-only; the pytest gate pins that the
+    summary contains every token above the n/k threshold and that merged
+    partials equal the single-pass summary."""
+    from ..functions import sketches
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    K = 256
+
+    def partial(batch: pa.Table) -> pa.Table:
+        summ = sketches.mg_empty()
+        for t in batch.column("text").to_pylist():
+            sketches.mg_add(summ, t.split(), k=K)
+        items = sorted(summ)
+        return pa.table(
+            {
+                "items": pa.array([items], pa.list_(pa.string())),
+                "counts": pa.array(
+                    [[summ[i] for i in items]], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    summ = sketches.mg_empty()
+    for r in parts:
+        summ = sketches.mg_merge(
+            summ, dict(zip(r["items"], (int(c) for c in r["counts"]))), k=K
+        )
+    top = sketches.mg_topk(summ, 20)
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in top], pa.string()),
+            "count_lb": pa.array([c for _, c in top], pa.int64()),
+        }
+    )
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF approximate kNN (ocr_ray.stages.similarity): k-means coarse
     quantizer, probe-limited scan.  Approximate by design -> rows-only
@@ -689,6 +731,7 @@ EXT_QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "distinct_tokens_hll": q_distinct_tokens_hll,
+    "top_tokens_mg": q_top_tokens_mg,
 }
 
 EXT_ORACLE_SQL = {

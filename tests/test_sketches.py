@@ -58,3 +58,33 @@ def test_hll_query_vs_exact(ray_session):
     ).column("text").to_pylist()
     exact = len({w for t in texts for w in t.split()})
     assert abs(est - exact) / exact < 0.03, (est, exact)
+
+
+def test_misra_gries_contains_heavy_hitters():
+    import random
+
+    from ocr_ray.functions import sketches
+
+    rng = random.Random(3)
+    # heavy item 'hh' at ~20% of n=5000; k=64 -> threshold n/k ~ 78 << 1000
+    stream = ["hh"] * 1000 + ["w%d" % rng.randrange(2000) for _ in range(4000)]
+    rng.shuffle(stream)
+    summ = sketches.mg_add(sketches.mg_empty(), stream, k=64)
+    assert "hh" in summ
+    # count is a lower bound within n/k of the truth
+    assert 1000 - len(stream) / 64 <= summ["hh"] <= 1000
+
+
+def test_misra_gries_merge_matches_single_pass_guarantee():
+    from ocr_ray.functions import sketches
+
+    a_stream = ["x"] * 500 + ["a%d" % i for i in range(300)]
+    b_stream = ["x"] * 400 + ["b%d" % i for i in range(300)]
+    k = 32
+    a = sketches.mg_add(sketches.mg_empty(), a_stream, k=k)
+    b = sketches.mg_add(sketches.mg_empty(), b_stream, k=k)
+    merged = sketches.mg_merge(a, b, k=k)
+    n = len(a_stream) + len(b_stream)
+    assert "x" in merged
+    assert 900 - 2 * n / k <= merged["x"] <= 900  # additive error across merges
+    assert len(merged) <= 2 * k  # bounded summary
