@@ -202,12 +202,51 @@ SQL_EVENTS_RANGE_JOIN = (
 )
 
 
+# ---------------------------------------------------------------------------
+# semi / anti joins (EXISTS / NOT EXISTS membership filters)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_semi_events(sf_dir: str):
+    """Orders whose customer HAS events (semi-join): the membership
+    filter shape — distinct event users broadcast as a value set, every
+    orders batch filtered with one vectorized is_in (joins.semi_anti_join
+    falls back to a hash-partitioned marker join when the key set is
+    large)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    events = read_table(sf_dir, "events", columns=["user_id"])
+    return joins.semi_anti_join(orders, events, on="o_custkey", right_on="user_id")
+
+
+def q_orders_anti_events(sf_dir: str):
+    """Orders whose customer has NO events (anti-join) — same planner,
+    inverted mask."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    events = read_table(sf_dir, "events", columns=["user_id"])
+    return joins.semi_anti_join(
+        orders, events, on="o_custkey", right_on="user_id", anti=True
+    )
+
+
+SQL_ORDERS_SEMI_EVENTS = (
+    "SELECT o_orderkey, o_custkey FROM orders o"
+    " WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)"
+)
+
+SQL_ORDERS_ANTI_EVENTS = (
+    "SELECT o_orderkey, o_custkey FROM orders o"
+    " WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)"
+)
+
+
 REL_QUERIES = {
     "lineitem_order_join": q_lineitem_order_join,
     "asof_last_event": q_asof_last_event,
     "running_total": q_running_total,
     "media_features": q_media_features,
     "events_range_join": q_events_range_join,
+    "orders_semi_events": q_orders_semi_events,
+    "orders_anti_events": q_orders_anti_events,
 }
 
 REL_ORACLE_SQL = {
@@ -215,4 +254,6 @@ REL_ORACLE_SQL = {
     "asof_last_event": SQL_ASOF_LAST_EVENT,
     "running_total": SQL_RUNNING_TOTAL,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "orders_semi_events": SQL_ORDERS_SEMI_EVENTS,
+    "orders_anti_events": SQL_ORDERS_ANTI_EVENTS,
 }

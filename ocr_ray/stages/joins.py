@@ -182,6 +182,69 @@ def auto_join(
     return hash_join(left, right, on=on, right_on=right_on, join_type=join_type)
 
 
+def semi_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    broadcast_limit: int = BROADCAST_BYTES,
+) -> ray.data.Dataset:
+    """EXISTS (semi) / NOT EXISTS (anti) filter of ``left`` by key
+    membership in ``right`` — the join variants a filter pushes through
+    instead of materializing a join payload.
+
+    Size-planned like auto_join: the DISTINCT right key set is computed
+    distributed (groupby aggregate); when provably small it broadcasts as
+    a value set and every left batch filters with one vectorized
+    ``pc.is_in`` (no shuffle of ``left`` at all — the common case: a
+    blocklist, an id allowlist, a seen-set).  A large key set falls back
+    to a hash-partitioned left_outer join against the distinct keys plus
+    a marker column, filtering on marker presence."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    key = right_on or on
+    distinct = (
+        right.groupby(key)
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda b: b.select([key]), batch_format="pyarrow")
+        .materialize()
+    )
+    size = distinct.size_bytes()
+    if size is not None and size <= broadcast_limit:
+        tbl = _collect_small(distinct)
+        vals_ref = ray.put(tbl.column(key).combine_chunks() if tbl is not None else None)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            vs = ray.get(vals_ref)
+            if vs is None:  # empty right: semi keeps nothing, anti everything
+                mask = pa.array([anti] * batch.num_rows, pa.bool_())
+            else:
+                mask = pc.is_in(batch.column(on), value_set=vs)
+                if anti:
+                    mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    marker = distinct.map_batches(
+        lambda b: b.append_column(
+            "__hit", pa.array([1] * b.num_rows, pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, marker, on=on, right_on=key, join_type="left_outer")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hit = pc.is_valid(batch.column("__hit"))
+        return batch.filter(pc.invert(hit) if anti else hit).drop_columns(["__hit"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
 def _default_buckets() -> int:
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return 8 * max(4, cpus)

@@ -141,3 +141,45 @@ def test_events_range_join_counts(ray_session, tmp_path):
     assert out.loc[3, "n_follow"] == 1
     assert out.loc[4, "n_follow"] == 0
     assert out.loc[5, "n_follow"] == 0
+
+
+def test_semi_anti_join_broadcast_and_shuffle_paths(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.joins import semi_anti_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array(list("abcd"))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 4, 4], pa.int64())})  # dup key: distinct first
+    )
+    semi = semi_anti_join(left, right, on="k", right_on="rk").to_pandas()
+    anti = semi_anti_join(left, right, on="k", right_on="rk", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3]
+    # forced shuffle path (broadcast_limit=0): same answers, marker dropped
+    semi2 = semi_anti_join(
+        left, right, on="k", right_on="rk", broadcast_limit=0
+    ).to_pandas()
+    anti2 = semi_anti_join(
+        left, right, on="k", right_on="rk", anti=True, broadcast_limit=0
+    ).to_pandas()
+    assert sorted(semi2["k"]) == [2, 4] and "__hit" not in semi2.columns
+    assert sorted(anti2["k"]) == [1, 3] and "__hit" not in anti2.columns
+
+
+def test_semi_anti_join_empty_right(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.joins import semi_anti_join
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert semi_anti_join(left, right, on="k").count() == 0
+    assert sorted(
+        semi_anti_join(left, right, on="k", anti=True).to_pandas()["k"]
+    ) == [1, 2]
