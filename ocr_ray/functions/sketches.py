@@ -118,3 +118,49 @@ def mg_merge(a: dict, b: dict, k: int = 64) -> dict:
 def mg_topk(summary: dict, n: int) -> list:
     """Top-n (item, lower-bound count) pairs, count desc then item asc."""
     return sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership set — the incremental-dedup seen-set)
+# ---------------------------------------------------------------------------
+#
+# Deterministic double hashing (Kirsch-Mitzenmacher 2006, public algorithm)
+# over the same seedless sha1 as the HLL: h_i = h1 + i*h2.  Bitsets merge by
+# OR, so per-shard partials compose; no false negatives, FPR ~ (1-e^{-kn/m})^k.
+
+BLOOM_BITS = 1 << 20   # 128 KiB bitset
+BLOOM_K = 7
+
+
+def bloom_empty() -> np.ndarray:
+    return np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+
+
+def _bloom_positions(values) -> np.ndarray:
+    h = _hash64(values)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def bloom_add(bits: np.ndarray, values) -> np.ndarray:
+    if not len(values):
+        return bits
+    pos = _bloom_positions(values).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, values) -> np.ndarray:
+    """Vectorized membership test: True = possibly present (no false
+    negatives), False = definitely absent."""
+    if not len(values):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(values)
+    present = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return present.all(axis=0).astype(bool)
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)

@@ -88,3 +88,26 @@ def test_misra_gries_merge_matches_single_pass_guarantee():
     assert "x" in merged
     assert 900 - 2 * n / k <= merged["x"] <= 900  # additive error across merges
     assert len(merged) <= 2 * k  # bounded summary
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    import numpy as np
+
+    from ocr_ray.functions import sketches
+
+    seen = ["url-%d" % i for i in range(20000)]
+    bits = sketches.bloom_add(sketches.bloom_empty(), seen)
+    assert sketches.bloom_contains(bits, seen).all()  # no false negatives
+    fresh = ["other-%d" % i for i in range(20000)]
+    fpr = sketches.bloom_contains(bits, fresh).mean()
+    # m=2^20, k=7, n=20k -> theoretical FPR ~ 2e-6; allow generous slack
+    assert fpr < 0.001, fpr
+
+
+def test_bloom_merge_is_union():
+    from ocr_ray.functions import sketches
+
+    a = sketches.bloom_add(sketches.bloom_empty(), ["a%d" % i for i in range(500)])
+    b = sketches.bloom_add(sketches.bloom_empty(), ["b%d" % i for i in range(500)])
+    m = sketches.bloom_merge(a, b)
+    assert sketches.bloom_contains(m, ["a1", "b1", "a499", "b499"]).all()
