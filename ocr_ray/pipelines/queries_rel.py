@@ -239,6 +239,90 @@ SQL_ORDERS_ANTI_EVENTS = (
 )
 
 
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered event-sequence matching per user)
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Per-user ordered funnel view -> click -> purchase: how many users
+    reach each step with STRICTLY increasing timestamps (the classic
+    behavioral-sequence operator; not expressible as a plain groupby).
+
+    Scale shape: one user-hash-bucketed shuffle, then a vectorized
+    in-task kernel per bucket — per-user first-view via min-reduceat,
+    then per-type masked minima chained through np.searchsorted user
+    lookups; no per-user Python, no joins.  The driver folds #buckets
+    partial step-count rows."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_buckets = 64
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_us"] = df["ts"].astype("int64")
+        return joins._add_key_bucket(
+            df[["user_id", "ts_us", "event_type"]], key="user_id",
+            n_buckets=n_buckets,
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False).astype("int64")
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        users = np.unique(uid)
+        # per-user reach time of the previous step (start: -inf)
+        reach = np.full(len(users), np.iinfo("int64").min, dtype="int64")
+        alive = np.ones(len(users), dtype=bool)
+        counts = []
+        for step in _FUNNEL:
+            m = et == step
+            su, st = uid[m], ts[m]
+            pos = np.searchsorted(users, su)
+            # events of this type strictly after the user's previous reach,
+            # for users still in the funnel
+            ok = alive[pos] & (st > reach[pos])
+            nxt = np.full(len(users), np.iinfo("int64").max, dtype="int64")
+            np.minimum.at(nxt, pos[ok], st[ok])
+            alive = alive & (nxt != np.iinfo("int64").max)
+            reach = nxt
+            counts.append(int(alive.sum()))
+        return pa.table(
+            {
+                "step": pa.array(list(_FUNNEL), pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_FUNNEL = (
+    "WITH a AS (SELECT user_id, min(ts) AS t FROM events"
+    " WHERE event_type = 'view' GROUP BY 1),"
+    " b AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+    " JOIN a ON e.user_id = a.user_id AND e.ts > a.t"
+    " WHERE e.event_type = 'click' GROUP BY 1),"
+    " c AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+    " JOIN b ON e.user_id = b.user_id AND e.ts > b.t"
+    " WHERE e.event_type = 'purchase' GROUP BY 1)"
+    " SELECT 'view' AS step, count(*) AS n_users FROM a"
+    " UNION ALL SELECT 'click', count(*) FROM b"
+    " UNION ALL SELECT 'purchase', count(*) FROM c"
+)
+
+
 REL_QUERIES = {
     "lineitem_order_join": q_lineitem_order_join,
     "asof_last_event": q_asof_last_event,
@@ -247,6 +331,7 @@ REL_QUERIES = {
     "events_range_join": q_events_range_join,
     "orders_semi_events": q_orders_semi_events,
     "orders_anti_events": q_orders_anti_events,
+    "events_funnel": q_events_funnel,
 }
 
 REL_ORACLE_SQL = {
@@ -256,4 +341,5 @@ REL_ORACLE_SQL = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "orders_semi_events": SQL_ORDERS_SEMI_EVENTS,
     "orders_anti_events": SQL_ORDERS_ANTI_EVENTS,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

@@ -183,3 +183,36 @@ def test_semi_anti_join_empty_right(ray_session):
     assert sorted(
         semi_anti_join(left, right, on="k", anti=True).to_pandas()["k"]
     ) == [1, 2]
+
+
+def test_events_funnel_strict_ordering(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_rel import q_events_funnel
+
+    base = 1_700_000_000_000_000
+    s = 1_000_000
+    rows = [
+        # user 1: view < click < purchase -> completes
+        (1, base + 1 * s, "view"), (1, base + 2 * s, "click"), (1, base + 3 * s, "purchase"),
+        # user 2: click BEFORE view, purchase after view but no click after
+        # view -> reaches view only
+        (2, base + 1 * s, "click"), (2, base + 2 * s, "view"), (2, base + 3 * s, "purchase"),
+        # user 3: view only
+        (3, base + 1 * s, "view"),
+        # user 4: no view -> never enters
+        (4, base + 1 * s, "click"), (4, base + 2 * s, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_events_funnel(str(tmp_path)).to_pandas().set_index("step")["n_users"]
+    assert out["view"] == 3
+    assert out["click"] == 1
+    assert out["purchase"] == 1
