@@ -323,6 +323,86 @@ SQL_EVENTS_FUNNEL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# OLAP reshapes: pivot (long -> wide) and rollup (hierarchical totals)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Long -> wide pivot: per-user event counts, one column per event
+    type.  Map-side partial pivot per batch (vectorized pandas crosstab
+    shape), then ONE groupby(user) summing the already-wide partials —
+    the pivot never shuffles long rows."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        wide = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .reindex(columns=list(_EVENT_TYPES), fill_value=0)
+            .reset_index()
+        )
+        wide.columns = ["user_id"] + ["n_%s" % t for t in _EVENT_TYPES]
+        for c in wide.columns:
+            wide[c] = wide[c].astype("int64")
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    aggs = [Sum("n_%s" % t, alias_name="n_%s" % t) for t in _EVENT_TYPES]
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id"
+    ).aggregate(*aggs)
+
+
+SQL_EVENTS_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(
+        "CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_{t}".format(t=t)
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def q_docs_rollup(sf_dir: str):
+    """Hierarchical totals (GROUP BY ROLLUP (source, lang)): per-(source,
+    lang) counts, per-source subtotals, and a grand total in one result —
+    the OLAP rollup, built from ONE fine-grained groupby whose small
+    output re-aggregates locally (coarser levels never rescan the
+    corpus).  NULL grouping keys are encoded as '*' so the hash compare
+    is null-free."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["source", "lang"], sort=False).size()
+        out = df.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # distinct (source, lang) pairs only — tiny
+    )
+    sub = fine.groupby("source", as_index=False)["n"].sum()
+    sub["lang"] = "*"
+    total = pd.DataFrame({"source": ["*"], "lang": ["*"], "n": [fine["n"].sum()]})
+    out = pd.concat([fine, sub, total], ignore_index=True)[["source", "lang", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_DOCS_ROLLUP = (
+    "SELECT coalesce(source, '*') AS source, coalesce(lang, '*') AS lang,"
+    " count(*) AS n FROM documents GROUP BY ROLLUP (source, lang)"
+)
+
+
 REL_QUERIES = {
     "lineitem_order_join": q_lineitem_order_join,
     "asof_last_event": q_asof_last_event,
@@ -332,6 +412,8 @@ REL_QUERIES = {
     "orders_semi_events": q_orders_semi_events,
     "orders_anti_events": q_orders_anti_events,
     "events_funnel": q_events_funnel,
+    "events_pivot": q_events_pivot,
+    "docs_rollup": q_docs_rollup,
 }
 
 REL_ORACLE_SQL = {
@@ -342,4 +424,6 @@ REL_ORACLE_SQL = {
     "orders_semi_events": SQL_ORDERS_SEMI_EVENTS,
     "orders_anti_events": SQL_ORDERS_ANTI_EVENTS,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "docs_rollup": SQL_DOCS_ROLLUP,
 }

@@ -216,3 +216,41 @@ def test_events_funnel_strict_ordering(ray_session, tmp_path):
     assert out["view"] == 3
     assert out["click"] == 1
     assert out["purchase"] == 1
+
+
+def test_events_pivot_counts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_rel import q_events_pivot
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["view", "view", "click", "purchase"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_events_pivot(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_view"] == 2 and out.loc[1, "n_click"] == 1
+    assert out.loc[1, "n_purchase"] == 0
+    assert out.loc[2, "n_purchase"] == 1 and out.loc[2, "n_view"] == 0
+
+
+def test_docs_rollup_levels(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_rel import q_docs_rollup
+
+    t = pa.table(
+        {
+            "source": pa.array(["s0", "s0", "s1"]),
+            "lang": pa.array(["en", "fr", "en"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_docs_rollup(str(tmp_path)).set_index(["source", "lang"])["n"]
+    assert out[("s0", "en")] == 1 and out[("s0", "fr")] == 1
+    assert out[("s0", "*")] == 2 and out[("s1", "*")] == 1
+    assert out[("*", "*")] == 3
