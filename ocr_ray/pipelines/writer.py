@@ -1,0 +1,161 @@
+"""Generic resumable partitioned writer — the extraction write path
+(pipelines/extraction.py:200-243) generalized to ANY keyed Dataset, so
+curation outputs (dedup winners, filtered corpora, per-source samples) get
+the same guarantees the extraction output has:
+
+- output lands as ``partition_id=N/`` parquet directories (key-hash
+  partitioned, deterministic), never one giant file;
+- each finished partition commits a lineage manifest row (rows, key
+  digest) atomically AFTER its files land (state/manifest.py);
+- a rerun skips committed partitions with a map-side filter against the
+  broadcast done-set (no driver scan of prior output), deletes debris of
+  partitions that died between write and commit, and recomputes only the
+  missing key ranges.
+
+The per-partition stats fold in the SAME pipeline pass as the write (one
+tiny (pid, n_rows, key_sum) partial per task, one groupby) — only
+``<= n_partitions`` stat rows ever reach the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..state import manifest as mf
+
+_U64 = (1 << 64) - 1
+
+
+def _key_partition_ids(col: pa.ChunkedArray, n_partitions: int) -> np.ndarray:
+    """Deterministic partition ids for an int or string key column
+    (Knuth multiplicative hash for ints, crc32 for strings — never
+    Python's salted hash)."""
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((vals * np.uint64(2654435761)) % n_partitions).astype(np.int64)
+    return np.array(
+        [zlib.crc32(str(v).encode("utf-8")) % n_partitions for v in col.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+def _key_sum(col) -> int:
+    """Order-insensitive, duplicate-sensitive key digest (sum of crc32s
+    mod 2^64 — manifest.combine_digests' combine rule)."""
+    acc = 0
+    for v in col.to_pylist():
+        acc = (acc + zlib.crc32(str(v).encode("utf-8"))) & _U64
+    return acc
+
+
+def write_partitioned(
+    ds: ray.data.Dataset,
+    output_dir: str,
+    *,
+    key: str,
+    n_partitions: int = 64,
+) -> dict:
+    """Write ``ds`` as resumable key-partitioned parquet.  Returns
+    ``{"written": rows_written_this_run, "skipped_partitions": N}``."""
+    mf.purge_mismatched(output_dir, n_partitions)
+    done = set(mf.completed_partitions(output_dir, n_partitions=n_partitions))
+    _clean_debris(output_dir, committed=done)
+    done_ref = ray.put(frozenset(done))
+
+    def assign_and_skip(batch: pa.Table) -> pa.Table:
+        pids = _key_partition_ids(batch.column(key), n_partitions)
+        batch = batch.append_column("__pid", pa.array(pids, pa.int64()))
+        skip = ray.get(done_ref)
+        if skip:
+            keep = np.array([p not in skip for p in pids], dtype=bool)
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    def write_files(batch: pa.Table) -> pa.Table:
+        pids = batch.column("__pid").to_numpy(zero_copy_only=False)
+        out_pid, out_rows, out_sum = [], [], []
+        for pid in np.unique(pids):
+            part = batch.filter(pa.array(pids == pid)).drop_columns(["__pid"])
+            ks = _key_sum(part.column(key))
+            pdir = os.path.join(output_dir, "partition_id={}".format(int(pid)))
+            os.makedirs(pdir, exist_ok=True)
+            # content-derived file name: a retried task overwrites its own
+            # file instead of duplicating rows
+            fname = "part-{:016x}-{}.parquet".format(ks, part.num_rows)
+            pq.write_table(part, os.path.join(pdir, fname))
+            out_pid.append(int(pid))
+            out_rows.append(part.num_rows)
+            out_sum.append(ks)
+        return pa.table(
+            {
+                "partition_id": pa.array(out_pid, pa.int64()),
+                "n_rows": pa.array(out_rows, pa.int64()),
+                "key_sum": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        pid = group.column("partition_id")[0].as_py()
+        n = sum(group.column("n_rows").to_pylist())
+        s = sum(group.column("key_sum").to_pylist()) & _U64
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+                "key_sum": pa.array([s], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(assign_and_skip, batch_format="pyarrow")
+        .map_batches(write_files, batch_format="pyarrow", batch_size=None)
+        .groupby("partition_id")
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()  # <= n_partitions rows
+    )
+    written = 0
+    for r in stats:
+        digest = "{:016x}".format(int(r["key_sum"]) & _U64)
+        mf.commit_partition(
+            output_dir,
+            int(r["partition_id"]),
+            n_docs=int(r["n_rows"]),
+            input_digest=digest,
+            output_digest=digest,
+            n_partitions=n_partitions,
+        )
+        written += int(r["n_rows"])
+    return {"written": written, "skipped_partitions": len(done)}
+
+
+def _clean_debris(output_dir: str, *, committed=frozenset()) -> int:
+    if not os.path.isdir(output_dir):
+        return 0
+    removed = 0
+    for name in os.listdir(output_dir):
+        if not name.startswith("partition_id="):
+            continue
+        if int(name.split("=", 1)[1]) not in committed:
+            shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
+            removed += 1
+    return removed
+
+
+def read_partitioned(output_dir: str) -> pa.Table:
+    """All committed partitions back as one Arrow table (test-scale
+    helper; at scale, ``ray.data.read_parquet(output_dir)`` streams it)."""
+    parts = []
+    for pid in sorted(mf.completed_partitions(output_dir)):
+        pdir = os.path.join(output_dir, "partition_id={}".format(pid))
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                parts.append(pq.read_table(os.path.join(pdir, f)))
+    return pa.concat_tables(parts) if parts else pa.table({})

@@ -1,0 +1,71 @@
+"""Generic resumable partitioned writer (ocr_ray.pipelines.writer)."""
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ocr_ray.pipelines import writer
+from ocr_ray.state import manifest as mf
+
+
+def _docs(n=200):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["t%d" % i for i in range(n)]),
+            }
+        )
+    )
+
+
+def test_write_read_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "o")
+    r = writer.write_partitioned(_docs(), out, key="doc_id", n_partitions=8)
+    assert r == {"written": 200, "skipped_partitions": 0}
+    back = writer.read_partitioned(out)
+    assert back.num_rows == 200
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(200))
+    assert len(mf.completed_partitions(out, n_partitions=8)) == 8
+
+
+def test_resume_skips_committed_and_recomputes_missing(ray_session, tmp_path):
+    import shutil
+
+    out = str(tmp_path / "o")
+    writer.write_partitioned(_docs(), out, key="doc_id", n_partitions=8)
+    # wipe 3 partitions (files + manifest entries)
+    for pid in (1, 4, 6):
+        shutil.rmtree(os.path.join(out, "partition_id=%d" % pid))
+        mf.invalidate_partition(out, pid)
+    r = writer.write_partitioned(_docs(), out, key="doc_id", n_partitions=8)
+    assert r["skipped_partitions"] == 5
+    # exactly the missing rows were rewritten
+    expect_missing = sum(
+        1 for i in range(200) if (i * 2654435761) % 8 in (1, 4, 6)
+    )
+    assert r["written"] == expect_missing
+    back = writer.read_partitioned(out)
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(200))
+
+
+def test_uncommitted_debris_cleaned(ray_session, tmp_path):
+    out = str(tmp_path / "o")
+    writer.write_partitioned(_docs(), out, key="doc_id", n_partitions=4)
+    # simulate a run killed between write and commit: files exist, no entry
+    mf.invalidate_partition(out, 2)
+    r = writer.write_partitioned(_docs(), out, key="doc_id", n_partitions=4)
+    assert r["skipped_partitions"] == 3
+    back = writer.read_partitioned(out)
+    assert back.num_rows == 200  # no duplicated rows from the debris
+
+
+def test_string_key_partitioning(ray_session, tmp_path):
+    out = str(tmp_path / "o")
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(["u%d" % i for i in range(50)])})
+    )
+    r = writer.write_partitioned(ds, out, key="url", n_partitions=4)
+    assert r["written"] == 50
+    assert writer.read_partitioned(out).num_rows == 50
