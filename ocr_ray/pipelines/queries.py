@@ -455,11 +455,13 @@ from .queries_ext import EXT_ORACLE_SQL, EXT_QUERIES  # noqa: E402
 from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 from .queries_cur import CUR_ORACLE_SQL, CUR_QUERIES  # noqa: E402
 from .queries_cc import CC_ORACLE_SQL, CC_QUERIES  # noqa: E402
+from .queries_graph import GRAPH_ORACLE_SQL, GRAPH_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(REL_QUERIES)
 QUERIES.update(CUR_QUERIES)
 QUERIES.update(CC_QUERIES)
+QUERIES.update(GRAPH_QUERIES)
 
 ORACLE_SQL = {
     "extract_identity": SQL_EXTRACT_IDENTITY,
@@ -480,6 +482,7 @@ ORACLE_SQL.update(EXT_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(CUR_ORACLE_SQL)
 ORACLE_SQL.update(CC_ORACLE_SQL)
+ORACLE_SQL.update(GRAPH_ORACLE_SQL)
 # exploded reassembly reproduces the same identity contract as the fused
 # path (registered here because queries_cur cannot import queries at load)
 ORACLE_SQL["extract_exploded"] = SQL_EXTRACT_IDENTITY
