@@ -178,7 +178,11 @@ def q_events_range_join(sf_dir: str):
         span = (ts.max() - ts.min() + _FOLLOW_US + 1) if len(ts) else 1
         adj = ts - (ts.min() if len(ts) else 0) + seg * span
         hi = np.searchsorted(adj, adj + _FOLLOW_US, side="right")
-        n_follow = hi - np.arange(len(adj)) - 1
+        # strict lower boundary: same-user events at the SAME timestamp are
+        # not "followers" (SQL contract b.ts > a.ts) — position-based
+        # `index + 1` would count one of each equal-ts pair
+        lo = np.searchsorted(adj, adj, side="right")
+        n_follow = hi - lo
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),

@@ -1,0 +1,97 @@
+"""Property tests: the vectorized batch kernels vs brute-force Python
+references on random inputs (hypothesis)."""
+
+import collections
+
+import hypothesis
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+
+words = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "e f".replace(" ", ""), "gg"]),
+    min_size=1,
+    max_size=12,
+)
+texts = st.lists(words.map(" ".join), min_size=1, max_size=8)
+
+
+@hypothesis.given(texts)
+@hypothesis.settings(max_examples=60, deadline=None)
+def test_repetition_signals_match_bruteforce(ts):
+    from ocr_ray.pipelines.queries_cc import _repetition_signals
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(ts)), pa.int64()),
+            "text": pa.array(ts, pa.string()),
+        }
+    )
+    out = _repetition_signals(batch).to_pandas()
+    for i, t in enumerate(ts):
+        ws = t.split(" ")
+        n = len(ws)
+        top_w = collections.Counter(ws).most_common(1)[0][1]
+        bigrams = [" ".join(ws[j : j + 2]) for j in range(n - 1)]
+        top_b = collections.Counter(bigrams).most_common(1)[0][1] if bigrams else 0
+        r = out.iloc[i]
+        assert r["n_words"] == n
+        assert abs(r["distinct_word_frac"] - round(len(set(ws)) / n, 4)) < 1e-9
+        assert abs(r["top_word_frac"] - round(top_w / n, 4)) < 1e-9
+        want_b = round(top_b / (n - 1), 4) if n > 1 else 0.0
+        assert abs(r["top_bigram_frac"] - want_b) < 1e-9
+
+
+@hypothesis.given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (user, ts seconds)
+        min_size=1,
+        max_size=40,
+    )
+)
+@hypothesis.settings(max_examples=60, deadline=None)
+def test_range_join_kernel_matches_bruteforce(rows):
+    # replicate q_events_range_join's per-bucket kernel on one bucket
+    from ocr_ray.pipelines.queries_rel import _FOLLOW_US
+
+    s = 1_000_000
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] * s for r in rows], dtype=np.int64)
+    eid = np.arange(len(rows), dtype=np.int64)
+    group = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+        }
+    )
+    # import the inner kernel via the query module's closure equivalent
+    order = np.lexsort((ts, uid))
+    u, t, e = uid[order], ts[order], eid[order]
+    seg = np.r_[0, np.cumsum(u[1:] != u[:-1])]
+    span = (t.max() - t.min() + _FOLLOW_US + 1) if len(t) else 1
+    adj = t - t.min() + seg * span
+    hi = np.searchsorted(adj, adj + _FOLLOW_US, side="right")
+    lo = np.searchsorted(adj, adj, side="right")
+    got = dict(zip(e.tolist(), (hi - lo).tolist()))
+    for i in range(len(rows)):
+        want = sum(
+            1
+            for j in range(len(rows))
+            if uid[j] == uid[i] and ts[i] < ts[j] <= ts[i] + _FOLLOW_US
+        )
+        assert got[i] == want, (i, rows)
+
+
+@hypothesis.given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6), min_size=1, max_size=30))
+@hypothesis.settings(max_examples=60, deadline=None)
+def test_word_dims_matches_python_fold(ws):
+    from ocr_ray.pipelines.queries_cc import _EMBED_DIM, _HASH_MOD, _word_dims
+
+    got = _word_dims(ws)
+    for w, g in zip(ws, got):
+        cps = [ord(c) for c in w]
+        h = cps[0]
+        for c in cps[1:]:
+            h = (h * 31 + c) % _HASH_MOD
+        assert g == h % _EMBED_DIM
