@@ -95,3 +95,58 @@ def test_word_dims_matches_python_fold(ws):
         for c in cps[1:]:
             h = (h * 31 + c) % _HASH_MOD
         assert g == h % _EMBED_DIM
+
+
+@hypothesis.given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 50),
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@hypothesis.settings(max_examples=40, deadline=None)
+def test_funnel_matches_bruteforce(rows):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_rel import _FUNNEL, q_events_funnel
+
+    base = 1_700_000_000_000_000
+    s = 1_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] * s for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+    def brute():
+        by_user = {}
+        for u, sec, et in rows:
+            by_user.setdefault(u, []).append((sec, et))
+        counts = {step: 0 for step in _FUNNEL}
+        for evs in by_user.values():
+            reach = -1
+            ok = True
+            for step in _FUNNEL:
+                cand = [sec for sec, et in evs if et == step and sec > reach]
+                if not ok or not cand:
+                    ok = False
+                    continue
+                reach = min(cand)
+                counts[step] += 1
+        return counts
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = q_events_funnel(d).to_pandas().set_index("step")["n_users"].to_dict()
+    want = brute()
+    for step in _FUNNEL:
+        assert out.get(step, 0) == want[step], (rows, out, want)
