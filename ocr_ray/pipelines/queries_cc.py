@@ -1069,6 +1069,76 @@ SQL_DOC_ZSCORE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# per-group rank (integer-exact percentile primitive via broadcast histogram)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_len_rank(sf_dir: str):
+    """Per-document length rank within its language — (n_less, n_total)
+    integer counts, the exact primitive percentile-based filters threshold
+    on ("drop the shortest 10% per language") without any float contract.
+
+    Scale shape: the len_quantiles value-histogram trick inverted — one
+    small groupby over distinct (lang, n_chars) pairs, per-lang sorted
+    values + cumulative counts broadcast via ray.put (bounded by #langs x
+    #distinct lengths, corpus-size-independent), then a map-side
+    searchsorted per batch.  The corpus itself never shuffles."""
+    hist_src = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "n_chars"]).size().rename("cnt")
+        return pa.Table.from_pandas(df.reset_index(), preserve_index=False)
+
+    hist = (
+        hist_src.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct (lang, length) pairs only
+    )
+    tables = {}
+    for lang, g in hist.sort_values(["lang", "n_chars"]).groupby("lang", sort=False):
+        vals = g["n_chars"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnts)])  # cum[i] = # < vals[i]
+        tables[lang] = (vals, cum[:-1], int(cum[-1]))
+    tables_ref = ray.put(tables)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        tbls = ray.get(tables_ref)
+        langs = batch.column("lang").to_pylist()
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_less = np.empty(len(nc), np.int64)
+        n_total = np.empty(len(nc), np.int64)
+        for lg in set(langs):
+            vals, cum_less, total = tbls[lg]
+            m = np.array([x == lg for x in langs], dtype=bool)
+            idx = np.searchsorted(vals, nc[m])  # exact match guaranteed
+            n_less[m] = cum_less[idx]
+            n_total[m] = total
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_less": pa.array(n_less, pa.int64()),
+                "n_total": pa.array(n_total, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rank, batch_format="pyarrow")
+
+
+SQL_DOC_LEN_RANK = (
+    "SELECT d.doc_id, d.lang,"
+    " CAST(count(*) FILTER (WHERE o.n_chars < d.n_chars) AS BIGINT) AS n_less,"
+    " CAST(count(*) AS BIGINT) AS n_total"
+    " FROM documents d JOIN documents o ON o.lang = d.lang"
+    " GROUP BY d.doc_id, d.lang"
+)
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
@@ -1133,6 +1203,7 @@ CC_QUERIES = {
     "substring_dedup": q_substring_dedup,
     "curation_neardup": q_curation_neardup,
     "doc_zscore": q_doc_zscore,
+    "doc_len_rank": q_doc_len_rank,
 }
 
 CC_ORACLE_SQL = {
@@ -1149,4 +1220,5 @@ CC_ORACLE_SQL = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "curation_neardup": SQL_CURATION_NEARDUP,
     "doc_zscore": SQL_DOC_ZSCORE,
+    "doc_len_rank": SQL_DOC_LEN_RANK,
 }

@@ -345,3 +345,21 @@ def test_doc_zscore_known_values(ray_session, tmp_path):
     assert out.loc[0, "z_len"] == -1.0
     assert out.loc[1, "z_len"] == 1.0
     assert out.loc[2, "z_len"] == 0.0
+
+
+def test_doc_len_rank_known_values(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "lang": pa.array(["en", "en", "en", "fr"], pa.string()),
+            "n_chars": pa.array([10, 20, 20, 7], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cc.q_doc_len_rank(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_less"] == 0 and out.loc[0, "n_total"] == 3
+    # ties: both 20-char docs have exactly one shorter doc
+    assert out.loc[1, "n_less"] == 1 and out.loc[2, "n_less"] == 1
+    assert out.loc[3, "n_less"] == 0 and out.loc[3, "n_total"] == 1
