@@ -33,25 +33,58 @@ _RANK_BASE = 1_000_000
 
 
 def _explode_paragraphs(batch: pa.Table) -> pa.Table:
-    ids, pidx, pars, ranks = [], [], [], []
-    for did, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        words = (text or "").split(" ")
-        for i in range(0, len(words), PAR_WORDS):
-            par = " ".join(words[i : i + PAR_WORDS])
-            if not par:
-                continue
-            ids.append(did)
-            pidx.append(i // PAR_WORDS)
-            pars.append(par)
-            ranks.append(did * _RANK_BASE + i // PAR_WORDS)
+    """Non-overlapping 10-word paragraph explode, vectorized: one
+    ``pc.list_slice`` + ``pc.binary_join`` per PARAGRAPH SLOT (a handful of
+    Arrow kernel calls per batch, never a Python loop over rows), plus a
+    128-bit paragraph content hash (functions/strhash.py) for the winner
+    shuffle key."""
+    import pyarrow.compute as pc
+
+    from ..functions import strhash
+
+    text = pc.fill_null(batch.column("text"), "")
+    split = pc.split_pattern(text, " ").combine_chunks()
+    sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    max_paras = int(-(-sizes.max() // PAR_WORDS)) if sizes.size else 0
+    id_parts, pidx_parts, par_parts = [], [], []
+    for k in range(max_paras):
+        par_k = pc.binary_join(
+            pc.list_slice(split, k * PAR_WORDS, (k + 1) * PAR_WORDS), " "
+        )
+        mask = (sizes > k * PAR_WORDS) & (
+            np.asarray(pc.not_equal(par_k, "").to_numpy(zero_copy_only=False))
+        )
+        if not mask.any():
+            continue
+        id_parts.append(doc_ids[mask])
+        pidx_parts.append(np.full(int(mask.sum()), k, np.int64))
+        par_parts.append(par_k.filter(pa.array(mask)))
+    if not id_parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pidx": pa.array([], pa.int64()),
+                "par": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "par_h": pa.array([], pa.binary()),
+            }
+        )
+    ids = np.concatenate(id_parts)
+    pidx = np.concatenate(pidx_parts)
+    pars = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in par_parts]
+    )
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
             "pidx": pa.array(pidx, pa.int64()),
-            "par": pa.array(pars, pa.string()),
-            "rank": pa.array(ranks, pa.int64()),
+            "par": pars,
+            "rank": pa.array(ids * _RANK_BASE + pidx, pa.int64()),
+            "par_h": strhash.pack_u64_pair(
+                strhash.hash_strings_u64(pars, strhash.SEED_A),
+                strhash.hash_strings_u64(pars, strhash.SEED_B),
+            ),
         }
     )
 
@@ -59,30 +92,29 @@ def _explode_paragraphs(batch: pa.Table) -> pa.Table:
 def paragraph_dedup(docs: ray.data.Dataset, *, n_buckets: int = 64) -> ray.data.Dataset:
     """Corpus-wide paragraph dedup, the CCNet shape: explode -> winner per
     distinct paragraph (groupby + native Min aggregate, vectorized combine)
-    -> size-planned join back -> keep first occurrences -> bucketed
-    per-document reassembly.
+    -> int-keyed semi-join back -> bucketed per-document reassembly.
 
-    Scale shape: two shuffles (winner aggregate, reassembly) plus one join
-    whose sides are both corpus-proportional — auto_join broadcasts the
-    winner table only when provably small, else hash-partitions.  At 100 TB
-    you would key the join by a 128-bit content hash instead of the
-    paragraph text to shrink shuffle payloads; the string key here keeps
-    the oracle comparison exact.
+    Scale shape: the winner aggregate shuffles only (par_h, rank) — a
+    128-bit content hash plus an int64, never the paragraph text — and the
+    join back is a SEMI join on the int64 ``rank`` (winner ranks uniquely
+    encode (doc, pidx), so rank-membership == "this occurrence won"); the
+    text only crosses the final doc-bucketed reassembly shuffle, which is
+    the output payload itself.  The SQL oracle stays text-keyed — exact
+    unless two DISTINCT paragraphs collide in both 64-bit hash lanes
+    (~n^2/2^129).
 
     Documents whose every paragraph lost (all first seen elsewhere) drop
     out of the result — the contract the SQL oracle mirrors.
     """
-    import pyarrow.compute as pc
+    from ..stages.joins import semi_anti_join
 
     pars = docs.map_batches(_explode_paragraphs, batch_format="pyarrow")
-    winners = pars.groupby("par").aggregate(Min("rank", alias_name="mr"))
-
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch.column("rank"), batch.column("mr")))
-
-    kept = auto_join(pars, winners, on="par").map_batches(
-        keep_winners, batch_format="pyarrow"
+    winners = (
+        pars.select_columns(["par_h", "rank"])
+        .groupby("par_h")
+        .aggregate(Min("rank", alias_name="mr"))
     )
+    kept = semi_anti_join(pars, winners, on="rank", right_on="mr")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         return _add_key_bucket(
@@ -763,6 +795,51 @@ SQL_CRAWL_DIFF = (
 # ---------------------------------------------------------------------------
 
 _WIN_WORDS = 10
+# odd Horner multipliers for the two window-hash lanes
+_WIN_MULT_A = 0xC2B2AE3D27D4EB4F
+_WIN_MULT_B = 0x9E3779B97F4A7C15
+
+
+def _explode_window_hashes(batch: pa.Table) -> pa.Table:
+    """(doc_id, win_h) rows: one 128-bit content hash per OVERLAPPING
+    10-word window, zero Python loops.  Tokens are hashed once per batch
+    VOCABULARY (dictionary-encode + flat-buffer polynomial hash), window
+    hashes are 10 shifted Horner multiply-adds over the whole flat token
+    stream, and windows straddling a row boundary are masked out."""
+    import pyarrow.compute as pc
+
+    from ..functions import strhash
+
+    n = batch.num_rows
+    text = pc.fill_null(batch.column("text"), "")
+    split = pc.split_pattern(text, " ").combine_chunks()
+    sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+    enc = split.flatten().dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "win_h": pa.array([], pa.binary())}
+    )
+    total = codes.size
+    if total < _WIN_WORDS:
+        return empty
+    ta = strhash.hash_strings_u64(enc.dictionary, strhash.SEED_A)[codes]
+    tb = strhash.hash_strings_u64(enc.dictionary, strhash.SEED_B)[codes]
+    ha = strhash.window_hashes_u64(ta, _WIN_WORDS, _WIN_MULT_A)
+    hb = strhash.window_hashes_u64(tb, _WIN_WORDS, _WIN_MULT_B)
+    nw = ha.size
+    row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(sizes)])[:-1]
+    pos_in_row = np.arange(total, dtype=np.int64) - starts[row_of]
+    valid = pos_in_row[:nw] + _WIN_WORDS <= sizes[row_of[:nw]]
+    if not valid.any():
+        return empty
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[row_of[:nw][valid]], pa.int64()),
+            "win_h": strhash.pack_u64_pair(ha[valid], hb[valid]),
+        }
+    )
 
 
 def q_substring_dedup(sf_dir: str):
@@ -773,39 +850,28 @@ def q_substring_dedup(sf_dir: str):
     overlapping windows, rewrites text) — this one only measures, which
     is the signal a filter thresholds on.
 
-    Scale shape: explode -> one groupby(window) count -> size-planned join
-    back -> one groupby(doc) with native Sum/Count.  The window TEXT is
-    the shuffle key to keep the oracle comparison exact; at 100 TB you
-    would key on a 128-bit window hash instead (same note as
-    paragraph_dedup)."""
+    Scale shape: vectorized hash explode -> one groupby(window HASH)
+    count -> size-planned join back -> one groupby(doc) with native
+    Sum/Count.  The shuffle key is a 128-bit window content hash
+    (functions/strhash.py) — fixed 24 bytes per exploded row instead of
+    the ~70-byte window text — so the two all-to-alls move ~1x corpus
+    bytes, not ~8x.  The SQL oracle stays text-keyed: equality of the
+    outputs only breaks on a two-lane 64-bit collision between DISTINCT
+    windows (~n^2/2^129, never at physical corpus sizes)."""
     from ray.data.aggregate import Count
 
-    # wide read: the window-join explode is the CPU-heavy stage; the
-    # groupby shuffles coalesce to a source-sized width instead
+    # wide read: the hash explode is the CPU-heavy stage; the groupby
+    # shuffles coalesce to a hash-row-sized width instead
     docs = read_table(
         sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
     )
-    # exploded window text is ~7x the source bytes (60 windows x ~70 B per
-    # ~300 B doc): size the all-to-alls accordingly
-    shuffle_blocks = table_shuffle_blocks(sf_dir, "documents", scale=8)
+    # exploded rows are ~28 B per word (~6.5 B of source text): ~4x
+    shuffle_blocks = table_shuffle_blocks(sf_dir, "documents", scale=4)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, wins = [], []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            words = (text or "").split(" ")
-            for i in range(len(words) - _WIN_WORDS + 1):
-                ids.append(did)
-                wins.append(" ".join(words[i : i + _WIN_WORDS]))
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "win": pa.array(wins, pa.string())}
-        )
-
-    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    exploded = docs.map_batches(_explode_window_hashes, batch_format="pyarrow")
     counts = (
         exploded.repartition(shuffle_blocks, shuffle=False)
-        .groupby("win")
+        .groupby("win_h")
         .aggregate(Count(alias_name="c"))
     )
 
@@ -816,7 +882,7 @@ def q_substring_dedup(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"), "dup": dup})
 
     return (
-        auto_join(exploded, counts, on="win")
+        auto_join(exploded, counts, on="win_h")
         .map_batches(flag, batch_format="pyarrow")
         .repartition(shuffle_blocks, shuffle=False)
         .groupby("doc_id")

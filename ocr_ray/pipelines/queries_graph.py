@@ -57,53 +57,72 @@ def _edges(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pagerank(sf_dir: str):
-    """5 exact PageRank rounds over the synthesized doc link graph.
+    """5 exact PageRank rounds over the synthesized doc link graph, with
+    the rank table DATASET-RESIDENT throughout (no driver structure
+    proportional to #nodes).
 
-    Scale shape per round: ranks join edges on src (size-planned
-    auto_join — ranks is #nodes rows, broadcast at any realistic node
-    count per partition), one groupby(dst) Sum for the inflow, one
-    map to fold the base mass back in.  The driver holds only the
-    #nodes-row rank table between rounds (at true web scale the rank
-    table stays a Dataset; here the exact contract and the tiny node
-    count make the broadcast the honest plan)."""
+    Scale shape per round: ranks join edges_deg on src via the
+    size-planned ``auto_join`` (ranks broadcasts while #nodes rows stay
+    under the limit, hash-partitions past it), one groupby(dst) Sum for
+    the inflow, one left-outer join against the static node table to
+    fold the base mass back in.  Each round's rank Dataset is
+    ``materialize()``d — the per-iteration barrier every iterative
+    algorithm needs (and what makes ``auto_join``'s size probe free
+    instead of a lineage re-execution)."""
+    import pyarrow.compute as pc
+
     edges = _edges(sf_dir)
     deg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
-    edges_deg = auto_join(edges, deg, on="src")
+    edges_deg = auto_join(edges, deg, on="src").materialize()
 
-    ranks = {v: _R0 for v in range(N_NODES)}
+    nodes = ray.data.range(N_NODES).map_batches(
+        lambda b: pa.table({"node": pc.cast(b.column("id"), pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "r", pa.array(np.full(b.num_rows, _R0, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def shares(batch: pa.Table) -> pa.Table:
+        rs = batch.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        deg_v = batch.column("outdeg").to_numpy(zero_copy_only=False)
+        share = (rs * 85 // 100) // deg_v
+        return pa.table(
+            {"dst": batch.column("dst"), "share": pa.array(share, pa.int64())}
+        )
+
+    def fold_base(batch: pa.Table) -> pa.Table:
+        inflow = pc.fill_null(pc.cast(batch.column("inflow"), pa.int64()), 0)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "r": pc.add(inflow, pa.scalar(_BASE, pa.int64())),
+            }
+        )
+
     for _ in range(N_ITERS):
-        ranks_ref = ray.put(ranks)
-
-        def shares(batch: pa.Table, *, _ref=ranks_ref) -> pa.Table:
-            r = ray.get(_ref)
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            deg_v = batch.column("outdeg").to_numpy(zero_copy_only=False)
-            rs = np.array([r[int(s)] for s in src], dtype=np.int64)
-            share = (rs * 85 // 100) // deg_v
-            return pa.table(
-                {
-                    "dst": batch.column("dst"),
-                    "share": pa.array(share, pa.int64()),
-                }
-            )
-
         inflow = (
-            edges_deg.map_batches(shares, batch_format="pyarrow")
+            auto_join(edges_deg, ranks, on="src", right_on="node")
+            .map_batches(shares, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(Sum("share", alias_name="inflow"))
-            .to_pandas()  # #nodes rows
+            .materialize()  # <= #nodes rows; keeps auto_join's size probe
+            # from re-executing the round's shuffle
         )
-        nxt = {v: _BASE for v in range(N_NODES)}
-        for _, row in inflow.iterrows():
-            nxt[int(row["dst"])] = _BASE + int(row["inflow"])
-        ranks = nxt
+        ranks = (
+            auto_join(nodes, inflow, on="node", right_on="dst", join_type="left_outer")
+            .map_batches(fold_base, batch_format="pyarrow")
+            .materialize()
+        )
 
-    out = sorted(ranks.items())
-    return pa.table(
-        {
-            "node": pa.array([n for n, _ in out], pa.int64()),
-            "rank": pa.array([r for _, r in out], pa.int64()),
-        }
+    return ranks.sort("node").map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "rank": b.column("r")}
+        ),
+        batch_format="pyarrow",
     )
 
 
