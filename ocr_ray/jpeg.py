@@ -286,6 +286,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte: extra 0xFF padding before a marker
+            pos += 1  # (T.81 B.1.1.2) — never a marker id itself
+            continue
+        if marker == 0x00:  # stuffed byte (0xFF00 = literal 0xFF), not a marker
+            pos += 2
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -333,6 +339,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if frame is not None and ns != len(frame[2]):
+                # a legal baseline file may carry MULTIPLE scans that each
+                # cover a component subset; decoding only the first would
+                # silently return zero planes for the rest
+                raise NotImplementedError(
+                    "JPEG multi-scan (non-interleaved) files are not supported: "
+                    "first scan covers {} of {} components".format(ns, len(frame[2]))
+                )
             sel = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -144,6 +144,47 @@ def q_media_features(sf_dir: str):
 _FOLLOW_US = 5 * 60 * 1_000_000  # 5-minute horizon, microseconds
 
 
+def range_join_kernel(uid, ts, eid, horizon):
+    """Per-bucket range-join kernel: for each (uid, ts) row, count same-uid
+    rows with ts in (t, t + horizon].  Returns (eid sorted by (uid, ts),
+    n_follow).
+
+    Fully vectorized: sort by (uid, ts), compact each user's segment onto a
+    disjoint time axis with a PER-USER offset reset (the axis grows with
+    the SUM of user spans — ``seg * global_span`` would overflow int64 once
+    a bucket holds ~300k users over a year of microsecond timestamps), then
+    answer ALL anchors with one global searchsorted.  If even the summed
+    spans approach the int64 axis (pathological), falls back to one
+    searchsorted per user segment."""
+    import numpy as np
+
+    order = np.lexsort((ts, uid))
+    uid, ts, eid = uid[order], ts[order], eid[order]
+    n = len(ts)
+    if n == 0:
+        return eid, np.zeros(0, np.int64)
+    seg = np.r_[0, np.cumsum(uid[1:] != uid[:-1])]
+    starts = np.r_[0, 1 + np.flatnonzero(uid[1:] != uid[:-1])]
+    ends = np.r_[starts[1:] - 1, n - 1]
+    spans = ts[ends] - ts[starts] + horizon + 1
+    if float(spans.astype(np.float64).sum()) >= float(2**62):
+        n_follow = np.empty(n, np.int64)
+        for s, e in zip(starts, np.r_[starts[1:], n]):
+            t = ts[s:e]
+            n_follow[s:e] = np.searchsorted(
+                t, t + horizon, side="right"
+            ) - np.searchsorted(t, t, side="right")
+        return eid, n_follow
+    base = np.r_[np.zeros(1, np.int64), np.cumsum(spans)[:-1]]
+    adj = ts - ts[starts][seg] + base[seg]
+    hi = np.searchsorted(adj, adj + horizon, side="right")
+    # strict lower boundary: same-user events at the SAME timestamp are
+    # not "followers" (SQL contract b.ts > a.ts) — position-based
+    # `index + 1` would count one of each equal-ts pair
+    lo = np.searchsorted(adj, adj, side="right")
+    return eid, hi - lo
+
+
 def q_events_range_join(sf_dir: str):
     """Self range join over events: for every event, count the SAME user's
     events with ts in (t, t + 5 min] — the attribution/window-join shape
@@ -171,21 +212,10 @@ def q_events_range_join(sf_dir: str):
         uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
         eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ts, uid))
-        uid, ts, eid = uid[order], ts[order], eid[order]
-        # disjoint per-user time axes: segment index x (global span + horizon)
-        seg = np.r_[0, np.cumsum(uid[1:] != uid[:-1])]
-        span = (ts.max() - ts.min() + _FOLLOW_US + 1) if len(ts) else 1
-        adj = ts - (ts.min() if len(ts) else 0) + seg * span
-        hi = np.searchsorted(adj, adj + _FOLLOW_US, side="right")
-        # strict lower boundary: same-user events at the SAME timestamp are
-        # not "followers" (SQL contract b.ts > a.ts) — position-based
-        # `index + 1` would count one of each equal-ts pair
-        lo = np.searchsorted(adj, adj, side="right")
-        n_follow = hi - lo
+        eid_sorted, n_follow = range_join_kernel(uid, ts, eid, _FOLLOW_US)
         return pa.table(
             {
-                "event_id": pa.array(eid, pa.int64()),
+                "event_id": pa.array(eid_sorted, pa.int64()),
                 "n_follow": pa.array(n_follow, pa.int64()),
             }
         )

@@ -47,6 +47,17 @@ def _key_partition_ids(col: pa.ChunkedArray, n_partitions: int) -> np.ndarray:
     )
 
 
+def _content_digest(tbl: pa.Table) -> str:
+    """Deterministic 16-hex digest over the table's FULL serialized rows
+    (Arrow IPC stream bytes) — identical content -> identical name."""
+    import hashlib
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return hashlib.sha256(sink.getvalue()).hexdigest()[:16]
+
+
 def _key_sum(col) -> int:
     """Order-insensitive, duplicate-sensitive key digest (sum of crc32s
     mod 2^64 — manifest.combine_digests' combine rule)."""
@@ -81,15 +92,25 @@ def write_partitioned(
 
     def write_files(batch: pa.Table) -> pa.Table:
         pids = batch.column("__pid").to_numpy(zero_copy_only=False)
+        try:
+            task_id = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            task_id = "driver"
         out_pid, out_rows, out_sum = [], [], []
         for pid in np.unique(pids):
             part = batch.filter(pa.array(pids == pid)).drop_columns(["__pid"])
             ks = _key_sum(part.column(key))
             pdir = os.path.join(output_dir, "partition_id={}".format(int(pid)))
             os.makedirs(pdir, exist_ok=True)
-            # content-derived file name: a retried task overwrites its own
-            # file instead of duplicating rows
-            fname = "part-{:016x}-{}.parquet".format(ks, part.num_rows)
+            # file name = task id + digest over the FULL row bytes: a
+            # retried task (same task id, same content) overwrites its own
+            # file, while two DIFFERENT blocks that happen to share a key
+            # multiset and row count (common for low-cardinality string
+            # keys) land as distinct files instead of silently clobbering
+            content = _content_digest(part)
+            fname = "part-{}-{}-{}.parquet".format(
+                task_id[:12], content, part.num_rows
+            )
             pq.write_table(part, os.path.join(pdir, fname))
             out_pid.append(int(pid))
             out_rows.append(part.num_rows)

@@ -6,9 +6,10 @@ these are the standard shapes a data-processing engine owes its users:
 - :func:`hash_join` — both-sides-large equi-join via ``Dataset.join``
   (hash-partitioned on the key; ``num_partitions`` is the shuffle fan-out).
 - :func:`asof_join` — sort-merge as-of: tag + union both sides, ONE
-  ``groupby(key)`` shuffle, ``pd.merge_asof`` per key group (ray_guide
-  'As-of / range join' pattern).  Partitioning assumption: one key's rows
-  fit in a group task; salt hot keys upstream if not.
+  ``groupby(key-bucket)`` shuffle, one vectorized ``pd.merge_asof(by=key)``
+  per bucket (ray_guide 'As-of / range join' pattern).  Partitioning
+  assumption: one bucket's rows fit in a group task; salt hot keys
+  upstream if not.
 - :func:`running_window` — per-key ordered cumulative aggregates via
   ``groupby(key).map_groups`` (sort inside the group, never globally).
 """
@@ -226,6 +227,10 @@ def semi_anti_join(
                 mask = pc.is_in(batch.column(on), value_set=vs)
                 if anti:
                     mask = pc.invert(mask)
+                # NULL left keys: EXISTS is false, NOT EXISTS is true (the
+                # subquery matches nothing) — is_in yields null there, and
+                # filter would silently DROP the row either way
+                mask = pc.fill_null(mask, anti)
             return batch.filter(mask)
 
         return left.map_batches(filt, batch_format="pyarrow")
@@ -285,9 +290,10 @@ def asof_join(
     match).
 
     Implementation: both sides mapped to one common (key, ts, side, keep...)
-    layout, union, ONE groupby(key-BUCKET) shuffle, and a pandas merge_asof
-    per key inside each bucket task — neither side is materialized on the
-    driver, and Python is invoked once per bucket, not once per key.
+    layout, union, ONE groupby(key-BUCKET) shuffle, and ONE vectorized
+    ``pd.merge_asof(..., by="key")`` per bucket task — neither side is
+    materialized on the driver, and pandas is invoked once per bucket with
+    every key handled inside the single sort-merge pass.
     """
     n_buckets = _default_buckets()
     # arrow types of the keep columns, so right rows ship NULLS (validity
@@ -318,21 +324,26 @@ def asof_join(
     )
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in group.groupby("key", sort=True):
-            l = g[g["__side"] == "L"].sort_values("ts", kind="stable")
-            if not len(l):
-                continue
-            r = g[g["__side"] == "R"].sort_values("ts", kind="stable")
-            rr = pd.DataFrame({"ts": r["ts"].to_numpy(), out_col: r["ts"].to_numpy()})
-            outs.append(pd.merge_asof(l, rr, on="ts", direction="backward"))
-        if not outs:
+        # ONE vectorized merge_asof(by="key") covers every key in the
+        # bucket — a per-key Python loop here was the last per-key cost in
+        # the operator (minor at 150 users, real at 10^8 keys per bucket)
+        l = group[group["__side"] == "L"].sort_values("ts", kind="stable")
+        if not len(l):
             # dtype-preserving empty frame (object-dtype empties would break
             # cross-block schema unification)
             empty = group.drop(columns=["__side", "__bucket"]).iloc[0:0].copy()
             empty[out_col] = pd.Series([], dtype=group["ts"].dtype)
             return empty
-        return pd.concat(outs, ignore_index=True).drop(columns=["__side", "__bucket"])
+        r = group[group["__side"] == "R"].sort_values("ts", kind="stable")
+        rr = pd.DataFrame(
+            {
+                "key": r["key"].to_numpy(),
+                "ts": r["ts"].to_numpy(),
+                out_col: r["ts"].to_numpy(),
+            }
+        )
+        out = pd.merge_asof(l, rr, on="ts", by="key", direction="backward")
+        return out.drop(columns=["__side", "__bucket"])
 
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 

@@ -1,12 +1,17 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed by
 actor-pool ``map_batches`` stages.
 
-The container ships no image/audio codecs (no PIL/cv2/ffmpeg), so REAL
-decode is stubbed: :func:`decode_real` raises ``NotImplementedError`` behind
-an import-try, exactly as a production stage would fail fast on a missing
-codec.  Everything AROUND the codec — schema, payload sniffing, actor
-signature, batch sizing, deterministic feature extraction, resize,
-frame sampling, output layout — is real and tested.
+The container ships no codec libraries (no PIL/cv2/ffmpeg), so the codecs
+are FROM-SCRATCH implementations of the public formats: PNG (full filter
+matrix incl. palette/interlace/16-bit), BMP, WAV (ocr_ray/codecs.py) and
+baseline-DCT JPEG 4:4:4 / 4:2:0 with restart markers (ocr_ray/jpeg.py);
+:func:`decode_real` dispatches on magic bytes and raises
+``NotImplementedError`` only for genuinely unimplemented variants
+(progressive/arithmetic JPEG, exotic BMP/WAV encodings, video containers),
+exactly as a production stage fails fast on a missing codec.  Everything
+around the codecs — schema, payload sniffing, actor signature, batch
+sizing, deterministic feature extraction, resize, frame sampling, output
+layout — is likewise real and tested.
 
 Payload dialect (deterministic, written by :func:`synth_media`):
 

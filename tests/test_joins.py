@@ -171,6 +171,72 @@ def test_semi_anti_join_broadcast_and_shuffle_paths(ray_session):
     assert sorted(anti2["k"]) == [1, 3] and "__hit" not in anti2.columns
 
 
+def test_semi_anti_join_null_left_keys(ray_session):
+    """SQL NOT EXISTS KEEPS a left row whose key is NULL (the subquery
+    matches nothing); EXISTS drops it.  is_in yields null for null input,
+    and an unfilled null mask silently drops the row on BOTH paths."""
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.joins import semi_anti_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                  "v": pa.array(list("abc"))})
+    )
+    right = ray.data.from_arrow(pa.table({"rk": pa.array([1], pa.int64())}))
+    semi = semi_anti_join(left, right, on="k", right_on="rk").to_pandas()
+    anti = semi_anti_join(left, right, on="k", right_on="rk", anti=True).to_pandas()
+    assert sorted(semi["v"]) == ["a"]
+    assert sorted(anti["v"]) == ["b", "c"]  # NULL-key row kept by NOT EXISTS
+    anti2 = semi_anti_join(
+        left, right, on="k", right_on="rk", anti=True, broadcast_limit=0
+    ).to_pandas()
+    assert sorted(anti2["v"]) == ["b", "c"]
+
+
+def test_asof_join_many_keys_one_bucket(ray_session):
+    """Many keys landing in shared buckets: the single vectorized
+    merge_asof(by='key') per bucket must answer every key exactly
+    (brute-force comparison)."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    n_keys = 40
+    lrows, rrows = [], []
+    oid = 0
+    for k in range(n_keys):
+        for _ in range(3):
+            lrows.append(
+                {"o_id": oid, "cust": k,
+                 "od": pd.Timestamp("2021-01-01") + pd.Timedelta(int(rng.integers(0, 30)), "D")}
+            )
+            oid += 1
+        for _ in range(int(rng.integers(0, 4))):
+            rrows.append(
+                {"u": k,
+                 "ts": pd.Timestamp("2021-01-01") + pd.Timedelta(int(rng.integers(0, 30)), "D")}
+            )
+    out = joins.asof_join(
+        ray.data.from_items(lrows), ray.data.from_items(rrows),
+        left_key="cust", left_ts="od", left_keep=["o_id"],
+        right_key="u", right_ts="ts", out_col="last_ts",
+    ).to_pandas().set_index("o_id")
+    assert len(out) == len(lrows)
+    rts = {}
+    for r in rrows:
+        rts.setdefault(r["u"], []).append(r["ts"])
+    for lr in lrows:
+        cand = [t for t in rts.get(lr["cust"], []) if t <= lr["od"]]
+        want = max(cand) if cand else None
+        got = out.loc[lr["o_id"], "last_ts"]
+        if want is None:
+            assert pd.isna(got)
+        else:
+            assert got == want
+
+
 def test_semi_anti_join_empty_right(ray_session):
     import pyarrow as pa
     import ray.data

@@ -114,3 +114,23 @@ def test_synth_media_real_features():
     kinds = {r["kind"] for r in stats}
     assert kinds == {"image", "audio"}
     assert all(r["std"] > 0 for r in stats)
+
+
+def test_fill_bytes_before_markers():
+    """Legal T.81 padding: any number of 0xFF fill bytes may precede a
+    marker.  The header scan must skip them instead of reading a bogus
+    segment length (third-party encoders emit these)."""
+    import numpy as np
+
+    from ocr_ray.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(24 * 16, dtype=np.uint8).reshape(24, 16) * 3) % 251
+    payload = encode_jpeg(img, quality=95)
+    clean = decode_jpeg(payload)
+    # inject fill bytes before the SOF0 and SOS markers
+    padded = payload.replace(b"\xff\xc0", b"\xff\xff\xff\xc0").replace(
+        b"\xff\xda", b"\xff\xff\xda"
+    )
+    assert padded != payload
+    got = decode_jpeg(padded)
+    assert np.array_equal(got, clean)

@@ -51,29 +51,15 @@ def test_repetition_signals_match_bruteforce(ts):
 )
 @hypothesis.settings(max_examples=60, deadline=None)
 def test_range_join_kernel_matches_bruteforce(rows):
-    # replicate q_events_range_join's per-bucket kernel on one bucket
-    from ocr_ray.pipelines.queries_rel import _FOLLOW_US
+    # the REAL per-bucket kernel (module-level since the overflow fix)
+    from ocr_ray.pipelines.queries_rel import _FOLLOW_US, range_join_kernel
 
     s = 1_000_000
     uid = np.array([r[0] for r in rows], dtype=np.int64)
     ts = np.array([r[1] * s for r in rows], dtype=np.int64)
     eid = np.arange(len(rows), dtype=np.int64)
-    group = pa.table(
-        {
-            "user_id": pa.array(uid, pa.int64()),
-            "ts_us": pa.array(ts, pa.int64()),
-            "event_id": pa.array(eid, pa.int64()),
-        }
-    )
-    # import the inner kernel via the query module's closure equivalent
-    order = np.lexsort((ts, uid))
-    u, t, e = uid[order], ts[order], eid[order]
-    seg = np.r_[0, np.cumsum(u[1:] != u[:-1])]
-    span = (t.max() - t.min() + _FOLLOW_US + 1) if len(t) else 1
-    adj = t - t.min() + seg * span
-    hi = np.searchsorted(adj, adj + _FOLLOW_US, side="right")
-    lo = np.searchsorted(adj, adj, side="right")
-    got = dict(zip(e.tolist(), (hi - lo).tolist()))
+    e, nf = range_join_kernel(uid, ts, eid, _FOLLOW_US)
+    got = dict(zip(e.tolist(), nf.tolist()))
     for i in range(len(rows)):
         want = sum(
             1
@@ -81,6 +67,38 @@ def test_range_join_kernel_matches_bruteforce(rows):
             if uid[j] == uid[i] and ts[i] < ts[j] <= ts[i] + _FOLLOW_US
         )
         assert got[i] == want, (i, rows)
+
+
+def test_range_join_kernel_overflow_fallback():
+    """Per-user spans summing past 2^62 must take the per-segment
+    searchsorted path and still answer exactly (the int64-overflow ADVICE
+    fix: a global span multiple would corrupt adj silently)."""
+    from ocr_ray.pipelines.queries_rel import range_join_kernel
+
+    horizon = 300 * 1_000_000
+    # 3 users, each spanning ~2^61 microseconds -> summed spans > 2^62
+    uid, ts = [], []
+    for u in range(3):
+        uid += [u, u, u]
+        ts += [0, horizon // 2, 2**61]
+    uid = np.array(uid, np.int64)
+    ts = np.array(ts, np.int64)
+    eid = np.arange(len(uid), dtype=np.int64)
+    e, nf = range_join_kernel(uid, ts, eid, horizon)
+    got = dict(zip(e.tolist(), nf.tolist()))
+    for i in range(len(uid)):
+        want = sum(
+            1
+            for j in range(len(uid))
+            if uid[j] == uid[i] and ts[i] < ts[j] <= ts[i] + horizon
+        )
+        assert got[i] == want
+    # sanity: the fallback really was the path taken
+    spans_sum = sum(
+        float(ts[uid == u].max() - ts[uid == u].min() + horizon + 1)
+        for u in range(3)
+    )
+    assert spans_sum >= float(2**62)
 
 
 @hypothesis.given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6), min_size=1, max_size=30))

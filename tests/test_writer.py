@@ -69,3 +69,19 @@ def test_string_key_partitioning(ray_session, tmp_path):
     r = writer.write_partitioned(ds, out, key="url", n_partitions=4)
     assert r["written"] == 50
     assert writer.read_partitioned(out).num_rows == 50
+
+
+def test_same_key_multiset_blocks_both_land(ray_session, tmp_path):
+    """Two blocks writing the same partition with an IDENTICAL key multiset
+    and row count but DIFFERENT payloads must land as two files (the file
+    name now includes a full-content digest + task id, not just the key
+    sum) — the pre-fix name collided and silently dropped one block."""
+    out = str(tmp_path / "o")
+    t1 = pa.table({"k": pa.array(["s1"] * 4), "v": pa.array(range(4), pa.int64())})
+    t2 = pa.table({"k": pa.array(["s1"] * 4), "v": pa.array(range(4, 8), pa.int64())})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    r = writer.write_partitioned(ds, out, key="k", n_partitions=4)
+    assert r["written"] == 8
+    back = writer.read_partitioned(out)
+    assert back.num_rows == 8  # manifest count and actual rows agree
+    assert sorted(back.column("v").to_pylist()) == list(range(8))
