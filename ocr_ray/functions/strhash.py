@@ -102,6 +102,17 @@ def pack_u64_pair(h1: np.ndarray, h2: np.ndarray) -> pa.Array:
     )
 
 
+def fold_rows_u64(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    """FNV-style row fold of an (n, k) uint64 matrix -> one 64-bit hash
+    per row (equal rows -> equal hash), vectorized over n."""
+    h = np.full(
+        mat.shape[0], np.uint64(seed) ^ np.uint64(0xCBF29CE484222325), np.uint64
+    )
+    for j in range(mat.shape[1]):
+        h = (h ^ mat[:, j]) * _FNV_PRIME
+    return _splitmix64(h)
+
+
 def window_hashes_u64(tok_hash: np.ndarray, win: int, mult: int) -> np.ndarray:
     """Horner-combined hash of every length-``win`` window (stride 1) over
     a flat token-hash array: ``win`` shifted multiply-adds, no Python loop

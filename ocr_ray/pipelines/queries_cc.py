@@ -621,22 +621,28 @@ def q_tfidf_by_source(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["source", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
+        """Per-batch partial (source, word) counts WITHOUT token-level
+        Python: dictionary-encode sources and words, count composite
+        integer codes with np.unique, decode only the (distinct) survivors
+        back to strings via Arrow take."""
         import pyarrow.compute as pc
 
         split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
         sizes = np.asarray(split.value_lengths(), dtype=np.int64)
-        src = np.repeat(
-            np.asarray(batch.column("source").to_pylist(), dtype=object), sizes
+        enc = split.flatten().dictionary_encode()
+        wcodes = np.asarray(enc.indices, dtype=np.int64)
+        senc = batch.column("source").combine_chunks().dictionary_encode()
+        scodes = np.asarray(senc.indices, dtype=np.int64)
+        n_vocab = len(enc.dictionary)
+        key = np.repeat(scodes, sizes) * n_vocab + wcodes
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": senc.dictionary.take(pa.array(uniq // n_vocab)),
+                "word": enc.dictionary.take(pa.array(uniq % n_vocab)),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
         )
-        df = (
-            pd.DataFrame({"source": src, "word": split.flatten().to_pylist()})
-            .groupby(["source", "word"], sort=False)
-            .size()
-            .rename("cnt")
-            .reset_index()
-        )
-        df["cnt"] = df["cnt"].astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
 
     tf = (
         ds.map_batches(explode, batch_format="pyarrow")

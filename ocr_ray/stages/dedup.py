@@ -192,30 +192,29 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
     """documents batch -> one row per (doc, band): the LSH explode
     (signatures from the vectorized batch kernel).  Each row also carries a
     64-bit content hash of the FULL signature so the bucket task can
-    star-group identical-signature docs (the skew bound)."""
-    ids = batch.column("doc_id").to_pylist()
+    star-group identical-signature docs (the skew bound).
+
+    Band/signature hashes are one vectorized FNV row-fold over the
+    reshaped signature matrix (functions/strhash.fold_rows_u64) — equal
+    signature chunks hash equal, and the emission is np.repeat/tile, no
+    per-doc Python loop."""
+    from ..functions.strhash import fold_rows_u64
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column("text").to_pylist()
     rows_per_band = N_PERM // N_BANDS
-    sigs = minhash_signature_batch(texts)
-    doc_ids, band_ids, band_hashes, sig_hashes = [], [], [], []
-    for doc_id, sig in zip(ids, sigs):
-        buf = sig.tobytes()
-        sh = int(
-            np.uint64(zlib.crc32(buf) | (zlib.crc32(buf[::-1]) << 32)).astype(np.int64)
-        )
-        for band in range(N_BANDS):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            h = zlib.crc32(chunk.tobytes())
-            doc_ids.append(doc_id)
-            band_ids.append(band)
-            band_hashes.append(h)
-            sig_hashes.append(sh)
+    sigs = minhash_signature_batch(texts)  # (n, N_PERM) uint64
+    n = len(ids)
+    sig_hash = fold_rows_u64(sigs).view(np.int64)
+    band_hash = fold_rows_u64(sigs.reshape(n * N_BANDS, rows_per_band)).view(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "sig_hash": pa.array(sig_hashes, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "sig_hash": pa.array(np.repeat(sig_hash, N_BANDS), pa.int64()),
         }
     )
 
