@@ -120,10 +120,14 @@ SQL_RUNNING_TOTAL = (
 def q_media_features(sf_dir: str):
     """Actor-pool feature extraction over a deterministic synthetic media
     table: the raw dialect payloads (image/audio/video) plus REAL codec
-    payloads (PNG/BMP/WAV/baseline-JPEG 4:4:4 and 4:2:0, decoded by the
-    from-scratch decoders in ocr_ray.codecs / ocr_ray.jpeg).  Rows-only
-    check (binary payload semantics aren't SQL-expressible); pinned by
-    tests/test_multimodal.py and tests/test_jpeg.py."""
+    payloads (PNG/BMP/WAV/baseline-JPEG 4:4:4 and 4:2:0/MJPEG-AVI video,
+    decoded by the from-scratch decoders in ocr_ray.codecs / ocr_ray.jpeg
+    / ocr_ray.avi).  Oracle-checked since r4: the oracle is a VALUES
+    literal built from the golden feature rows pinned in
+    tests/golden/media_features.json (regenerated only by a conscious
+    ``python -m tests.regen_golden`` — the extract_archetypes pattern), so
+    the driver hash-checks every decoded payload's stats, not just row
+    counts."""
     import pyarrow as _pa
 
     from ..stages import multimodal
@@ -450,6 +454,36 @@ REL_QUERIES = {
     "docs_rollup": q_docs_rollup,
 }
 
+def _media_oracle_sql() -> str | None:
+    """VALUES-literal oracle from the golden media feature rows; None
+    (rows-only fallback) if the golden is absent in the deployed tree.
+    Floats are CAST to DOUBLE so DuckDB doesn't infer DECIMAL (whose
+    string rendering differs from the Ray side's float64)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "golden",
+        "media_features.json",
+    )
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+    except OSError:
+        return None
+    vals = ", ".join(
+        "({}, '{}', {}, CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE), '{}')".format(
+            int(r["media_id"]), r["kind"], int(r["n_bytes"]),
+            float(r["mean"]), float(r["std"]), r["status"],
+        )
+        for r in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals +
+        ") AS t(media_id, kind, n_bytes, mean, std, status)"
+    )
+
+
 REL_ORACLE_SQL = {
     "lineitem_order_join": SQL_LINEITEM_ORDER_JOIN,
     "asof_last_event": SQL_ASOF_LAST_EVENT,
@@ -461,3 +495,7 @@ REL_ORACLE_SQL = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "docs_rollup": SQL_DOCS_ROLLUP,
 }
+
+_media_sql = _media_oracle_sql()
+if _media_sql is not None:
+    REL_ORACLE_SQL["media_features"] = _media_sql

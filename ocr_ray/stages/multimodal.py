@@ -4,11 +4,12 @@ actor-pool ``map_batches`` stages.
 The container ships no codec libraries (no PIL/cv2/ffmpeg), so the codecs
 are FROM-SCRATCH implementations of the public formats: PNG (full filter
 matrix incl. palette/interlace/16-bit), BMP, WAV (ocr_ray/codecs.py) and
-baseline-DCT JPEG 4:4:4 / 4:2:0 with restart markers (ocr_ray/jpeg.py);
+baseline-DCT JPEG 4:4:4 / 4:2:0 with restart markers (ocr_ray/jpeg.py),
+and MJPEG-in-AVI video built on that JPEG codec (ocr_ray/avi.py);
 :func:`decode_real` dispatches on magic bytes and raises
 ``NotImplementedError`` only for genuinely unimplemented variants
-(progressive/arithmetic JPEG, exotic BMP/WAV encodings, video containers),
-exactly as a production stage fails fast on a missing codec.  Everything
+(progressive/arithmetic JPEG, exotic BMP/WAV encodings, non-MJPEG video
+codecs), exactly as a production stage fails fast on a missing codec.  Everything
 around the codecs — schema, payload sniffing, actor signature, batch
 sizing, deterministic feature extraction, resize, frame sampling, output
 layout — is likewise real and tested.
@@ -95,20 +96,27 @@ def synth_media(n: int = 48, seed: int = 23) -> pa.Table:
 
 def synth_media_real(n: int = 16, seed: int = 31) -> pa.Table:
     """Deterministic media table whose payloads are REAL codec bytes
-    (PNG / BMP / WAV / baseline JPEG in both 4:4:4 and 4:2:0), exercising
-    the from-scratch decoders in :mod:`ocr_ray.codecs` / :mod:`ocr_ray.jpeg`
-    end-to-end through the feature-extraction actor pool."""
-    from .. import codecs, jpeg
+    (PNG / BMP / WAV / baseline JPEG in both 4:4:4 and 4:2:0 / MJPEG-AVI
+    video), exercising the from-scratch decoders in :mod:`ocr_ray.codecs`
+    / :mod:`ocr_ray.jpeg` / :mod:`ocr_ray.avi` end-to-end through the
+    feature-extraction actor pool."""
+    from .. import avi, codecs, jpeg
 
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        fmt = ("png", "bmp", "wav", "jpeg444", "jpeg420")[i % 5]
+        fmt = ("png", "bmp", "wav", "jpeg444", "jpeg420", "avi")[i % 6]
         if fmt == "wav":
             sr, ns = 8000, int(rng.randint(64, 512))
             pcm = rng.randint(-32768, 32767, size=ns, dtype=np.int16)
             payload = codecs.encode_wav(pcm, sr)
             kind, meta = "audio", (0, 0, sr, 0)
+        elif fmt == "avi":
+            w, h = 8 * int(rng.randint(1, 4)), 8 * int(rng.randint(1, 4))
+            nf = int(rng.randint(2, 6))
+            frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            payload = avi.encode_avi_mjpeg(frames, fps=10)
+            kind, meta = "video", (w, h, 0, nf)
         else:
             w, h = int(rng.randint(9, 33)), int(rng.randint(9, 33))
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -139,10 +147,11 @@ def synth_media_real(n: int = 16, seed: int = 31) -> pa.Table:
 
 
 def decode_real(payload: bytes):
-    """Decode a real media codec: PNG / BMP / WAV / baseline JPEG are
-    implemented from scratch on stdlib+numpy (:mod:`ocr_ray.codecs`,
-    :mod:`ocr_ray.jpeg`); video still needs an external codec and fails
-    fast with the gap stated."""
+    """Decode a real media codec: PNG / BMP / WAV / baseline JPEG /
+    MJPEG-in-AVI video are implemented from scratch on stdlib+numpy
+    (:mod:`ocr_ray.codecs`, :mod:`ocr_ray.jpeg`, :mod:`ocr_ray.avi`);
+    other codecs fail fast with the gap stated (reference analog: cv2
+    container readers, utils/image/image_io.py:181-389)."""
     from .. import codecs
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -151,13 +160,18 @@ def decode_real(payload: bytes):
         return codecs.decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return codecs.decode_wav(payload)[0]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .. import avi
+
+        return avi.decode_avi_mjpeg(payload)
     if payload[:2] == b"\xff\xd8":
         from .. import jpeg
 
         return jpeg.decode_jpeg(payload)
     raise NotImplementedError(
-        "codec not available for this payload (PNG/BMP/WAV/baseline-JPEG "
-        "are built in; video needs ffmpeg, absent in this environment)"
+        "codec not available for this payload (PNG/BMP/WAV/baseline-JPEG/"
+        "MJPEG-AVI are built in; other video codecs need ffmpeg, absent "
+        "in this environment)"
     )
 
 

@@ -1,4 +1,8 @@
-"""Integer-exact PageRank (ocr_ray.pipelines.queries_graph)."""
+"""Integer-exact PageRank (ocr_ray.pipelines.queries_graph).
+
+Since r4 ``q_pagerank`` returns a ray Dataset (ranks stay Dataset-resident
+between rounds — no driver structure proportional to #nodes); the tests
+collect the small final table for assertions."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -6,10 +10,17 @@ import pyarrow.parquet as pq
 from ocr_ray.pipelines import queries_graph as qg
 
 
+def _rank_table(sf_dir: str) -> pa.Table:
+    out = qg.q_pagerank(sf_dir)
+    return pa.concat_tables(out.to_arrow_refs_resolved()) if hasattr(
+        out, "to_arrow_refs_resolved"
+    ) else pa.Table.from_pandas(out.to_pandas())
+
+
 def test_pagerank_mass_and_ordering(ray_session, tmp_path):
     t = pa.table({"doc_id": pa.array(range(10), pa.int64())})
     pq.write_table(t, str(tmp_path / "documents.parquet"))
-    out = qg.q_pagerank(str(tmp_path))
+    out = _rank_table(str(tmp_path))
     ranks = dict(zip(out.column("node").to_pylist(), out.column("rank").to_pylist()))
     assert len(ranks) == qg.N_NODES
     # doc 0 emits edge 0 -> 3: dst 3 collects inflow, node 50 is isolated
@@ -23,6 +34,6 @@ def test_pagerank_mass_and_ordering(ray_session, tmp_path):
 def test_pagerank_deterministic(ray_session, tmp_path):
     t = pa.table({"doc_id": pa.array(range(25), pa.int64())})
     pq.write_table(t, str(tmp_path / "documents.parquet"))
-    a = qg.q_pagerank(str(tmp_path)).column("rank").to_pylist()
-    b = qg.q_pagerank(str(tmp_path)).column("rank").to_pylist()
+    a = _rank_table(str(tmp_path)).column("rank").to_pylist()
+    b = _rank_table(str(tmp_path)).column("rank").to_pylist()
     assert a == b

@@ -110,9 +110,10 @@ def test_synth_media_real_features():
     assert all(r["status"] == "ok" for r in stats), [
         r["error"] for r in stats if r["status"] != "ok"
     ]
-    # both image and audio payloads present and decoded to non-trivial stats
+    # image, audio and (since r4) MJPEG-AVI video payloads all present and
+    # decoded to non-trivial stats
     kinds = {r["kind"] for r in stats}
-    assert kinds == {"image", "audio"}
+    assert kinds == {"image", "audio", "video"}
     assert all(r["std"] > 0 for r in stats)
 
 

@@ -312,3 +312,18 @@ def test_png_invalid_combos_rejected():
     raw = b"\x00" + bytes([0, 0])
     with pytest.raises(ValueError, match="color type"):
         codecs.decode_png(_build_png(1, 1, 4, 2, raw))
+
+
+def test_media_features_match_golden():
+    """Pin extractor output byte-for-byte to tests/golden/media_features.json
+    (the VALUES-literal oracle's source): any codec/feature change must go
+    through a conscious ``python -m tests.regen_golden``."""
+    import json
+    import os
+
+    from tests.regen_golden import compute_media_rows
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "media_features.json")
+    with open(path) as f:
+        golden = json.load(f)
+    assert compute_media_rows() == golden
