@@ -140,6 +140,32 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "n_bytes", "mean", "std", "status"])
 
 
+def q_audio_mel(sf_dir: str):
+    """The reference's audio front-end as an actor-pool stage (stft.py
+    TacotronSTFT + audio_processing.py normalize/trim): decode ->
+    float [-1,1] -> RMS silence trim -> log-mel spectrogram, summarized
+    per item (frame count, mel mean/std, hottest band).  The mel
+    filterbank is built once per actor; payloads never leave the task.
+    Oracle: VALUES literal from tests/golden/audio_mel.json (regen via
+    ``python -m tests.regen_golden``)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from ..stages import multimodal
+
+    table = _pa.concat_tables(
+        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+    )
+    table = table.filter(_pc.equal(table.column("kind"), "audio"))
+    out = multimodal.audio_mel_features(
+        ray.data.from_arrow(table), concurrency=2, batch_size=8
+    )
+    return out.select_columns(
+        ["media_id", "sample_rate", "n_samples", "n_frames", "n_trimmed",
+         "mel_mean", "mel_std", "peak_band", "status"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # range join (windowed attribution): per event, same-user events that follow
 # within a fixed horizon — the interval-predicate join Ray Data lacks natively
@@ -442,6 +468,7 @@ SQL_DOCS_ROLLUP = (
 
 
 REL_QUERIES = {
+    "audio_mel": q_audio_mel,
     "lineitem_order_join": q_lineitem_order_join,
     "asof_last_event": q_asof_last_event,
     "running_total": q_running_total,
@@ -454,33 +481,54 @@ REL_QUERIES = {
     "docs_rollup": q_docs_rollup,
 }
 
-def _media_oracle_sql() -> str | None:
-    """VALUES-literal oracle from the golden media feature rows; None
-    (rows-only fallback) if the golden is absent in the deployed tree.
-    Floats are CAST to DOUBLE so DuckDB doesn't infer DECIMAL (whose
-    string rendering differs from the Ray side's float64)."""
+def _golden_values_sql(fname: str, columns: list[tuple[str, str]]) -> str | None:
+    """VALUES-literal oracle from a golden JSON row list; None (rows-only
+    fallback) if the golden is absent in the deployed tree.  ``columns``
+    is [(name, kind)] with kind in {'int', 'float', 'str'}; floats are
+    CAST to DOUBLE so DuckDB doesn't infer DECIMAL (whose string
+    rendering differs from the Ray side's float64)."""
     import json
     import os
 
     path = os.path.join(
-        os.path.dirname(__file__), "..", "..", "tests", "golden",
-        "media_features.json",
+        os.path.dirname(__file__), "..", "..", "tests", "golden", fname
     )
     try:
         with open(path) as f:
             rows = json.load(f)
     except OSError:
         return None
+
+    def lit(r, name, kind):
+        if kind == "int":
+            return str(int(r[name]))
+        if kind == "float":
+            return "CAST({!r} AS DOUBLE)".format(float(r[name]))
+        return "'{}'".format(r[name])
+
     vals = ", ".join(
-        "({}, '{}', {}, CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE), '{}')".format(
-            int(r["media_id"]), r["kind"], int(r["n_bytes"]),
-            float(r["mean"]), float(r["std"]), r["status"],
-        )
-        for r in rows
+        "(" + ", ".join(lit(r, n, k) for n, k in columns) + ")" for r in rows
     )
     return (
-        "SELECT * FROM (VALUES " + vals +
-        ") AS t(media_id, kind, n_bytes, mean, std, status)"
+        "SELECT * FROM (VALUES " + vals + ") AS t("
+        + ", ".join(n for n, _ in columns) + ")"
+    )
+
+
+def _media_oracle_sql() -> str | None:
+    return _golden_values_sql(
+        "media_features.json",
+        [("media_id", "int"), ("kind", "str"), ("n_bytes", "int"),
+         ("mean", "float"), ("std", "float"), ("status", "str")],
+    )
+
+
+def _audio_mel_oracle_sql() -> str | None:
+    return _golden_values_sql(
+        "audio_mel.json",
+        [("media_id", "int"), ("sample_rate", "int"), ("n_samples", "int"),
+         ("n_frames", "int"), ("n_trimmed", "int"), ("mel_mean", "float"),
+         ("mel_std", "float"), ("peak_band", "int"), ("status", "str")],
     )
 
 
@@ -499,3 +547,6 @@ REL_ORACLE_SQL = {
 _media_sql = _media_oracle_sql()
 if _media_sql is not None:
     REL_ORACLE_SQL["media_features"] = _media_sql
+_audio_sql = _audio_mel_oracle_sql()
+if _audio_sql is not None:
+    REL_ORACLE_SQL["audio_mel"] = _audio_sql

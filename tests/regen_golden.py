@@ -12,6 +12,24 @@ import os
 from .test_golden import CONFIGS, GOLDEN_DIR, compute_digests
 
 
+def compute_audio_mel_rows():
+    """Deterministic log-mel feature rows over the audio subset of the
+    same media table (the audio_mel query's VALUES-oracle source)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_ray.stages import multimodal
+
+    table = pa.concat_tables(
+        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+    )
+    table = table.filter(pc.equal(table.column("kind"), "audio"))
+    out = multimodal.AudioMelExtractor()(table)
+    keys = ("media_id", "sample_rate", "n_samples", "n_frames", "n_trimmed",
+            "mel_mean", "mel_std", "peak_band", "status")
+    return [{k: r[k] for k in keys} for r in out.to_pylist()]
+
+
 def compute_media_rows():
     """Deterministic media feature rows (media_id, kind, n_bytes, mean,
     std, status) over the same table the media_features query runs on."""
@@ -39,4 +57,8 @@ if __name__ == "__main__":
     path = os.path.join(GOLDEN_DIR, "media_features.json")
     with open(path, "w") as f:
         json.dump(compute_media_rows(), f, indent=1, sort_keys=True)
+    print("wrote", path)
+    path = os.path.join(GOLDEN_DIR, "audio_mel.json")
+    with open(path, "w") as f:
+        json.dump(compute_audio_mel_rows(), f, indent=1, sort_keys=True)
     print("wrote", path)

@@ -327,3 +327,21 @@ def test_media_features_match_golden():
     with open(path) as f:
         golden = json.load(f)
     assert compute_media_rows() == golden
+
+
+def test_audio_mel_match_golden():
+    """Pin AudioMelExtractor output to tests/golden/audio_mel.json (the
+    audio_mel VALUES-oracle source)."""
+    import json
+    import os
+
+    from tests.regen_golden import compute_audio_mel_rows
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "audio_mel.json")
+    with open(path) as f:
+        golden = json.load(f)
+    rows = compute_audio_mel_rows()
+    assert rows == golden
+    assert all(r["status"] == "ok" for r in rows)
+    # mel frame count consistent with the trimmed length and hop=64
+    assert all(r["n_frames"] == 1 + max(256, r["n_trimmed"]) // 64 for r in rows)
