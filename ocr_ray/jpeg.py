@@ -1,22 +1,30 @@
-"""Baseline-DCT JPEG codec from scratch on stdlib + numpy — no PIL/cv2.
+"""DCT JPEG codec from scratch on stdlib + numpy — no PIL/cv2.
 
 Closes the last media-codec gap vs the reference, which loads JPEG through
 PIL/cv2 (``utils/image/image_io.py:68-137``).  This container ships neither,
 so both directions are implemented directly from the public ITU-T T.81
 (JPEG) spec:
 
-- :func:`decode_jpeg` — baseline sequential (SOF0) decode: marker/segment
-  parse, DQT/DHT table load, byte-destuffed bit reader, per-MCU Huffman
-  decode (DC diff + AC run/size with EOB/ZRL), dequantize, vectorized 8x8
-  IDCT (matrix form), restart-marker handling, nearest-neighbor chroma
+- :func:`decode_jpeg` — decodes baseline sequential (SOF0/1), interleaved
+  or multi-scan non-interleaved, AND progressive Huffman (SOF2) with both
+  spectral selection and successive approximation: marker/segment parse,
+  DQT/DHT table load, byte-destuffed bit reader, per-scan Huffman decode
+  into per-component coefficient grids (DC diff + AC run/size with
+  EOB/ZRL; progressive DC first/refine and AC first/refine with EOB-run
+  coding), then ONE vectorized dequantize + 8x8 IDCT pass (einsum over
+  the whole block grid), restart-marker handling, nearest-neighbor chroma
   upsampling for 4:2:0/4:2:2, JFIF full-range YCbCr -> RGB.  Grayscale
   (1 component) returns ``[h, w]``; color returns ``[h, w, 3]`` uint8.
-  Progressive (SOF2) and arithmetic coding raise ``NotImplementedError``.
-- :func:`encode_jpeg` — baseline encoder: 4:4:4 (or single-component
-  grayscale), Annex-K quantization tables scaled by the IJG quality curve,
-  Annex-K Huffman tables, forward DCT, run-length + Huffman entropy coding
-  with 0xFF byte stuffing.  Exists so tests can round-trip arbitrary
-  arrays without any external codec.
+  Arithmetic coding and lossless/hierarchical SOFs raise
+  ``NotImplementedError``.
+- :func:`encode_jpeg` — baseline encoder: 4:4:4 / 4:2:0 (or
+  single-component grayscale), Annex-K quantization tables scaled by the
+  IJG quality curve, Annex-K Huffman tables, forward DCT, run-length +
+  Huffman entropy coding with 0xFF byte stuffing.
+- :func:`encode_jpeg_progressive` / :func:`encode_jpeg_multiscan` —
+  progressive (libjpeg-style scan script) and non-interleaved sequential
+  encoders.  Exist so tests can round-trip every decoder path without any
+  external codec.
 
 The huffman/quant constants below are the public Annex-K example tables;
 they are written into DQT/DHT segments so any standard decoder can read
@@ -270,16 +278,24 @@ class _HuffDecoder:
         raise ValueError("JPEG: invalid huffman code")
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 [h, w] (grayscale) or [h, w, 3] (RGB)."""
+def _parse_jpeg(payload: bytes):
+    """Marker/segment parse -> (frame, qt, scans, progressive).
+
+    ``frame`` = (h, w, [(cid, hs, vs, tq)]); ``scans`` is one record per
+    SOS with the Huffman-table and restart-interval state SNAPSHOT at
+    that point (DHT/DRI may legally be redefined between scans):
+    (sel=[(comp_idx, td, ta)], ss, se, ah, al, dc_tabs, ac_tabs, ri,
+    data_start).  Entropy-coded data after each SOS is skipped by the
+    same marker loop (0xFF00 stuffing, RSTn, 0xFF fill handled)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt = {}
     huff_dc, huff_ac = {}, {}
     restart_interval = 0
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
-    scan = None  # ([(comp_idx, td, ta)], data_start)
+    frame = None
+    progressive = False
+    scans = []
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -324,29 +340,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG SOF{:X}: only baseline sequential (SOF0/1) is supported".format(
-                    marker - 0xC0
-                )
+                "JPEG SOF{:X}: only baseline sequential (SOF0/1) and "
+                "progressive Huffman (SOF2) are supported".format(marker - 0xC0)
             )
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            if frame is not None and ns != len(frame[2]):
-                # a legal baseline file may carry MULTIPLE scans that each
-                # cover a component subset; decoding only the first would
-                # silently return zero planes for the rest
-                raise NotImplementedError(
-                    "JPEG multi-scan (non-interleaved) files are not supported: "
-                    "first scan covers {} of {} components".format(ns, len(frame[2]))
-                )
             sel = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -354,69 +364,227 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     i for i, comp in enumerate(frame[2]) if comp[0] == cs
                 )
                 sel.append((comp_idx, tdta >> 4, tdta & 0xF))
-            scan = (sel, pos + 2 + seglen)
-            break
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scans.append(
+                (sel, ss, se, a >> 4, a & 0xF, dict(huff_dc), dict(huff_ac),
+                 restart_interval, pos + 2 + seglen)
+            )
+            pos += 2 + seglen
+            continue  # marker loop skips the entropy data byte-by-byte
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    return frame, qt, scans, progressive
 
+
+def _comp_geometry(frame):
+    """-> (hmax, vmax, mcux, mcuy, dims) where dims[c] = (bh_pad, bw_pad,
+    bh, bw): the MCU-padded block grid and the component's own block grid
+    (the traversal of non-interleaved scans, T.81 A.2.2)."""
     h, w, comps = frame
-    sel, data_start = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # per-component coefficient planes (blocks of 8x8)
-    planes = []
+    dims = []
     for _cid, hs, vs, _tq in comps:
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float32))
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        dims.append((mcuy * vs, mcux * hs, (ch + 7) // 8, (cw + 7) // 8))
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _scan_units(sel, comps, mcux, mcuy, dims):
+    """Yield the scan's decode units in order: each unit is a list of
+    (comp_idx, by, bx) blocks.  Interleaved (ns > 1): one unit per MCU
+    over the frame MCU grid.  Non-interleaved (ns == 1): one unit per
+    block in raster order over the component's own block grid."""
+    if len(sel) == 1:
+        ci = sel[0][0]
+        _bhp, _bwp, bh, bw = dims[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(ci, by, bx)]
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            unit = []
+            for ci, _td, _ta in sel:
+                _cid, hs, vs, _tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        unit.append((ci, my * vs + by, mx * hs + bx))
+            yield unit
+
+
+def _decode_scan(payload, frame, geom, coefs, scan, sequential):
+    """Decode ONE scan's entropy data into the zigzag-order coefficient
+    grids ``coefs[c]`` (int32 [bh_pad, bw_pad, 64]).  Handles baseline
+    sequential scans (full DC+AC, any component subset) and all four
+    progressive scan kinds (T.81 G.2): DC first / DC refine (successive
+    approximation) and AC first / AC refine (spectral selection bands
+    with EOB-run coding)."""
+    sel, ss, se, ah, al, huff_dc, huff_ac, ri, data_start = scan
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, dims = geom
+    if sequential:
+        ss, se, ah, al = 0, 63, 0, 0
+    dc_scan = ss == 0
+    if dc_scan and not sequential and se != 0:
+        raise ValueError("JPEG: progressive DC scan must have Se=0")
+    if not dc_scan and len(sel) > 1:
+        raise ValueError("JPEG: progressive AC scan must be single-component")
 
     reader = _BitReader(payload, data_start)
     dc_pred = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    tabs = {ci: (huff_dc.get(td), huff_ac.get(ta)) for ci, td, ta in sel}
+    unit_count = 0
+    for unit in _scan_units(sel, comps, mcux, mcuy, dims):
+        if ri and unit_count and unit_count % ri == 0:
+            reader.sync_restart()
+            dc_pred = [0] * len(comps)
+            eobrun = 0
+        unit_count += 1
+        for ci, by, bx in unit:
+            blk = coefs[ci][by, bx]
+            dtab, atab = tabs[ci]
+            if sequential:
+                t = dtab.decode(reader)
+                dc_pred[ci] += _extend(reader.read_bits(t), t)
+                blk[0] = dc_pred[ci]
+                k = 1
+                while k < 64:
+                    rs = atab.decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC index overflow")
+                    blk[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+            elif dc_scan and ah == 0:  # DC first (G.2.1)
+                t = dtab.decode(reader)
+                dc_pred[ci] += _extend(reader.read_bits(t), t)
+                blk[0] = dc_pred[ci] << al
+            elif dc_scan:  # DC refine: one raw bit per block
+                if reader.read_bit():
+                    blk[0] = int(blk[0]) | p1
+            elif ah == 0:  # AC first (G.2.2, EOB-run coded)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = atab.decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1  # this block is consumed
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC index beyond band")
+                    blk[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refine (G.1.2.3 / libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = atab.decode(reader)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError("JPEG: bad refine size")
+                            newval = p1 if reader.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # EOB: corrections continue below
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if reader.read_bit() and (v & p1) == 0:
+                                    blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits across the EOB region
+                        v = int(blk[k])
+                        if v != 0:
+                            if reader.read_bit() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _idct_planes(coefs, frame, qt):
+    """Dequantize + IDCT every accumulated block at once (einsum over the
+    whole [bh, bw, 8, 8] grid — no per-block Python), assemble planes."""
+    _h, _w, comps = frame
     idct_T = _DCT_M.T.astype(np.float32)
     idct_M = _DCT_M.astype(np.float32)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                dc_pred = [0] * len(comps)
-            mcu_count += 1
-            for comp_idx, td, ta in sel:
-                _cid, hs, vs, tq = comps[comp_idx]
-                dtab, atab = huff_dc[td], huff_ac[ta]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coeff = np.zeros(64, dtype=np.int64)
-                        t = dtab.decode(reader)
-                        diff = _extend(reader.read_bits(t), t)
-                        dc_pred[comp_idx] += diff
-                        coeff[0] = dc_pred[comp_idx]
-                        k = 1
-                        while k < 64:
-                            rs = atab.decode(reader)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            coeff[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float32)
-                        block[ZIGZAG] = (coeff * qt[tq].reshape(64)[ZIGZAG]).astype(
-                            np.float32
-                        )
-                        px = idct_T @ block.reshape(8, 8) @ idct_M + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[comp_idx][y0 : y0 + 8, x0 : x0 + 8] = px
+    planes = []
+    for c, (_cid, _hs, _vs, tq) in enumerate(comps):
+        qz = qt[tq].reshape(64)[ZIGZAG].astype(np.float32)  # zigzag order
+        deq = coefs[c].astype(np.float32) * qz
+        nat = np.empty_like(deq)
+        nat[..., ZIGZAG] = deq
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", idct_T, blocks, idct_M) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return planes
 
-    # upsample each plane to full size and crop
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG -> uint8 [h, w] (grayscale) or [h, w, 3] (RGB).
+
+    Supports baseline sequential (SOF0/1) — interleaved or multi-scan
+    non-interleaved — and progressive Huffman (SOF2) with both spectral
+    selection and successive approximation: all scans accumulate into
+    per-component coefficient grids, then one vectorized dequantize+IDCT
+    pass reconstructs the image."""
+    frame, qt, scans, progressive = _parse_jpeg(payload)
+    h, w, comps = frame
+    geom = _comp_geometry(frame)
+    _hmax, _vmax, _mcux, _mcuy, dims = geom
+
+    coefs = [
+        np.zeros((bhp, bwp, 64), dtype=np.int32) for bhp, bwp, _bh, _bw in dims
+    ]
+    covered = set()
+    for scan in scans:
+        _decode_scan(payload, frame, geom, coefs, scan, sequential=not progressive)
+        if scan[1] == 0:  # a DC (or full sequential) scan
+            covered.update(ci for ci, _td, _ta in scan[0])
+    if covered != set(range(len(comps))):
+        raise ValueError(
+            "JPEG: scans cover components {} of {}".format(
+                sorted(covered), len(comps)
+            )
+        )
+
+    planes = _idct_planes(coefs, frame, qt)
+    hmax, vmax = geom[0], geom[1]
     full = []
     for (plane, (_cid, hs, vs, _tq)) in zip(planes, comps):
         if hs != hmax or vs != vmax:
@@ -616,4 +784,330 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder -----------------------------------------------------
+#
+# Exists so tests can round-trip the progressive decoder without any external
+# codec (the reference gets progressive files free via PIL).  The scan script
+# mirrors the classic libjpeg default: DC with one bit of successive
+# approximation, per-component spectral-selection AC bands, then refinement
+# passes down to full precision.
+
+# AC table for progressive scans: AC-first scans emit EOBn symbols
+# (r<<4 | 0, r = 0..14) that the Annex-K baseline tables don't contain, so
+# use one flat canonical table holding every symbol we may emit — 176
+# symbols, all 8 bits long (Kraft 176/256 < 1; the all-ones byte stays
+# reserved per T.81 C.2).
+_PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [(r << 4) for r in range(15)]          # EOB0..EOB14 (run-length classes)
+        + [0xF0]                               # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
+)
+
+
+def _plane_coef_grid(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Padded plane [bh*8, bw*8] -> quantized zigzag coefficients
+    [bh, bw, 64] int32, whole grid in one einsum."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", _DCT_M, blocks - 128.0, _DCT_M.T)
+    nat = np.round(coef / quant).astype(np.int32).reshape(bh, bw, 64)
+    return nat[..., ZIGZAG]
+
+
+def _emit_eobrun(writer, actab, eobrun: int) -> int:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, length = actab[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _enc_ac_first(writer, grid, bh, bw, ss, se, al, actab):
+    """AC first scan over one component's block grid (T.81 G.1.2.2):
+    point-transformed band, run/size symbols, EOB-run accumulation."""
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            band = grid[by, bx, ss : se + 1].astype(np.int64)
+            av = np.abs(band) >> al
+            vals = np.where(band >= 0, av, -av)
+            nz = np.flatnonzero(vals)
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(writer, actab, eobrun)
+                continue
+            eobrun = _emit_eobrun(writer, actab, eobrun)
+            prev = -1
+            for i in nz:
+                r = int(i) - prev - 1
+                prev = int(i)
+                while r > 15:
+                    code, length = actab[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                t, mag = _magnitude(int(vals[i]))
+                code, length = actab[(r << 4) | t]
+                writer.write(code, length)
+                writer.write(mag, t)
+            if int(nz[-1]) < se - ss:  # trailing zeros: block ends in EOB
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(writer, actab, eobrun)
+    _emit_eobrun(writer, actab, eobrun)
+
+
+def _enc_ac_refine(writer, grid, bh, bw, ss, se, al, actab):
+    """AC refinement scan (T.81 G.1.2.3): newly-visible coefficients as
+    run/1 symbols with sign bits, correction bits for already-nonzero
+    history interleaved exactly where the decoder's advance loop reads
+    them, per-block EOB (run length 1) closing each band."""
+    p1 = 1 << al
+    for by in range(bh):
+        for bx in range(bw):
+            band = grid[by, bx, ss : se + 1].astype(np.int64)
+            av = np.abs(band) >> al
+            newly = np.flatnonzero(av == 1)
+            kend = int(newly[-1]) if len(newly) else -1
+            seq = []  # ('z',) zero-history | ('c', bit) correction, in order
+            for i in range(kend + 1):
+                if av[i] == 0:
+                    seq.append(("z", 0))
+                elif av[i] > 1:
+                    seq.append(("c", int(av[i] & 1)))
+                else:  # newly visible: flush ZRLs, emit run/1 + sign + bits
+                    while sum(1 for t, _ in seq if t == "z") > 15:
+                        code, length = actab[0xF0]
+                        writer.write(code, length)
+                        zseen = 0
+                        while zseen < 16:  # consume through the 16th zero
+                            t, bit = seq.pop(0)
+                            if t == "z":
+                                zseen += 1
+                            else:
+                                writer.write(bit, 1)
+                    r = sum(1 for t, _ in seq if t == "z")
+                    code, length = actab[(r << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if band[i] > 0 else 0, 1)
+                    for t, bit in seq:
+                        if t == "c":
+                            writer.write(bit, 1)
+                    seq = []
+            if kend < se - ss:  # EOB region: close block, correct history
+                code, length = actab[0x00]
+                writer.write(code, length)
+                for i in range(kend + 1, se - ss + 1):
+                    if av[i] > 1:
+                        writer.write(int(av[i] & 1), 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """uint8 [h, w] or [h, w, 3] -> progressive (SOF2) JFIF JPEG bytes,
+    spectral selection + 1 bit of successive approximation (the libjpeg
+    default scan script shape).  Same quantization as :func:`encode_jpeg`,
+    so both encodings decode to the same pixels."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if not gray and img.shape[2] != 3:
+        raise ValueError("encode_jpeg_progressive expects [h,w] or [h,w,3]")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = 2 if (subsampling == "420" and not gray) else 1
+    h, w = img.shape[:2]
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+
+    # component planes (same color/subsample prep as the baseline encoder)
+    if gray:
+        planes = [(img.astype(np.float64), qy, 1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub == 2:
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            sub2 = []
+            for p in (cb, cr):
+                pp = np.empty((eh, ew), dtype=np.float64)
+                pp[:h, :w] = p
+                pp[h:, :w] = p[h - 1 : h, :]
+                pp[:, w:] = pp[:, w - 1 : w]
+                sub2.append(pp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3)))
+            cb, cr = sub2
+        planes = [(y, qy, sub, sub), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+
+    comps_meta = [(c + 1, hs, vs, 0 if c == 0 else 1) for c, (_p, _q, hs, vs) in enumerate(planes)]
+    frame = (h, w, comps_meta)
+    _hmax, _vmax, mcux, mcuy, dims = _comp_geometry(frame)
+
+    grids = []
+    for (p, quant, hs, vs), (bhp, bwp, _bh, _bw) in zip(planes, dims):
+        pp = np.empty((bhp * 8, bwp * 8), dtype=np.float64)
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1 : sh, :]
+        pp[:, sw:] = pp[:, sw - 1 : sw]
+        grids.append(_plane_coef_grid(pp, quant))
+
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+
+    def dqt(tid, tab):
+        zz = tab.reshape(64)[ZIGZAG].astype(np.uint8)
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, hs, vs, tq in comps_meta:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, table):
+        bits, values = table
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, _PROG_AC)
+    if not gray:
+        out += dht(0, 1, HUFF_DC_CHROMA)
+    dc_enc = [_huff_encode_table(*HUFF_DC_LUMA), _huff_encode_table(*HUFF_DC_CHROMA)]
+    ac_enc = _huff_encode_table(*_PROG_AC)
+
+    # libjpeg-style scan script: (comp list, Ss, Se, Ah, Al)
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+
+    for cis, ss, se, ah, al, in script:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            td = 0 if ci == 0 else 1
+            sos += bytes([comps_meta[ci][0], (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        writer = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first: interleaved over the MCU grid
+            sel = [(ci, 0, 0) for ci in cis]
+            pred = [0] * nc
+            for unit in _scan_units(sel, comps_meta, mcux, mcuy, dims):
+                for ci, by, bx in unit:
+                    v = int(grids[ci][by, bx, 0]) >> al
+                    t, mag = _magnitude(v - pred[ci])
+                    pred[ci] = v
+                    code, length = dc_enc[0 if ci == 0 else 1][t]
+                    writer.write(code, length)
+                    if t:
+                        writer.write(mag, t)
+        elif ss == 0:  # DC refine: one raw bit per block
+            sel = [(ci, 0, 0) for ci in cis]
+            for unit in _scan_units(sel, comps_meta, mcux, mcuy, dims):
+                for ci, by, bx in unit:
+                    writer.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+        else:
+            ci = cis[0]
+            _bhp, _bwp, bh, bw = dims[ci]
+            if ah == 0:
+                _enc_ac_first(writer, grids[ci], bh, bw, ss, se, al, ac_enc)
+            else:
+                _enc_ac_refine(writer, grids[ci], bh, bw, ss, se, al, ac_enc)
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(img: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 [h, w, 3] -> sequential (SOF0) JPEG with one NON-INTERLEAVED
+    scan per component — the legal multi-scan baseline layout real
+    encoders emit for large images (T.81 A.2.2).  Exercises the decoder's
+    per-component block-raster traversal; 4:4:4 only."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_multiscan expects [h,w,3]")
+    h, w = img.shape[:2]
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, tab in ((0, qy), (1, qc)):
+        zz = tab.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, table in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+        (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA),
+    ):
+        bits, values = table
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    tabs = [
+        (qy, _huff_encode_table(*HUFF_DC_LUMA), _huff_encode_table(*HUFF_AC_LUMA)),
+        (qc, _huff_encode_table(*HUFF_DC_CHROMA), _huff_encode_table(*HUFF_AC_CHROMA)),
+    ]
+    for ci, plane in enumerate((y, cb, cr)):
+        quant, dctab, actab = tabs[0 if ci == 0 else 1]
+        pp = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        pp[:h, :w] = plane
+        pp[h:, :w] = plane[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        td = 0 if ci == 0 else 1
+        sos = bytes([1, ci + 1, (td << 4) | td, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                pred = _encode_block(
+                    writer, pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    quant, pred, dctab, actab,
+                )
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

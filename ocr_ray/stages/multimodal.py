@@ -105,7 +105,7 @@ def synth_media_real(n: int = 16, seed: int = 31) -> pa.Table:
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        fmt = ("png", "bmp", "wav", "jpeg444", "jpeg420", "avi")[i % 6]
+        fmt = ("png", "bmp", "wav", "jpeg444", "jpeg420", "avi", "jpeg_prog")[i % 7]
         if fmt == "wav":
             sr, ns = 8000, int(rng.randint(64, 512))
             pcm = rng.randint(-32768, 32767, size=ns, dtype=np.int16)
@@ -124,6 +124,8 @@ def synth_media_real(n: int = 16, seed: int = 31) -> pa.Table:
                 payload = codecs.encode_png(img)
             elif fmt == "bmp":
                 payload = codecs.encode_bmp(img)
+            elif fmt == "jpeg_prog":
+                payload = jpeg.encode_jpeg_progressive(img, quality=92)
             else:
                 payload = jpeg.encode_jpeg(
                     img,

@@ -81,12 +81,17 @@ def test_quality_monotone_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
-def test_progressive_rejected():
+def test_unsupported_sof_rejected():
     img = np.zeros((8, 8), dtype=np.uint8)
     enc = bytearray(jpeg.encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    enc[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless, unsupported)
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        jpeg.decode_jpeg(bytes(enc))
+    # a forged SOF2 whose scan is a full-band baseline scan is malformed
+    # (progressive DC scans must have Se=0) — hard error, not wrong pixels
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(enc))
 
 
@@ -135,3 +140,62 @@ def test_fill_bytes_before_markers():
     assert padded != payload
     got = decode_jpeg(padded)
     assert np.array_equal(got, clean)
+
+
+# --- progressive (SOF2) -------------------------------------------------------
+
+
+def test_progressive_gray_matches_baseline():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(41, 29), dtype=np.uint8)
+    for q in (50, 90):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=q))
+        # identical quantized coefficients -> identical pixels (tiny float
+        # slack for the vectorized DCT's different summation order)
+        assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
+
+
+def test_progressive_color_444_and_420():
+    img = _smooth_rgb(37, 51)
+    for sub in ("444", "420"):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, subsampling=sub))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=85, subsampling=sub)
+        )
+        assert prog.shape == (37, 51, 3)
+        assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
+
+
+def test_progressive_constant_image_eob_runs():
+    # constant image: every AC band empty -> long EOB runs (EOBn symbols)
+    img = np.full((64, 80), 200, dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=90))
+    assert np.abs(dec.astype(int) - 200).max() <= 1
+
+
+def test_progressive_noise_psnr():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=95))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert np.array_equal(dec, base) or _psnr(dec, base) > 45
+
+
+def test_progressive_is_sof2_and_multiscan():
+    buf = jpeg.encode_jpeg_progressive(_smooth_rgb(16, 16))
+    assert b"\xff\xc2" in buf and buf.count(b"\xff\xda") == 10
+    arr = mm.decode_real(buf)
+    assert arr.shape == (16, 16, 3)
+
+
+def test_multiscan_sequential_matches_interleaved():
+    """Non-interleaved sequential (one SOS per component) decodes to the
+    same pixels as the interleaved baseline encoding — the layout the old
+    decoder refused with NotImplementedError."""
+    img = _smooth_rgb(29, 43)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    ms = jpeg.encode_jpeg_multiscan(img, quality=90)
+    assert ms.count(b"\xff\xda") == 3 and b"\xff\xc0" in ms
+    dec = jpeg.decode_jpeg(ms)
+    assert np.abs(dec.astype(int) - base.astype(int)).max() <= 1
