@@ -745,7 +745,101 @@ def q_knn_ivf_indexed(sf_dir: str):
     return pa.table({"vec_id": pa.array(ids, pa.int64())})
 
 
+def q_events_lead_lag(sf_dir: str):
+    """Window navigation functions (LAG/LEAD) over per-user event streams:
+    for every event, the microsecond gap to the user's previous event and
+    the type of the next one.  Same plan shape as events_sessionize: ONE
+    user-hash-bucket shuffle, then one vectorized sort + shift per bucket
+    task answers every user at once — never a per-key Python call.  Ties
+    on ts are broken by event_id on both sides so the oracle is
+    deterministic."""
+    import pandas as pd
+
+    from ..stages.joins import _add_key_bucket, _default_buckets
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        same_prev = np.empty(len(g), dtype=bool)
+        same_prev[0] = False
+        same_prev[1:] = uid[1:] == uid[:-1]
+        gap = np.full(len(g), -1, dtype=np.int64)
+        gap[1:] = np.where(same_prev[1:], ts[1:] - ts[:-1], -1)
+        nxt = np.full(len(g), "", dtype=object)
+        et = g["event_type"].to_numpy()
+        nxt[:-1] = np.where(same_prev[1:], et[1:], "")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "prev_gap_us": gap,
+                "next_type": nxt,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_LEAD_LAG = (
+    "SELECT event_id, COALESCE(CAST(date_diff('microseconds', lag(ts) OVER w, ts)"
+    " AS BIGINT), -1) AS prev_gap_us, COALESCE(lead(event_type) OVER w, '')"
+    " AS next_type FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+def q_orders_left_join(sf_dir: str):
+    """LEFT OUTER join through the size-aware planner: every order keeps
+    its row, orders whose customer has no events get n_user_events = 0.
+    The per-user event counts pre-aggregate map-side into a small right
+    table, so auto_join takes the broadcast path (ray.put once, pc.index_in
+    per batch) — at 100 TB the orders side streams untouched and only the
+    dimension-sized count table moves."""
+    from ..stages.joins import auto_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    counts = (
+        read_table(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_user_events"))
+    )
+    joined = auto_join(
+        orders, counts, on="o_custkey", right_on="user_id", join_type="left_outer"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch.column("n_user_events"), pa.int64()), 0)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_totalprice": batch.column("o_totalprice"),
+                "n_user_events": n,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_LEFT_JOIN = (
+    "SELECT o.o_orderkey, o.o_totalprice, COALESCE(e.n, 0) AS n_user_events "
+    "FROM orders o LEFT JOIN (SELECT user_id, count(*) AS n FROM events "
+    "GROUP BY user_id) e ON o.o_custkey = e.user_id"
+)
+
+
 EXT_QUERIES = {
+    "events_lead_lag": q_events_lead_lag,
+    "orders_left_join": q_orders_left_join,
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -768,6 +862,8 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLE_SQL = {
+    "events_lead_lag": SQL_EVENTS_LEAD_LAG,
+    "orders_left_join": SQL_ORDERS_LEFT_JOIN,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
