@@ -1261,7 +1261,207 @@ SQL_LEN_QUANTILES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# inverted index build (token -> postings list for the top-df vocabulary)
+# ---------------------------------------------------------------------------
+
+INVERTED_K = 100  # vocabulary slice the index is built for (query parameter)
+
+
+def q_inverted_index(sf_dir: str):
+    """Postings-list build for the top-{K}-df tokens — the retrieval-side
+    artifact a contamination / attribution pipeline queries (reference
+    analog: the text-db lookup registries, utils/databases).
+
+    Scale shape: phase 1 computes document frequency with per-batch
+    DISTINCT (doc, token) partial counts (dictionary-encode + np.unique —
+    no token-level Python) and ONE vocab-sized groupby; the top-K slice is
+    provably tiny (K rows) and broadcasts.  Phase 2 re-tokenizes with the
+    K-token filter pushed INSIDE the explode kernel — the pair stream that
+    shuffles is `<=` K tokens wide, never corpus-vocabulary wide, and the
+    per-key map_groups at the end is bounded by K (a query parameter),
+    not by data."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+        enc = split.flatten().dictionary_encode()
+        wcodes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = len(enc.dictionary)
+        row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        pair = np.unique(row * vocab + wcodes)  # distinct (row, token)
+        tok_code, n_docs = np.unique(pair % vocab, return_counts=True)
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(tok_code)),
+                "n": pa.array(n_docs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("n", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(INVERTED_K)
+        .to_pandas()  # K rows by construction
+    )
+    tok_ref = ray.put(pa.array(top["token"].to_numpy(dtype=object)))
+
+    def pair_emit(batch: pa.Table) -> pa.Table:
+        keep_set = ray.get(tok_ref)
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+        flat = split.flatten()
+        docs = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), sizes
+        )
+        mask = pc.fill_null(pc.is_in(flat, value_set=keep_set), False)
+        m = mask.to_numpy(zero_copy_only=False)
+        kept = flat.filter(mask)
+        docs = docs[m]
+        enc = kept.dictionary_encode()
+        vocab = max(len(enc.dictionary), 1)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        pair = np.unique(docs * vocab + codes)  # distinct (doc, token)
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(pair % vocab)),
+                "doc_id": pa.array(pair // vocab, pa.int64()),
+            }
+        )
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": [len(ids)],
+                "postings": [",".join(ids.astype(str))],
+            }
+        )
+
+    return (
+        ds.map_batches(pair_emit, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(postings, batch_format="pandas")
+        .sort("token")
+    )
+
+
+SQL_INVERTED_INDEX = (
+    "WITH pairs AS (SELECT DISTINCT doc_id, token FROM"
+    " (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),"
+    " dft AS (SELECT token, count(*) AS df FROM pairs GROUP BY token),"
+    " top AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT {k})"
+    " SELECT t.token, t.df, string_agg(CAST(p.doc_id AS VARCHAR), ','"
+    " ORDER BY p.doc_id) AS postings"
+    " FROM top t JOIN pairs p ON p.token = t.token"
+    " GROUP BY t.token, t.df ORDER BY t.token"
+).format(k=INVERTED_K)
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (multi-criteria maxima with mergeable partials)
+# ---------------------------------------------------------------------------
+
+def skyline_2d(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct 2-D maxima (points not STRICTLY dominated: no other point
+    >= in both dims and > in one), vectorized: sort by (x desc, y desc),
+    collapse each distinct x to its max y, keep where y exceeds the
+    running max of all larger-x ys.  Mergeable: skyline(A u B) =
+    skyline(skyline(A) u skyline(B))."""
+    if len(x) == 0:
+        return x.astype(np.int64), y.astype(np.int64)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    first = np.empty(len(xs), bool)
+    first[0] = True
+    first[1:] = xs[1:] != xs[:-1]
+    xs, ys = xs[first], ys[first]
+    cm = np.maximum.accumulate(ys)
+    keep = np.empty(len(ys), bool)
+    keep[0] = True
+    keep[1:] = ys[1:] > cm[:-1]
+    return xs[keep], ys[keep]
+
+
+def q_doc_skyline(sf_dir: str):
+    """Pareto frontier of (n_chars, lexical diversity) over the corpus —
+    the multi-criteria selection shape behind "longest AND most diverse"
+    data picks.  Diversity is integer per-mille distinct-token ratio so
+    the contract is SQL-exact.
+
+    Scale shape: the skyline operator is a MERGEABLE partial aggregate —
+    each batch reduces to its own skyline (bounded by the 1001 possible
+    per-mille values here, and by the frontier size in general), partials
+    union into one block, one final kernel.  No shuffle of the corpus at
+    all; the only moved bytes are per-batch frontiers."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+        enc = split.flatten().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = max(len(enc.dictionary), 1)
+        row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        pair = np.unique(row * vocab + codes)
+        n_dist = np.bincount(pair // vocab, minlength=len(sizes))
+        div = n_dist * 1000 // np.maximum(sizes, 1)
+        xs, ys = skyline_2d(
+            batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64),
+            div.astype(np.int64),
+        )
+        return pa.table(
+            {
+                "n_chars": pa.array(xs, pa.int64()),
+                "diversity_pm": pa.array(ys, pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        xs, ys = skyline_2d(
+            batch.column("n_chars").to_numpy(zero_copy_only=False),
+            batch.column("diversity_pm").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "n_chars": pa.array(xs, pa.int64()),
+                "diversity_pm": pa.array(ys, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        .sort("n_chars")
+    )
+
+
+SQL_DOC_SKYLINE = (
+    "WITH m AS (SELECT n_chars,"
+    " (len(list_distinct(string_split(text, ' '))) * 1000)"
+    " // len(string_split(text, ' ')) AS diversity_pm FROM documents),"
+    " pts AS (SELECT DISTINCT n_chars, diversity_pm FROM m)"
+    " SELECT n_chars, diversity_pm FROM pts p WHERE NOT EXISTS ("
+    " SELECT 1 FROM pts q WHERE q.n_chars >= p.n_chars"
+    " AND q.diversity_pm >= p.diversity_pm"
+    " AND (q.n_chars > p.n_chars OR q.diversity_pm > p.diversity_pm))"
+    " ORDER BY n_chars"
+)
+
+
 CC_QUERIES = {
+    "inverted_index": q_inverted_index,
+    "doc_skyline": q_doc_skyline,
     "paragraph_dedup": q_paragraph_dedup,
     "source_cap": q_source_cap,
     "len_quantiles": q_len_quantiles,
@@ -1279,6 +1479,8 @@ CC_QUERIES = {
 }
 
 CC_ORACLE_SQL = {
+    "inverted_index": SQL_INVERTED_INDEX,
+    "doc_skyline": SQL_DOC_SKYLINE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "source_cap": SQL_SOURCE_CAP,
     "len_quantiles": SQL_LEN_QUANTILES,

@@ -30,6 +30,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..sources.io import read_table
+from ..stages.dedup import distinct_rows
 from ..stages.joins import auto_join
 
 N_NODES = 97
@@ -158,5 +159,189 @@ def _sql_pagerank() -> str:
 
 SQL_PAGERANK = _sql_pagerank()
 
-GRAPH_QUERIES = {"pagerank": q_pagerank}
-GRAPH_ORACLE_SQL = {"pagerank": SQL_PAGERANK}
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented wedge enumeration)
+# ---------------------------------------------------------------------------
+
+def _tri_edges(sf_dir: str) -> ray.data.Dataset:
+    """Denser synthetic link graph than the PageRank one (whose dst is a
+    pure function of src, so it has exactly one 3-cycle): dst also mixes
+    doc_id // N so each node accumulates many distinct neighbours."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = d % N_NODES
+        dst = (d * 7 + (d // N_NODES) * 13 + 3) % N_NODES
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(src, dst), pa.int64()),
+                "hi": pa.array(np.maximum(src, dst), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def _pairs_within_groups(group_key: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized all-(i<j)-pairs-within-consecutive-groups index kernel:
+    given a SORTED group id array, return (i_idx, j_idx) for every ordered
+    pair inside each group — no Python loop over groups or pairs."""
+    n = len(group_key)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = group_key[1:] != group_key[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, n))
+    ends = np.repeat(starts + counts, counts)  # exclusive group end per row
+    reps = ends - np.arange(n) - 1  # pairs where this row is the FIRST element
+    total = int(reps.sum())
+    i_idx = np.repeat(np.arange(n), reps)
+    block_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    offset = np.arange(total) - np.repeat(block_starts, reps)
+    return i_idx, (i_idx + 1 + offset)
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle participation over the synthesized undirected doc
+    link graph — the classic degree-ORIENTED wedge enumeration (each
+    triangle found exactly once at its lowest-rank corner), reference
+    analog: graph/cluster combination passes (utils/ocr combination).
+
+    Scale shape: distinct undirected edges via one groupby; degrees via one
+    groupby; orientation rank r(v) = (deg(v), v) packed into int64 bounds
+    every node's OUT-degree by O(sqrt(m)) so the wedge explosion is
+    m^1.5 worst-case, not sum(deg^2) (the hub blowup an unoriented
+    enumeration hits on power-law graphs).  Wedges are generated by a
+    bucketed groupby + one vectorized pair kernel per bucket, then
+    EXISTS-filtered against the oriented edge set (size-planned
+    semi join — broadcasts while the edge key set is small)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import semi_anti_join
+
+    edges = distinct_rows(_tri_edges(sf_dir), ["lo", "hi"])
+
+    def explode_endpoints(batch: pa.Table) -> pa.Table:
+        node = np.concatenate(
+            [
+                batch.column("lo").to_numpy(zero_copy_only=False),
+                batch.column("hi").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"node": pa.array(node, pa.int64())})
+
+    deg = (
+        edges.map_batches(explode_endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    # orientation rank packs (deg, node) into one int64 — N_NODES < 2^20
+    edges_r = auto_join(
+        auto_join(edges, deg, on="lo", right_on="node"),
+        deg.map_batches(
+            lambda b: b.rename_columns(["node2", "deg2"]), batch_format="pyarrow"
+        ),
+        on="hi",
+        right_on="node2",
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        r_lo = batch.column("deg").to_numpy(zero_copy_only=False) * (1 << 20) + lo
+        r_hi = batch.column("deg2").to_numpy(zero_copy_only=False) * (1 << 20) + hi
+        flip = r_lo > r_hi
+        a = np.where(flip, hi, lo)
+        b = np.where(flip, lo, hi)
+        ra = np.where(flip, r_hi, r_lo)
+        rb = np.where(flip, r_lo, r_hi)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "rb": pa.array(rb, pa.int64()),
+                "key": pa.array(a * N_NODES + b, pa.int64()),
+            }
+        )
+
+    oriented = edges_r.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(df):
+        import pandas as pd
+
+        df = df.sort_values(["a", "rb"], kind="mergesort")
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        i_idx, j_idx = _pairs_within_groups(a)
+        # rows sorted by rank within each center: pair (v, w) is already
+        # orientation-ordered, so the closing edge (if any) is stored (v, w)
+        return pd.DataFrame(
+            {
+                "u": a[i_idx],
+                "v": b[i_idx],
+                "w": b[j_idx],
+                "key": b[i_idx] * N_NODES + b[j_idx],
+            }
+        )
+
+    bucketed = oriented.map_batches(
+        lambda t: t.append_column(
+            "__bucket",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.multiply_checked(t.column("a"), pa.scalar(2654435761, pa.int64())),
+                    pa.scalar((1 << 8) - 1, pa.int64()),
+                ),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    wedge_ds = bucketed.groupby("__bucket").map_groups(wedges, batch_format="pandas")
+
+    tri = semi_anti_join(
+        wedge_ds, oriented.select_columns(["key"]), on="key"
+    )
+
+    def explode_corners(batch: pa.Table) -> pa.Table:
+        cols = [
+            batch.column(c).to_numpy(zero_copy_only=False) for c in ("u", "v", "w")
+        ]
+        return pa.table({"node": pa.array(np.concatenate(cols), pa.int64())})
+
+    return (
+        tri.map_batches(explode_corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="n_tri"))
+        .sort("node")
+    )
+
+
+SQL_TRIANGLE_COUNT = (
+    "WITH raw AS (SELECT doc_id % {n} AS s,"
+    " (doc_id * 7 + (doc_id // {n}) * 13 + 3) % {n} AS t FROM documents),"
+    " e AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi"
+    " FROM raw WHERE s <> t),"
+    " tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c"
+    " FROM e e1 JOIN e e2 ON e2.lo = e1.hi"
+    " JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),"
+    " m AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri"
+    " UNION ALL SELECT c FROM tri)"
+    " SELECT node, count(*) AS n_tri FROM m GROUP BY node ORDER BY node"
+).format(n=N_NODES)
+
+GRAPH_QUERIES = {
+    "triangle_count": q_triangle_count,
+    "pagerank": q_pagerank,
+}
+GRAPH_ORACLE_SQL = {
+    "pagerank": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+}

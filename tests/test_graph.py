@@ -37,3 +37,65 @@ def test_pagerank_deterministic(ray_session, tmp_path):
     a = _rank_table(str(tmp_path)).column("rank").to_pylist()
     b = _rank_table(str(tmp_path)).column("rank").to_pylist()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edges):
+    """All triangles of an undirected edge set, by 3-loop enumeration."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in es for v in e})
+    tri = []
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    tri.append((a, b, c))
+    return tri
+
+
+def test_pairs_within_groups_brute():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        sizes = rng.integers(0, 6, size=rng.integers(1, 8))
+        gk = np.repeat(np.arange(len(sizes)), sizes)
+        i_idx, j_idx = qg._pairs_within_groups(gk)
+        got = sorted(zip(i_idx.tolist(), j_idx.tolist()))
+        want = []
+        pos = 0
+        for s in sizes:
+            for i in range(pos, pos + s):
+                for j in range(i + 1, pos + s):
+                    want.append((i, j))
+            pos += s
+        assert got == sorted(want)
+        assert all(gk[i] == gk[j] for i, j in got)
+
+
+def test_triangle_count_vs_bruteforce(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    d = np.arange(400, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(d, pa.int64())})
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    src = d % qg.N_NODES
+    dst = (d * 7 + (d // qg.N_NODES) * 13 + 3) % qg.N_NODES
+    edges = [(int(s), int(x)) for s, x in zip(src, dst) if s != x]
+    tris = _brute_triangles(edges)
+    want = {}
+    for a, b, c in tris:
+        for v in (a, b, c):
+            want[v] = want.get(v, 0) + 1
+    out = qg.q_triangle_count(str(tmp_path)).to_pandas()
+    got = dict(zip(out["node"], out["n_tri"]))
+    assert got == want
+    assert sum(want.values()) == 3 * len(tris)
+    # the graph is dense enough that the test is non-vacuous
+    assert len(tris) > 5

@@ -363,3 +363,78 @@ def test_doc_len_rank_known_values(ray_session, tmp_path):
     # ties: both 20-char docs have exactly one shorter doc
     assert out.loc[1, "n_less"] == 1 and out.loc[2, "n_less"] == 1
     assert out.loc[3, "n_less"] == 0 and out.loc[3, "n_total"] == 1
+
+
+# ---------------------------------------------------------------------------
+# skyline + inverted index (round 4)
+# ---------------------------------------------------------------------------
+
+def test_skyline_2d_vs_bruteforce():
+    import numpy as np
+
+    from ocr_ray.pipelines.queries_cc import skyline_2d
+
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        n = int(rng.integers(1, 60))
+        x = rng.integers(0, 12, n).astype(np.int64)
+        y = rng.integers(0, 12, n).astype(np.int64)
+        pts = set(zip(x.tolist(), y.tolist()))
+        want = sorted(
+            p
+            for p in pts
+            if not any(
+                q[0] >= p[0] and q[1] >= p[1] and q != p for q in pts
+            )
+        )
+        xs, ys = skyline_2d(x, y)
+        got = sorted(zip(xs.tolist(), ys.tolist()))
+        assert got == want
+
+
+def test_skyline_merge_property():
+    import numpy as np
+
+    from ocr_ray.pipelines.queries_cc import skyline_2d
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 100, 200).astype(np.int64)
+    y = rng.integers(0, 100, 200).astype(np.int64)
+    whole = skyline_2d(x, y)
+    ax, ay = skyline_2d(x[:90], y[:90])
+    bx, by = skyline_2d(x[90:], y[90:])
+    merged = skyline_2d(
+        np.concatenate([ax, bx]), np.concatenate([ay, by])
+    )
+    assert merged[0].tolist() == whole[0].tolist()
+    assert merged[1].tolist() == whole[1].tolist()
+
+
+def test_inverted_index_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from ocr_ray.pipelines.queries_cc import q_inverted_index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 9, 2, 7], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple banana apple",
+                    "banana cherry",
+                    "apple",
+                    "banana banana date",
+                ]
+            ),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_inverted_index(str(tmp_path)).to_pandas().set_index("token")
+    # df counts distinct DOCS (apple appears 3x in doc 5 but df=2)
+    assert out.loc["apple", "df"] == 2
+    assert out.loc["apple", "postings"] == "2,5"
+    assert out.loc["banana", "df"] == 3
+    assert out.loc["banana", "postings"] == "5,7,9"
+    assert out.loc["cherry", "postings"] == "9"
+    assert out.loc["date", "postings"] == "7"
+    assert list(out.index) == sorted(out.index)
