@@ -174,6 +174,12 @@ def run_queries(sf_dir: str) -> dict:
         "tfidf_by_source",
         "events_range_join",
         "curation_neardup",
+        # round-4 additions
+        "triangle_count",
+        "inverted_index",
+        "doc_skyline",
+        "top_bigrams",
+        "audio_mel",
     ]
     import ray.data
 

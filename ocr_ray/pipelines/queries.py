@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
+
+from ..schema import list_column_matrix
 from ray.data.aggregate import Count, Mean, Min, Sum
 
 from ..sources.io import cpu_count, read_table
@@ -376,7 +378,7 @@ def q_knn_cosine(sf_dir: str):
     def batch_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)  # zero-copy local fetch of the broadcast query
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_column_matrix(batch.column("embedding"))
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         cos = (emb @ qv) / norms
@@ -415,7 +417,7 @@ def q_embedding_norms(sf_dir: str):
     )
 
     def norms(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_column_matrix(batch.column("embedding"))
         return pa.table(
             {
                 "label": batch.column("label"),

@@ -1459,7 +1459,116 @@ SQL_DOC_SKYLINE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# bigram co-occurrence statistics (the PMI ingredient table)
+# ---------------------------------------------------------------------------
+
+BIGRAM_K = 20
+
+
+def q_top_bigrams(sf_dir: str):
+    """Global top-{K} bigrams with their component-token counts — the
+    integer ingredients of PMI / collocation scoring (kept integer so the
+    contract is SQL-exact; PMI's log is monotone in these counts).
+
+    Scale shape: per-batch partial bigram counts via dictionary codes
+    (bigram key = code[i] * V + code[i+1], np.unique — no token-level
+    Python), one vocab^2-bounded-but-zipf-small groupby, top-K slice is K
+    rows.  Component counts come from a second aggregate pass filtered
+    MAP-SIDE to the <=2K tokens the winners mention (broadcast is_in), so
+    the final join touches <=2K rows on the driver.  At 100 TB the two
+    passes fuse into one explode emitting both partials."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+        enc = split.flatten().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = max(len(enc.dictionary), 1)
+        n = len(codes)
+        if n == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # valid first-positions: every flat index except each row's last
+        mask = np.ones(n, bool)
+        mask[np.cumsum(sizes) - 1] = False
+        first = codes[:-1][mask[:-1]] if n > 1 else codes[:0]
+        second = codes[1:][mask[:-1]] if n > 1 else codes[:0]
+        key, cnt = np.unique(first * vocab + second, return_counts=True)
+        return pa.table(
+            {
+                "w1": enc.dictionary.take(pa.array(key // vocab)),
+                "w2": enc.dictionary.take(pa.array(key % vocab)),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(_Sum("n", alias_name="n_bigram"))
+        .sort(["n_bigram", "w1", "w2"], descending=[True, False, False])
+        .limit(BIGRAM_K)
+        .to_pandas()  # K rows by construction
+    )
+    want = pa.array(
+        sorted(set(top["w1"]) | set(top["w2"])), pa.string()
+    )
+    want_ref = ray.put(want)
+
+    def token_partial(batch: pa.Table) -> pa.Table:
+        keep_set = ray.get(want_ref)
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        kept = flat.filter(pc.fill_null(pc.is_in(flat, value_set=keep_set), False))
+        vc = kept.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    wc = (
+        ds.map_batches(token_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Sum("c", alias_name="c"))
+        .to_pandas()  # <= 2K rows: map-side filtered to the winners' tokens
+    )
+    out = top.merge(
+        wc.rename(columns={"word": "w1", "c": "n_w1"}), on="w1"
+    ).merge(wc.rename(columns={"word": "w2", "c": "n_w2"}), on="w2")
+    return out.sort_values(
+        ["n_bigram", "w1", "w2"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
+SQL_TOP_BIGRAMS = (
+    "WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),"
+    " bg AS (SELECT unnest(list_transform(range(1, len(w)),"
+    " i -> struct_pack(a := w[CAST(i AS BIGINT)],"
+    " b := w[CAST(i AS BIGINT) + 1]))) AS s FROM t),"
+    " bc AS (SELECT s['a'] AS w1, s['b'] AS w2, count(*) AS n_bigram"
+    " FROM bg GROUP BY 1, 2),"
+    " top AS (SELECT * FROM bc ORDER BY n_bigram DESC, w1, w2 LIMIT {k}),"
+    " wc AS (SELECT word, count(*) AS c FROM"
+    " (SELECT unnest(w) AS word FROM t) GROUP BY 1)"
+    " SELECT t.w1, t.w2, t.n_bigram, c1.c AS n_w1, c2.c AS n_w2"
+    " FROM top t JOIN wc c1 ON c1.word = t.w1 JOIN wc c2 ON c2.word = t.w2"
+    " ORDER BY n_bigram DESC, w1, w2"
+).format(k=BIGRAM_K)
+
+
 CC_QUERIES = {
+    "top_bigrams": q_top_bigrams,
     "inverted_index": q_inverted_index,
     "doc_skyline": q_doc_skyline,
     "paragraph_dedup": q_paragraph_dedup,
@@ -1479,6 +1588,7 @@ CC_QUERIES = {
 }
 
 CC_ORACLE_SQL = {
+    "top_bigrams": SQL_TOP_BIGRAMS,
     "inverted_index": SQL_INVERTED_INDEX,
     "doc_skyline": SQL_DOC_SKYLINE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

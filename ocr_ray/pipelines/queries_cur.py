@@ -10,6 +10,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
+
+from ..schema import list_column_matrix
 from ray.data.aggregate import Count, Min
 
 from ..sources.io import read_table
@@ -66,8 +68,8 @@ def q_knn_multi(sf_dir: str):
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         qids, queries = ray.get(q_ref)
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = list_column_matrix(batch.column("embedding"))
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         cos = (emb / norms[:, None]) @ queries.T  # [B, Q] in one matmul
@@ -411,8 +413,8 @@ def q_knn_l2(sf_dir: str):
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = list_column_matrix(batch.column("embedding"))
         d = distance(qv, emb, "l2", as_matrix=True)[0]
         top = np.argsort(d, kind="stable")[:k]
         return pa.table(
@@ -453,8 +455,8 @@ def q_embedding_centroids(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = list_column_matrix(batch.column("embedding"))
         uniq = np.unique(labels)
         sums = np.stack([emb[labels == u].sum(axis=0) for u in uniq])
         counts = np.asarray([(labels == u).sum() for u in uniq], dtype=np.int64)
@@ -469,7 +471,7 @@ def q_embedding_centroids(sf_dir: str):
 
     def combine(g: pa.Table) -> pa.Table:
         label = g.column("label")[0].as_py()
-        sums = np.asarray(g.column("vsum").to_pylist(), dtype=np.float64).sum(axis=0)
+        sums = list_column_matrix(g.column("vsum")).sum(axis=0)
         n = sum(g.column("n").to_pylist())
         centroid = sums / n
         dims = np.arange(len(centroid), dtype=np.int64)

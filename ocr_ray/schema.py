@@ -103,3 +103,23 @@ MANIFEST = pa.schema(
 
 def empty_table(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
+
+
+def list_column_matrix(col, dtype="float64"):
+    """Fixed-width ``list<number>`` column -> 2-D numpy matrix WITHOUT the
+    per-element ``to_pylist`` Python round-trip: flatten the Arrow list
+    values buffer straight to numpy and reshape.  The embedding columns are
+    fixed-dimension by contract; raises if widths are ragged."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    widths = np.unique(np.asarray(col.value_lengths(), dtype=np.int64))
+    if len(widths) != 1:
+        raise ValueError("ragged list column cannot form a matrix")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    return flat.reshape(n, int(widths[0]))

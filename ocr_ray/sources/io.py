@@ -77,6 +77,68 @@ def table_shuffle_blocks(sf_dir: str, name: str, *, scale: float = 1.0) -> int:
         return cpu_count()
 
 
+# ---------------------------------------------------------------------------
+# extension-dispatch reader registry (reference: the parser/loader dispatch,
+# utils/text/parsers/__init__.py extension registry + utils/datasets/builder
+# csv/txt branches — SURVEY §2.1 S2/S11).  Parquet is the only format with
+# true read-time column projection; the others select_columns after decode,
+# which is why a 100-TB corpus should land as parquet first.
+# ---------------------------------------------------------------------------
+
+def _read_parquet_auto(path: str, columns):
+    try:
+        nblocks = sized_num_blocks(parquet_uncompressed_bytes(path))
+    except OSError:
+        nblocks = None
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nblocks)
+
+
+def _read_csv_auto(path: str, columns):
+    nblocks = sized_num_blocks(os.path.getsize(path))
+    ds = ray.data.read_csv(path, override_num_blocks=nblocks)
+    return ds.select_columns(columns) if columns else ds
+
+
+def _read_jsonl_auto(path: str, columns):
+    nblocks = sized_num_blocks(os.path.getsize(path))
+    ds = ray.data.read_json(path, override_num_blocks=nblocks)
+    return ds.select_columns(columns) if columns else ds
+
+
+def _read_text_auto(path: str, columns):
+    ds = ray.data.read_text(path)
+    return ds.select_columns(columns) if columns else ds
+
+
+READERS = {
+    "parquet": _read_parquet_auto,
+    "csv": _read_csv_auto,
+    "jsonl": _read_jsonl_auto,
+    "json": _read_jsonl_auto,  # newline-delimited json
+    "txt": _read_text_auto,
+}
+
+
+def register_reader(ext: str, fn) -> None:
+    """User-extension hook: map a file extension to a reader callable
+    ``fn(path, columns) -> Dataset`` (the reference's parser-registry
+    surface, SURVEY §2.10)."""
+    READERS[ext.lower().lstrip(".")] = fn
+
+
+def read_auto(path: str, *, columns=None) -> ray.data.Dataset:
+    """Read a file by extension through the reader registry."""
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    try:
+        reader = READERS[ext]
+    except KeyError:
+        raise ValueError(
+            f"no reader registered for extension {ext!r} "
+            f"(known: {sorted(READERS)})"
+        ) from None
+    return reader(path, columns)
+
+
 def read_table(
     sf_dir: str, name: str, *, columns=None, min_blocks: int = 1
 ) -> ray.data.Dataset:

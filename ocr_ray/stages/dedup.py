@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..schema import list_column_matrix
+
 _MERSENNE = (1 << 61) - 1
 N_PERM = 64
 N_BANDS = 16  # 4 rows per band
@@ -848,9 +850,8 @@ def embedding_neardup_pairs(
     def bucket_rows(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids = batch.column("vec_id").to_pylist()
-        vecs = batch.column("embedding").to_pylist()
-        mat = np.asarray(vecs, dtype=np.float64)
-        vhash = [_vec_hash(v) for v in vecs]
+        mat = list_column_matrix(batch.column("embedding"))
+        vhash = [_vec_hash(v) for v in mat]
         out_id, out_tb, out_bk, out_vh = [], [], [], []
         for t in range(n_tables):
             signs = (mat @ pl[t]) > 0
@@ -903,8 +904,8 @@ def embedding_neardup_pairs(
     # Acero hash joins reject list<float> payload columns: ship the vectors
     # through the verify join as packed float64 binary instead.
     def encode(batch: pa.Table) -> pa.Table:
-        vecs = batch.column("embedding").to_pylist()
-        packed = [np.asarray(v, dtype=np.float64).tobytes() for v in vecs]
+        mat = list_column_matrix(batch.column("embedding"))
+        packed = [row.tobytes() for row in mat]
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),

@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..schema import list_column_matrix
+
 
 def kmeans_fit(data: np.ndarray, k: int, *, iters: int = 10, seed: int = 17) -> np.ndarray:
     """Deterministic Lloyd's k-means (seeded init, fixed iterations)."""
@@ -66,7 +68,7 @@ def ivf_topk(
         probe = ray.get(probed_ref)
         qv = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_column_matrix(batch.column("embedding"))
         d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         mask = np.isin(assign, list(probe))
@@ -120,7 +122,7 @@ def ivf_build_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_column_matrix(batch.column("embedding"))
         d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return batch.append_column(
             "cluster", pa.array(d.argmin(axis=1).astype("int64"), pa.int64())
@@ -165,7 +167,7 @@ def ivf_search_index(
     def score(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_column_matrix(batch.column("embedding"))
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat @ qv) / norms

@@ -438,3 +438,32 @@ def test_inverted_index_planted(ray_session, tmp_path):
     assert out.loc["cherry", "postings"] == "9"
     assert out.loc["date", "postings"] == "7"
     assert list(out.index) == sorted(out.index)
+
+
+def test_top_bigrams_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from ocr_ray.pipelines.queries_cc import q_top_bigrams
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b c",   # bigrams: (a,b)x2? -> a b, b a, a b, b c
+                    "a b",
+                    "x",           # single token: contributes no bigram
+                ]
+            ),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_top_bigrams(str(tmp_path))
+    rows = {(r.w1, r.w2): (r.n_bigram, r.n_w1, r.n_w2) for r in out.itertuples()}
+    assert rows[("a", "b")] == (3, 3, 3)   # a appears 3x, b 3x overall
+    assert rows[("b", "a")] == (1, 3, 3)
+    assert rows[("b", "c")] == (1, 3, 1)
+    # no cross-document bigram (b,a) from doc0->doc1 boundary beyond doc0's own
+    assert sum(n for n, _, _ in rows.values()) == 5
+    # ordering: count desc, then lexicographic
+    assert list(out[["w1", "w2"]].itertuples(index=False, name=None))[0] == ("a", "b")

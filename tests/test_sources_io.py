@@ -58,3 +58,64 @@ def test_sized_num_blocks_scales_with_bytes(ray_session):
     assert sized_num_blocks(100 << 30) == (100 << 30) // (128 << 20)
     # floor wins when the caller needs map parallelism
     assert sized_num_blocks(100_000, min_blocks=8) == 8
+
+
+# ---------------------------------------------------------------------------
+# extension-dispatch reader registry (round 4)
+# ---------------------------------------------------------------------------
+
+def test_read_auto_csv_jsonl_parquet_agree(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.io import read_auto
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma", "delta eps"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    pacsv.write_csv(t, str(tmp_path / "d.csv"))
+    with open(tmp_path / "d.jsonl", "w") as f:
+        for row in t.to_pylist():
+            import json
+
+            f.write(json.dumps(row) + "\n")
+
+    frames = {
+        ext: read_auto(str(tmp_path / f"d.{ext}"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for ext in ("parquet", "csv", "jsonl")
+    }
+    assert frames["csv"].equals(frames["parquet"])
+    assert frames["jsonl"].equals(frames["parquet"])
+    # column pruning path
+    only = read_auto(str(tmp_path / "d.csv"), columns=["text"]).to_pandas()
+    assert list(only.columns) == ["text"]
+
+
+def test_read_auto_txt_and_registry(ray_session, tmp_path):
+    from ocr_ray.sources import io as sio
+
+    p = tmp_path / "d.txt"
+    p.write_text("line one\nline two\n")
+    out = sio.read_auto(str(p)).to_pandas()
+    assert list(out.iloc[:, 0]) == ["line one", "line two"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no reader registered"):
+        sio.read_auto(str(tmp_path / "d.xyz"))
+
+    calls = []
+    sio.register_reader("xyz", lambda path, columns: calls.append(path))
+    try:
+        sio.read_auto(str(tmp_path / "d.xyz"))
+        assert calls
+    finally:
+        del sio.READERS["xyz"]

@@ -69,3 +69,20 @@ def test_structural_error_rows_have_empty_paragraphs():
     for r in t.to_pylist():
         if r["status"] == "error":
             assert r["paragraphs"] == []
+
+
+def test_list_column_matrix():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from ocr_ray.schema import list_column_matrix
+
+    col = pa.chunked_array([pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32()))])
+    m = list_column_matrix(col)
+    assert m.dtype == np.float64 and m.shape == (2, 2)
+    assert m.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    assert list_column_matrix(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
+    # ragged lists with a compatible TOTAL size must still raise
+    with pytest.raises(ValueError, match="ragged"):
+        list_column_matrix(pa.array([[1.0], [2.0, 3.0, 4.0]], pa.list_(pa.float64())))
