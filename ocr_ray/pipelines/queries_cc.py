@@ -1567,7 +1567,109 @@ SQL_TOP_BIGRAMS = (
 ).format(k=BIGRAM_K)
 
 
+# ---------------------------------------------------------------------------
+# table profiling (the ANALYZE / stats-collection operator)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [("doc_id", "int"), ("lang", "str"), ("n_chars", "int"), ("source", "str")]
+
+
+def q_profile_table(sf_dir: str):
+    """Column profile of the documents table — null count, EXACT distinct
+    cardinality, typed min/max per column (the ANALYZE statistics a
+    planner's size/selectivity estimates come from; the reference's
+    dataset `summary` analog).
+
+    Scale shape: one pass emits per-batch DISTINCT values per column (the
+    only shuffle is over distinct (column, value) pairs — bounded by
+    cardinality, not rows); null counts are map-side Sum partials; min/max
+    combine from per-batch native-typed partials so integer columns order
+    numerically, not lexically (the classic stringified-min bug).  The
+    driver only ever holds n_columns-sized results.  At unbounded
+    cardinality you would swap the exact distinct for the HLL sketch
+    (functions/sketches.py) — same dataflow, mergeable registers."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    names = [c for c, _ in _PROFILE_COLS]
+    ds = read_table(sf_dir, "documents", columns=names)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for name in names:
+            u = pc.unique(pc.drop_null(batch.column(name)))
+            s = pc.cast(u, pa.string())
+            vals.extend(s.to_pylist())
+            cols.extend([name] * len(u))
+        return pa.table(
+            {"col_name": pa.array(cols, pa.string()), "v": pa.array(vals, pa.string())}
+        )
+
+    n_distinct = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["col_name", "v"])
+        .aggregate(_Count(alias_name="__n"))
+        .groupby("col_name")
+        .aggregate(_Count(alias_name="n_distinct"))
+        .to_pandas()  # n_columns rows
+    )
+
+    def null_minmax_partial(batch: pa.Table) -> pa.Table:
+        out = {"col_name": [], "n_null": [], "min_v": [], "max_v": []}
+        for name in names:
+            col = batch.column(name)
+            mm = pc.min_max(col)
+            out["col_name"].append(name)
+            out["n_null"].append(col.null_count)
+            out["min_v"].append(str(mm["min"].as_py()) if mm["min"].is_valid else None)
+            out["max_v"].append(str(mm["max"].as_py()) if mm["max"].is_valid else None)
+        return pa.table(
+            {
+                "col_name": pa.array(out["col_name"], pa.string()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "min_v": pa.array(out["min_v"], pa.string()),
+                "max_v": pa.array(out["max_v"], pa.string()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(null_minmax_partial, batch_format="pyarrow")
+        .to_pandas()  # n_batches x n_columns rows — partials, not data
+    )
+    kind = dict(_PROFILE_COLS)
+
+    def _combine(g: pd.DataFrame) -> pd.Series:
+        vals_min = g["min_v"].dropna()
+        vals_max = g["max_v"].dropna()
+        if kind[g.name] == "int":
+            mn = str(vals_min.astype(np.int64).min()) if len(vals_min) else None
+            mx = str(vals_max.astype(np.int64).max()) if len(vals_max) else None
+        else:
+            mn = vals_min.min() if len(vals_min) else None
+            mx = vals_max.max() if len(vals_max) else None
+        return pd.Series(
+            {"n_null": int(g["n_null"].sum()), "min_v": mn, "max_v": mx}
+        )
+
+    stats = parts.groupby("col_name", sort=True).apply(_combine).reset_index()
+    out = stats.merge(n_distinct, on="col_name")
+    return out[["col_name", "n_null", "n_distinct", "min_v", "max_v"]].sort_values(
+        "col_name"
+    ).reset_index(drop=True)
+
+
+SQL_PROFILE_TABLE = " UNION ALL ".join(
+    "SELECT '{c}' AS col_name, count(*) - count({c}) AS n_null,"
+    " count(DISTINCT {c}) AS n_distinct,"
+    " CAST(min({c}) AS VARCHAR) AS min_v,"
+    " CAST(max({c}) AS VARCHAR) AS max_v FROM documents".format(c=c)
+    for c, _ in sorted(_PROFILE_COLS)
+)
+
+
 CC_QUERIES = {
+    "profile_table": q_profile_table,
     "top_bigrams": q_top_bigrams,
     "inverted_index": q_inverted_index,
     "doc_skyline": q_doc_skyline,
@@ -1588,6 +1690,7 @@ CC_QUERIES = {
 }
 
 CC_ORACLE_SQL = {
+    "profile_table": SQL_PROFILE_TABLE,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "inverted_index": SQL_INVERTED_INDEX,
     "doc_skyline": SQL_DOC_SKYLINE,

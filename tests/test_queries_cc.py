@@ -467,3 +467,25 @@ def test_top_bigrams_planted(ray_session, tmp_path):
     assert sum(n for n, _, _ in rows.values()) == 5
     # ordering: count desc, then lexicographic
     assert list(out[["w1", "w2"]].itertuples(index=False, name=None))[0] == ("a", "b")
+
+
+def test_profile_table_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from ocr_ray.pipelines.queries_cc import q_profile_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 2, 33, 2], pa.int64()),
+            "lang": pa.array(["en", None, "de", "en"]),
+            "n_chars": pa.array([5, 100, 9, 5], pa.int64()),
+            "source": pa.array(["a", "b", "a", "a"]),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_profile_table(str(tmp_path)).set_index("col_name")
+    assert out.loc["doc_id"].tolist() == [0, 3, "2", "33"]  # numeric, not lexical
+    assert out.loc["lang"].tolist() == [1, 2, "de", "en"]   # nulls excluded
+    assert out.loc["n_chars"].tolist() == [0, 3, "5", "100"]
+    assert out.loc["source"].tolist() == [0, 2, "a", "b"]
+    assert list(out.index) == ["doc_id", "lang", "n_chars", "source"]
