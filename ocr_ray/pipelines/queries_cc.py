@@ -1668,7 +1668,78 @@ SQL_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# percentile-band outlier trim (quantile thresholds -> map-side filter)
+# ---------------------------------------------------------------------------
+
+OUTLIER_LO, OUTLIER_HI = 0.05, 0.95
+
+
+def q_doc_outliers(sf_dir: str):
+    """Documents OUTSIDE the per-language [p05, p95] length band — the
+    Gopher-style length trim, composed as: exact per-lang quantile
+    thresholds from the value histogram (the len_quantiles machinery —
+    driver holds only distinct (lang, length) pairs), thresholds broadcast,
+    one vectorized map-side filter.  No second shuffle: the corpus never
+    moves, only the histogram does.  Quantile contract as in
+    len_quantiles: smallest value whose cumulative count reaches
+    ceil(q * total); the band is inclusive, outliers are strict < lo
+    or > hi."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "n_chars"]).size().rename("cnt")
+        return pa.Table.from_pandas(df.reset_index(), preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    bands = {}
+    for lang, g in hist.sort_values(["lang", "n_chars"]).groupby("lang", sort=True):
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["n_chars"].to_numpy()
+        total = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, int(np.ceil(OUTLIER_LO * total)))])
+        hi = int(vals[np.searchsorted(cum, int(np.ceil(OUTLIER_HI * total)))])
+        bands[lang] = (lo, hi)
+    bands_ref = ray.put(bands)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        b = ray.get(bands_ref)
+        lo_map = pd.Series({k: v[0] for k, v in b.items()})
+        hi_map = pd.Series({k: v[1] for k, v in b.items()})
+        df = batch.to_pandas()
+        lo = df["lang"].map(lo_map).to_numpy()
+        hi = df["lang"].map(hi_map).to_numpy()
+        n = df["n_chars"].to_numpy()
+        return pa.Table.from_pandas(
+            df[(n < lo) | (n > hi)], preserve_index=False
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_DOC_OUTLIERS = (
+    "WITH c AS (SELECT lang, n_chars, count(*) AS cnt FROM documents"
+    " GROUP BY lang, n_chars),"
+    " w AS (SELECT lang, n_chars,"
+    " sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,"
+    " sum(cnt) OVER (PARTITION BY lang) AS total FROM c),"
+    " lo AS (SELECT lang, min(n_chars) AS v FROM w"
+    " WHERE cum >= ceil({lo} * total) GROUP BY lang),"
+    " hi AS (SELECT lang, min(n_chars) AS v FROM w"
+    " WHERE cum >= ceil({hi} * total) GROUP BY lang)"
+    " SELECT d.doc_id, d.lang, d.n_chars FROM documents d"
+    " JOIN lo ON lo.lang = d.lang JOIN hi ON hi.lang = d.lang"
+    " WHERE d.n_chars < lo.v OR d.n_chars > hi.v ORDER BY d.doc_id"
+).format(lo=OUTLIER_LO, hi=OUTLIER_HI)
+
+
 CC_QUERIES = {
+    "doc_outliers": q_doc_outliers,
     "profile_table": q_profile_table,
     "top_bigrams": q_top_bigrams,
     "inverted_index": q_inverted_index,
@@ -1690,6 +1761,7 @@ CC_QUERIES = {
 }
 
 CC_ORACLE_SQL = {
+    "doc_outliers": SQL_DOC_OUTLIERS,
     "profile_table": SQL_PROFILE_TABLE,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "inverted_index": SQL_INVERTED_INDEX,
