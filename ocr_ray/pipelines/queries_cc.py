@@ -1,10 +1,12 @@
-"""Common-Crawl-curation operators: paragraph-level corpus dedup, per-source
-document caps, exact distributed quantiles.
+"""Common-Crawl-curation operators: paragraph/substring-level corpus dedup,
+per-source caps and mixing, exact distributed quantiles and outlier bands,
+corpus statistics (tf-idf, bigrams, repetition, profiling), retrieval
+artifacts (inverted index), and multi-criteria selection (Pareto skyline).
 
-These are the remaining wide-shape curation ops a 100-TB web-corpus pipeline
-needs beyond document-level dedup (CCNet dedups at PARAGRAPH granularity
-before anything else; domain caps bound any single site's contribution;
-length quantiles drive the quality-filter thresholds).  Each is built to the
+These are the wide-shape curation ops a 100-TB web-corpus pipeline needs
+beyond document-level dedup (CCNet dedups at PARAGRAPH granularity before
+anything else; domain caps bound any single site's contribution; length
+quantiles drive the quality-filter thresholds).  Each is built to the
 repo's scale rules: partial aggregation before every shuffle, size-planned
 joins, bucketed reassembly (one Python call per bucket, never per key), and
 a driver that only ever holds provably-small state.

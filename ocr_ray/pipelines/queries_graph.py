@@ -1,11 +1,14 @@
-"""Iterative graph computation: integer-exact PageRank over a synthesized
-link graph.
+"""Graph analytics over synthesized link graphs: integer-exact iterative
+PageRank and degree-oriented triangle counting.
 
-The one algorithm class the rest of the registry doesn't cover: a
+Two algorithm classes the rest of the registry doesn't cover: a
 FIXED-ITERATION-COUNT algorithm whose every round is a full shuffle (edge
-join + inflow aggregate).  The web-curation motivation is direct — link-
-graph centrality is the classic page-quality prior (the original use of
-the web graph these Common-Crawl-style pages come from).
+join + inflow aggregate), and a combinatorial-enumeration one whose cost
+is bounded by an orientation trick rather than by the data layout.  The
+web-curation motivation is direct — link-graph centrality is the classic
+page-quality prior, and triangle density is the classic link-farm /
+community signal (the original uses of the web graph these
+Common-Crawl-style pages come from).
 
 Exactness contract (what makes the DuckDB oracle bitwise): all rank mass
 is INTEGER micro-units, so the per-round aggregation is order-independent
