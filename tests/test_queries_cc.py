@@ -489,3 +489,25 @@ def test_profile_table_planted(ray_session, tmp_path):
     assert out.loc["n_chars"].tolist() == [0, 3, "5", "100"]
     assert out.loc["source"].tolist() == [0, 2, "a", "b"]
     assert list(out.index) == ["doc_id", "lang", "n_chars", "source"]
+
+
+def test_doc_outliers_band_edges(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from ocr_ray.pipelines.queries_cc import q_doc_outliers
+
+    # 20 docs, lengths 1..20, one lang: p05 = ceil(0.05*20)=1st value = 1,
+    # p95 = ceil(0.95*20)=19th value = 19 -> outliers are strictly > 19
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "lang": pa.array(["en"] * 20),
+            "n_chars": pa.array(range(1, 21), pa.int64()),
+            "text": pa.array(["x"] * 20),
+            "source": pa.array(["s"] * 20),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_doc_outliers(str(tmp_path)).to_pandas()
+    assert out["n_chars"].tolist() == [20]   # only the value above p95
+    assert out["doc_id"].tolist() == [19]
