@@ -69,7 +69,8 @@ def _explode_paragraphs(batch: pa.Table) -> pa.Table:
                 "pidx": pa.array([], pa.int64()),
                 "par": pa.array([], pa.string()),
                 "rank": pa.array([], pa.int64()),
-                "par_h": pa.array([], pa.binary()),
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
             }
         )
     ids = np.concatenate(id_parts)
@@ -83,9 +84,15 @@ def _explode_paragraphs(batch: pa.Table) -> pa.Table:
             "pidx": pa.array(pidx, pa.int64()),
             "par": pars,
             "rank": pa.array(ids * _RANK_BASE + pidx, pa.int64()),
-            "par_h": strhash.pack_u64_pair(
-                strhash.hash_strings_u64(pars, strhash.SEED_A),
-                strhash.hash_strings_u64(pars, strhash.SEED_B),
+            # two int64 hash lanes, not one packed binary: integer keys keep
+            # the winner groupby on Ray's native aggregate fast path
+            "h1": pa.array(
+                strhash.hash_strings_u64(pars, strhash.SEED_A).view(np.int64),
+                pa.int64(),
+            ),
+            "h2": pa.array(
+                strhash.hash_strings_u64(pars, strhash.SEED_B).view(np.int64),
+                pa.int64(),
             ),
         }
     )
@@ -96,7 +103,7 @@ def paragraph_dedup(docs: ray.data.Dataset, *, n_buckets: int = 64) -> ray.data.
     distinct paragraph (groupby + native Min aggregate, vectorized combine)
     -> int-keyed semi-join back -> bucketed per-document reassembly.
 
-    Scale shape: the winner aggregate shuffles only (par_h, rank) — a
+    Scale shape: the winner aggregate shuffles only (h1, h2, rank) — a
     128-bit content hash plus an int64, never the paragraph text — and the
     join back is a SEMI join on the int64 ``rank`` (winner ranks uniquely
     encode (doc, pidx), so rank-membership == "this occurrence won"); the
@@ -111,16 +118,12 @@ def paragraph_dedup(docs: ray.data.Dataset, *, n_buckets: int = 64) -> ray.data.
     from ..stages.joins import semi_anti_join
 
     pars = docs.map_batches(_explode_paragraphs, batch_format="pyarrow")
-    winners = (
-        pars.select_columns(["par_h", "rank"])
-        .groupby("par_h")
-        .aggregate(Min("rank", alias_name="mr"))
-    )
+    winners = hash_group_min(pars.select_columns(["h1", "h2", "rank"]), "rank")
     kept = semi_anti_join(pars, winners, on="rank", right_on="mr")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         return _add_key_bucket(
-            df[["doc_id", "pidx", "par"]], key="doc_id", n_buckets=n_buckets
+            df[["doc_id", "pidx", "par"]].copy(), key="doc_id", n_buckets=n_buckets
         )
 
     def assemble(group: pa.Table) -> pa.Table:
@@ -809,7 +812,7 @@ _WIN_MULT_B = 0x9E3779B97F4A7C15
 
 
 def _explode_window_hashes(batch: pa.Table) -> pa.Table:
-    """(doc_id, win_h) rows: one 128-bit content hash per OVERLAPPING
+    """(doc_id, h1, h2) rows: one 128-bit content hash (two int64 lanes) per OVERLAPPING
     10-word window, zero Python loops.  Tokens are hashed once per batch
     VOCABULARY (dictionary-encode + flat-buffer polynomial hash), window
     hashes are 10 shifted Horner multiply-adds over the whole flat token
@@ -825,7 +828,11 @@ def _explode_window_hashes(batch: pa.Table) -> pa.Table:
     enc = split.flatten().dictionary_encode()
     codes = np.asarray(enc.indices, dtype=np.int64)
     empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "win_h": pa.array([], pa.binary())}
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+        }
     )
     total = codes.size
     if total < _WIN_WORDS:
@@ -842,11 +849,90 @@ def _explode_window_hashes(batch: pa.Table) -> pa.Table:
     if not valid.any():
         return empty
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    # the two 64-bit lanes ride as SEPARATE int64 columns: Ray's aggregate
+    # fast path is native for integer keys but degrades on binary keys
+    # (measured 7.5 s vs ~0.5 s for the same 225k-row count groupby)
     return pa.table(
         {
             "doc_id": pa.array(ids[row_of[:nw][valid]], pa.int64()),
-            "win_h": strhash.pack_u64_pair(ha[valid], hb[valid]),
+            "h1": pa.array(ha[valid].view(np.int64), pa.int64()),
+            "h2": pa.array(hb[valid].view(np.int64), pa.int64()),
         }
+    )
+
+
+def _lane_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Shuffle bucket from the low bits of the first hash lane (the lanes
+    are uniform, so bucket sizes balance)."""
+    import pyarrow.compute as pc
+
+    b = pc.bit_wise_and(batch.column("h1"), pa.scalar(n_buckets - 1, pa.int64()))
+    return batch.append_column("__bucket", b)
+
+
+def _hash_lane_boundaries(h1: np.ndarray, h2: np.ndarray):
+    """lexsort two int64 hash lanes, return (order, group-start indices) —
+    the shared kernel under the bucketed count/min reducers."""
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    new = np.empty(len(a), bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return order, np.flatnonzero(new)
+
+
+def hash_group_count(ds: ray.data.Dataset, *, n_buckets: int = 256) -> ray.data.Dataset:
+    """COUNT per distinct (h1, h2) pair at HIGH key cardinality: Ray's
+    native aggregate pays a per-GROUP overhead (~30 us/group measured —
+    6.5 s for 215k hash groups at sf0.1), so at hash-key cardinalities the
+    right shape is the repo's bucket pattern: one groupby over n_buckets
+    coarse buckets (cheap — few groups), then ONE vectorized
+    lexsort/run-length kernel per bucket."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        order, starts = _hash_lane_boundaries(h1, h2)
+        cnt = np.diff(np.append(starts, len(h1)))
+        return pa.table(
+            {
+                "h1": pa.array(h1[order][starts], pa.int64()),
+                "h2": pa.array(h2[order][starts], pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda b: _lane_bucket(b, n_buckets), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def hash_group_min(
+    ds: ray.data.Dataset, value: str, *, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """MIN(value) per distinct (h1, h2) pair — same bucketed vectorized
+    shape as :func:`hash_group_count`."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        v = tbl.column(value).to_numpy(zero_copy_only=False)
+        order, starts = _hash_lane_boundaries(h1, h2)
+        mins = np.minimum.reduceat(v[order], starts)
+        return pa.table(
+            {
+                "h1": pa.array(h1[order][starts], pa.int64()),
+                "h2": pa.array(h2[order][starts], pa.int64()),
+                "mr": pa.array(mins, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda b: _lane_bucket(b, n_buckets), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pyarrow")
     )
 
 
@@ -876,12 +962,28 @@ def q_substring_dedup(sf_dir: str):
     # exploded rows are ~28 B per word (~6.5 B of source text): ~4x
     shuffle_blocks = table_shuffle_blocks(sf_dir, "documents", scale=4)
 
-    exploded = docs.map_batches(_explode_window_hashes, batch_format="pyarrow")
-    counts = (
-        exploded.repartition(shuffle_blocks, shuffle=False)
-        .groupby("win_h")
-        .aggregate(Count(alias_name="c"))
+    # materialize the exploded hash rows ONCE: they feed two consumers
+    # (the window-count groupby and the join-back) plus auto_join's size
+    # probe, and without the barrier Ray re-executes the CPU-heavy hash
+    # explode for each — measured 9.4 s -> ~5 s at sf0.1.  The rows are
+    # the compact (doc_id, h1, h2) form (~4x corpus bytes), spillable.
+    exploded = (
+        docs.map_batches(_explode_window_hashes, batch_format="pyarrow")
+        .repartition(shuffle_blocks, shuffle=False)
+        .materialize()
     )
+    counts = hash_group_count(exploded).materialize()
+
+    def pack_key(batch: pa.Table) -> pa.Table:
+        # single packed binary key ONLY for the join (index_in / Acero need
+        # one key column); the wide groupbys above stayed on integer lanes
+        from ..functions import strhash
+
+        wk = strhash.pack_u64_pair(
+            batch.column("h1").to_numpy(zero_copy_only=False).view(np.uint64),
+            batch.column("h2").to_numpy(zero_copy_only=False).view(np.uint64),
+        )
+        return batch.drop_columns(["h1", "h2"]).append_column("wk", wk)
 
     def flag(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -890,7 +992,11 @@ def q_substring_dedup(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"), "dup": dup})
 
     return (
-        auto_join(exploded, counts, on="win_h")
+        auto_join(
+            exploded.map_batches(pack_key, batch_format="pyarrow"),
+            counts.map_batches(pack_key, batch_format="pyarrow"),
+            on="wk",
+        )
         .map_batches(flag, batch_format="pyarrow")
         .repartition(shuffle_blocks, shuffle=False)
         .groupby("doc_id")

@@ -211,25 +211,68 @@ def _pairs_within_groups(group_key: "np.ndarray") -> tuple["np.ndarray", "np.nda
     return i_idx, (i_idx + 1 + offset)
 
 
+def _triangles_small(lo: np.ndarray, hi: np.ndarray) -> "pd.DataFrame":
+    """Single-task triangle kernel over a PROVABLY-SMALL distinct edge set
+    (same orientation contract as the distributed path; per-node counts
+    are orientation-invariant either way)."""
+    import pandas as pd
+
+    nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    nv = len(nodes)
+    deg = np.bincount(inv, minlength=nv)
+    li, hj = inv[: len(lo)], inv[len(lo):]
+    # compact ids preserve original id order, so (deg, compact) ranks
+    # identically to the distributed path's (deg, node) packing
+    rank = deg.astype(np.int64) * (1 << 40) + np.arange(nv, dtype=np.int64)
+    flip = rank[li] > rank[hj]
+    a = np.where(flip, hj, li)
+    b = np.where(flip, li, hj)
+    order = np.lexsort((rank[b], a))
+    a, b = a[order], b[order]
+    i_idx, j_idx = _pairs_within_groups(a)
+    u, v, w = a[i_idx], b[i_idx], b[j_idx]
+    hit = np.isin(v.astype(np.int64) * nv + w, a.astype(np.int64) * nv + b)
+    cnt = np.bincount(
+        np.concatenate([u[hit], v[hit], w[hit]]), minlength=nv
+    )
+    mask = cnt > 0
+    return pd.DataFrame(
+        {"node": nodes[mask], "n_tri": cnt[mask].astype(np.int64)}
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Per-node triangle participation over the synthesized undirected doc
     link graph — the classic degree-ORIENTED wedge enumeration (each
     triangle found exactly once at its lowest-rank corner), reference
     analog: graph/cluster combination passes (utils/ocr combination).
 
-    Scale shape: distinct undirected edges via one groupby; degrees via one
-    groupby; orientation rank r(v) = (deg(v), v) packed into int64 bounds
-    every node's OUT-degree by O(sqrt(m)) so the wedge explosion is
-    m^1.5 worst-case, not sum(deg^2) (the hub blowup an unoriented
-    enumeration hits on power-law graphs).  Wedges are generated by a
-    bucketed groupby + one vectorized pair kernel per bucket, then
-    EXISTS-filtered against the oriented edge set (size-planned
-    semi join — broadcasts while the edge key set is small)."""
+    Size-planned like dedup's cluster stage: the distinct-edge set is the
+    only corpus-sized reduction (one groupby); when it proves small
+    (size_bytes under the broadcast limit) the remaining graph algebra —
+    degrees, orientation, wedges, closure test — runs as ONE vectorized
+    kernel instead of ~6 all-to-alls whose fixed per-stage cost dominates
+    tiny graphs (measured 5.0 s -> sub-second at sf0.1's 97-node graph).
+    Past the limit, the distributed path: degrees via one groupby;
+    orientation rank r(v) = (deg(v), v) packed into int64 bounds every
+    node's OUT-degree by O(sqrt(m)) so the wedge explosion is m^1.5
+    worst-case, not sum(deg^2) (the hub blowup an unoriented enumeration
+    hits on power-law graphs); wedges from a bucketed groupby + one
+    vectorized pair kernel per bucket, then EXISTS-filtered against the
+    oriented edge set (size-planned semi join)."""
     import pyarrow.compute as pc
 
-    from ..stages.joins import semi_anti_join
+    from ..stages.joins import BROADCAST_BYTES, _collect_small, semi_anti_join
 
-    edges = distinct_rows(_tri_edges(sf_dir), ["lo", "hi"])
+    edges = distinct_rows(_tri_edges(sf_dir), ["lo", "hi"]).materialize()
+    size = edges.size_bytes()
+    if size is not None and size <= BROADCAST_BYTES:
+        tbl = _collect_small(edges)
+        if tbl is not None:
+            return _triangles_small(
+                tbl.column("lo").to_numpy(zero_copy_only=False),
+                tbl.column("hi").to_numpy(zero_copy_only=False),
+            )
 
     def explode_endpoints(batch: pa.Table) -> pa.Table:
         node = np.concatenate(

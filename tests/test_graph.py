@@ -93,9 +93,27 @@ def test_triangle_count_vs_bruteforce(ray_session, tmp_path):
     for a, b, c in tris:
         for v in (a, b, c):
             want[v] = want.get(v, 0) + 1
-    out = qg.q_triangle_count(str(tmp_path)).to_pandas()
+    out = qg.q_triangle_count(str(tmp_path))
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
     got = dict(zip(out["node"], out["n_tri"]))
     assert got == want
     assert sum(want.values()) == 3 * len(tris)
     # the graph is dense enough that the test is non-vacuous
     assert len(tris) > 5
+
+
+def test_triangle_count_distributed_path_matches_small(ray_session, tmp_path, monkeypatch):
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64), pa.int64())})
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    small = qg.q_triangle_count(str(tmp_path))
+    import ocr_ray.stages.joins as joins
+
+    monkeypatch.setattr(joins, "BROADCAST_BYTES", 0)  # force the shuffle path
+    dist = qg.q_triangle_count(str(tmp_path)).to_pandas()
+    assert dist["node"].tolist() == small["node"].tolist()
+    assert dist["n_tri"].tolist() == small["n_tri"].tolist()
+    assert small["n_tri"].sum() > 0
