@@ -172,10 +172,36 @@ SQL_DOC_FINGERPRINT = "SELECT doc_id, sha256(text) AS fingerprint FROM documents
 
 def q_exact_dedup(sf_dir: str):
     """Cross-document exact dedup: hash-partition by content digest, keep
-    the first (min doc_id) per group (SURVEY §2.8 D4 cross-doc variant)."""
-    ds = q_doc_fingerprint(sf_dir)
-    out = ds.groupby("fingerprint").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    the first (min doc_id) per group (SURVEY §2.8 D4 cross-doc variant).
+
+    The digest rides as two int64 lanes (first 128 bits of sha256) through
+    the bucketed vectorized aggregate — content-hash groups are
+    data-cardinality, exactly the regime where Ray's native per-group
+    aggregate overhead bites (stages/groupagg.py; BASELINE r4 finding #4)."""
+    from ..stages.groupagg import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lanes(batch: pa.Table) -> pa.Table:
+        digs = b"".join(
+            hashlib.sha256(t.encode("utf-8")).digest()[:16]
+            for t in batch.column("text").to_pylist()
+        )
+        arr = np.frombuffer(digs, dtype="<u8").reshape(-1, 2) if digs else np.empty(
+            (0, 2), np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h1": pa.array(arr[:, 0].view(np.int64), pa.int64()),
+                "h2": pa.array(arr[:, 1].view(np.int64), pa.int64()),
+            }
+        )
+
+    out = bucketed_group_agg(
+        ds.map_batches(lanes, batch_format="pyarrow"),
+        ["h1", "h2"],
+        {"doc_id": ("min", "doc_id"), "n_dups": ("count", None)},
     )
     return out.select_columns(["doc_id", "n_dups"])
 

@@ -861,78 +861,25 @@ def _explode_window_hashes(batch: pa.Table) -> pa.Table:
     )
 
 
-def _lane_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
-    """Shuffle bucket from the low bits of the first hash lane (the lanes
-    are uniform, so bucket sizes balance)."""
-    import pyarrow.compute as pc
-
-    b = pc.bit_wise_and(batch.column("h1"), pa.scalar(n_buckets - 1, pa.int64()))
-    return batch.append_column("__bucket", b)
-
-
-def _hash_lane_boundaries(h1: np.ndarray, h2: np.ndarray):
-    """lexsort two int64 hash lanes, return (order, group-start indices) —
-    the shared kernel under the bucketed count/min reducers."""
-    order = np.lexsort((h2, h1))
-    a, b = h1[order], h2[order]
-    new = np.empty(len(a), bool)
-    new[0] = True
-    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    return order, np.flatnonzero(new)
-
-
 def hash_group_count(ds: ray.data.Dataset, *, n_buckets: int = 256) -> ray.data.Dataset:
-    """COUNT per distinct (h1, h2) pair at HIGH key cardinality: Ray's
-    native aggregate pays a per-GROUP overhead (~30 us/group measured —
-    6.5 s for 215k hash groups at sf0.1), so at hash-key cardinalities the
-    right shape is the repo's bucket pattern: one groupby over n_buckets
-    coarse buckets (cheap — few groups), then ONE vectorized
-    lexsort/run-length kernel per bucket."""
+    """COUNT per distinct (h1, h2) hash pair at HIGH key cardinality —
+    thin wrapper over :func:`ocr_ray.stages.groupagg.bucketed_group_agg`
+    (Ray's native aggregate pays ~30 us per GROUP; see that module)."""
+    from ..stages.groupagg import bucketed_group_agg
 
-    def kernel(tbl: pa.Table) -> pa.Table:
-        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
-        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
-        order, starts = _hash_lane_boundaries(h1, h2)
-        cnt = np.diff(np.append(starts, len(h1)))
-        return pa.table(
-            {
-                "h1": pa.array(h1[order][starts], pa.int64()),
-                "h2": pa.array(h2[order][starts], pa.int64()),
-                "c": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(lambda b: _lane_bucket(b, n_buckets), batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(kernel, batch_format="pyarrow")
+    return bucketed_group_agg(
+        ds, ["h1", "h2"], {"c": ("count", None)}, n_buckets=n_buckets
     )
 
 
 def hash_group_min(
     ds: ray.data.Dataset, value: str, *, n_buckets: int = 256
 ) -> ray.data.Dataset:
-    """MIN(value) per distinct (h1, h2) pair — same bucketed vectorized
-    shape as :func:`hash_group_count`."""
+    """MIN(value) per distinct (h1, h2) hash pair — same bucketed shape."""
+    from ..stages.groupagg import bucketed_group_agg
 
-    def kernel(tbl: pa.Table) -> pa.Table:
-        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
-        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
-        v = tbl.column(value).to_numpy(zero_copy_only=False)
-        order, starts = _hash_lane_boundaries(h1, h2)
-        mins = np.minimum.reduceat(v[order], starts)
-        return pa.table(
-            {
-                "h1": pa.array(h1[order][starts], pa.int64()),
-                "h2": pa.array(h2[order][starts], pa.int64()),
-                "mr": pa.array(mins, pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(lambda b: _lane_bucket(b, n_buckets), batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(kernel, batch_format="pyarrow")
+    return bucketed_group_agg(
+        ds, ["h1", "h2"], {"mr": ("min", value)}, n_buckets=n_buckets
     )
 
 
@@ -972,7 +919,7 @@ def q_substring_dedup(sf_dir: str):
         .repartition(shuffle_blocks, shuffle=False)
         .materialize()
     )
-    counts = hash_group_count(exploded).materialize()
+    counts = hash_group_count(exploded.select_columns(["h1", "h2"])).materialize()
 
     def pack_key(batch: pa.Table) -> pa.Table:
         # single packed binary key ONLY for the join (index_in / Acero need

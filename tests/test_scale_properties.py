@@ -200,3 +200,77 @@ def test_stratified_sample_partials_bounded(ray_session):
         got = sorted(out.loc[out["lang"] == lang, "doc_id"].tolist(),
                      key=lambda i: (h[i], i))
         assert got == expect
+
+
+def test_bucketed_group_agg_matches_native(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ocr_ray.stages.groupagg import bucketed_group_agg
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table(
+        {
+            "h1": pa.array(rng.integers(-50, 50, n), pa.int64()),
+            "h2": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "v": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (
+        bucketed_group_agg(
+            ds,
+            ["h1", "h2"],
+            {"c": ("count", None), "mn": ("min", "v"), "mx": ("max", "v"), "s": ("sum", "v")},
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["h1", "h2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.groupby(["h1", "h2"])
+        .aggregate(
+            Count(alias_name="c"),
+            Min("v", alias_name="mn"),
+            Max("v", alias_name="mx"),
+            Sum("v", alias_name="s"),
+        )
+        .to_pandas()
+        .sort_values(["h1", "h2"])
+        .reset_index(drop=True)
+    )
+    for col in ("h1", "h2", "c", "mn", "mx", "s"):
+        assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist()
+
+
+def test_bucketed_group_agg_single_key(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.groupagg import bucketed_group_agg
+
+    t = pa.table(
+        {
+            "k": pa.array([3, 1, 3, 2, 1, 3], pa.int64()),
+            "v": pa.array([10, 5, 7, 9, 6, 1], pa.int64()),
+        }
+    )
+    out = (
+        bucketed_group_agg(
+            ray.data.from_arrow(t).repartition(3),
+            ["k"],
+            {"c": ("count", None), "s": ("sum", "v")},
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["c"].tolist() == [2, 1, 3]
+    assert out["s"].tolist() == [11, 9, 18]
