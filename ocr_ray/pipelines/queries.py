@@ -488,6 +488,7 @@ _BASE_QUERIES = {
     "embedding_norms": q_embedding_norms,
 }
 
+from .queries_train import TRAIN_ORACLE_SQL, TRAIN_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLE_SQL, EXT_QUERIES  # noqa: E402
 from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 from .queries_cur import CUR_ORACLE_SQL, CUR_QUERIES  # noqa: E402
@@ -499,6 +500,7 @@ from .queries_graph import GRAPH_ORACLE_SQL, GRAPH_QUERIES  # noqa: E402
 # families go first and the long-stable round-1 basics go last (they have
 # green rows in CORRECTNESS_r01..r03 already).
 QUERIES = {}
+QUERIES.update(TRAIN_QUERIES)
 QUERIES.update(CC_QUERIES)
 QUERIES.update(GRAPH_QUERIES)
 QUERIES.update(CUR_QUERIES)
@@ -526,6 +528,7 @@ ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(CUR_ORACLE_SQL)
 ORACLE_SQL.update(CC_ORACLE_SQL)
 ORACLE_SQL.update(GRAPH_ORACLE_SQL)
+ORACLE_SQL.update(TRAIN_ORACLE_SQL)
 # exploded reassembly reproduces the same identity contract as the fused
 # path (registered here because queries_cur cannot import queries at load)
 ORACLE_SQL["extract_exploded"] = SQL_EXTRACT_IDENTITY

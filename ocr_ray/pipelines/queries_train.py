@@ -1,0 +1,343 @@
+"""Training-data assembly operators (round 4): sequence packing, weighted
+sampling, per-key moving-window aggregates, CUBE grouping sets.
+
+These are the last-mile ops between a curated corpus and a training run —
+the reference stops at ``build_tf_dataset`` batching (reference
+``utils/datasets`` loaders feed fixed-shape model batches); here the
+equivalent step over a 100-TB corpus is expressed as Dataset pipelines:
+
+- ``training_pack`` — GPT-style concat-and-chunk: every document's token
+  span is placed in a single global token stream (one EOS separator per
+  doc) and assigned to fixed-size training blocks.  The global offsets
+  come from :func:`ocr_ray.stages.joins.bucketed_prefix_sum` (a
+  distributed scan — per-bucket totals, driver cumsum over bucket COUNT
+  only, offset + in-bucket cumsum per task), so no global sort and no
+  driver materialization of per-doc rows.
+- ``weighted_sample`` — Efraimidis–Spirakis A-ES weighted sampling
+  without replacement, derandomized: u comes from a Knuth multiplicative
+  hash of doc_id (the hash_sample/source_mix convention) so the sample is
+  reproducible across runs, resumes, and cluster sizes, and the oracle
+  can mirror it exactly.  Per-batch partial top-k caps what the final
+  sort sees.
+- ``events_moving_win`` — SQL RANGE-frame moving aggregate (1 h
+  preceding .. current row, peers included) per user: ONE user-hash-bucket
+  shuffle, then one vectorized searchsorted/cumsum kernel per bucket task
+  answers every user at once.
+- ``lineitem_cube`` — GROUP BY CUBE via map-side emission of all four
+  grouping sets; the shuffle only ever sees (#batches x #grouping-set
+  keys) partial rows, never the fact table.
+
+Float policy: aggregated float columns round(2) on both sides (the
+queries.py convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+from ..sources.io import read_table
+
+#: Fixed training-block capacity (tokens) for training_pack.
+PACK_BLOCK = 512
+
+#: Moving-window width for events_moving_win: 1 hour in microseconds.
+WIN_US = 3_600_000_000
+
+
+def q_training_pack(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT pretraining layout): all
+    documents are concatenated in doc_id order into one token stream with
+    a single separator token after each doc, and the stream is cut into
+    fixed ``PACK_BLOCK``-token training blocks.  Output per doc: its token
+    count, its global start offset, and the first/last block it lands in.
+
+    Scale shape: token counts are map-side; the only wide ops are the two
+    tiny shuffles inside bucketed_prefix_sum (per-bucket totals + one
+    map_groups per bucket).  The driver holds one offset per BUCKET —
+    at 10^12 docs the caller raises bucket_size so bucket count stays
+    ~10^4, exactly the documented contract of the scan."""
+    from ..stages.joins import bucketed_prefix_sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch.column("text"), " ")),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n,
+                # +1: the per-doc separator token joins the stream too
+                "__n_plus": pc.add(n, 1),
+            }
+        )
+
+    counted = ds.map_batches(count, batch_format="pyarrow")
+    cum = bucketed_prefix_sum(
+        counted, key="doc_id", value="__n_plus", out_col="__cum"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        start = (df["__cum"] - df["__n_plus"]).to_numpy()
+        n = df["n_tokens"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "tok_start": start,
+                "first_block": start // PACK_BLOCK,
+                # last token of the doc itself (separator excluded)
+                "last_block": (start + np.maximum(n, 1) - 1) // PACK_BLOCK,
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pandas")
+
+
+SQL_TRAINING_PACK = (
+    "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens"
+    " FROM documents), c AS (SELECT doc_id, n_tokens,"
+    " CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    " AS tok_start FROM t)"
+    " SELECT doc_id, n_tokens, tok_start,"
+    " tok_start // 512 AS first_block,"
+    " (tok_start + GREATEST(n_tokens, 1) - 1) // 512 AS last_block FROM c"
+)
+
+
+#: Sample size for weighted_sample.
+SAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws u in (0,1) from the Knuth multiplicative hash of its
+    doc_id and competes with key u^(1/w), w = n_chars — the top-k keys ARE
+    a weight-proportional sample without replacement.  Derandomized hash
+    u makes the draw reproducible and oracle-mirrorable.
+
+    Scale shape: keys are map-side vectorized; each batch forwards only
+    its local top-k (argpartition), so the final sort sees <= k x #batches
+    rows — never the corpus."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        w = batch.column("n_chars").to_numpy().astype(np.float64)
+        # u in (0,1): Knuth hash folded into 2^32 buckets, +0.5 to avoid 0
+        u = (((did * 2654435761) % (2**32)) + 0.5) / (2**32)
+        key = u ** (1.0 / w)
+        k = min(SAMPLE_K, len(did))
+        idx = np.argpartition(-key, k - 1)[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[idx]),
+                "n_chars": pa.array(w[idx].astype(np.int64)),
+                "skey": pa.array(key[idx]),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("skey", descending=True)
+        .limit(SAMPLE_K)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "skey": pc.round(batch.column("skey"), 6),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = (
+    "SELECT doc_id, n_chars, round(pow("
+    " (((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0,"
+    " 1.0 / n_chars), 6) AS skey"
+    " FROM documents ORDER BY pow("
+    " (((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0,"
+    " 1.0 / n_chars) DESC, doc_id LIMIT 100"
+)
+
+
+def moving_win_frame(
+    base: np.ndarray,
+    new_seg: np.ndarray,
+    win: int,
+    *,
+    force_fallback: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """RANGE-frame bounds [lo, hi) per row over segment-sorted data:
+    ``base`` is the (non-negative int64) order key sorted within each
+    segment, ``new_seg`` marks segment starts.  Returns searchsorted
+    bounds such that rows lo[i]:hi[i] are exactly the SQL RANGE BETWEEN
+    win PRECEDING AND CURRENT ROW frame of row i (peers included).
+
+    Vectorized path offsets each segment by a span multiple; when
+    n_segments x span could overflow int64 (the ADVICE-r3 range-join
+    lesson) it falls back to per-segment searchsorted with identical
+    semantics."""
+    n = len(base)
+    seg = np.cumsum(new_seg) - 1
+    n_seg = int(seg[-1]) + 1 if n else 0
+    span = (np.int64(base.max()) if n else np.int64(0)) + win + 1
+    if not force_fallback and n_seg * int(span) < np.iinfo(np.int64).max // 2:
+        adj = base + seg * span
+        hi = np.searchsorted(adj, adj, side="right")
+        lo = np.searchsorted(adj, adj - win, side="left")
+    else:  # per-segment windows, identical semantics, no overflow
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], n)
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            hi[s:e] = s + np.searchsorted(base[s:e], base[s:e], side="right")
+            lo[s:e] = s + np.searchsorted(base[s:e], base[s:e] - win, side="left")
+    return lo, hi
+
+
+def q_events_moving_win(sf_dir: str):
+    """Per-user moving-window aggregate with SQL RANGE semantics: for
+    every event, the count and sum of ``value`` over that user's events in
+    the closed window [ts - 1 h, ts] — peers (equal ts) included, exactly
+    the RANGE BETWEEN frame.  ONE user-hash-bucket shuffle; inside each
+    bucket task a single vectorized kernel (per-user segment offsets +
+    searchsorted over the offset-adjusted timeline + cumsum differences)
+    answers every user at once — no per-key Python call.
+
+    Overflow guard (the range-join lesson, ADVICE r3): the offset trick
+    multiplies segment index by the bucket's ts span; if that product
+    could exceed int64 the kernel falls back to per-segment searchsorted —
+    same output, no silent wraparound."""
+    from ..stages.joins import _add_key_bucket, _default_buckets
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = _default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy().astype(np.float64)
+        n = len(g)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        base = ts - ts.min()
+        cs = np.concatenate([[0.0], np.cumsum(val)])
+        lo, hi = moving_win_frame(base, new_seg, WIN_US)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_win": (hi - lo).astype(np.int64),
+                "sum_win": np.round(cs[hi] - cs[lo], 2),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_MOVING_WIN = (
+    "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS n_win,"
+    " round(sum(value) OVER w, 2) AS sum_win FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+    " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+)
+
+
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping sets
+    (detail, each single-column rollup, grand total) in ONE pass — each
+    batch pre-aggregates locally and emits its partials for every grouping
+    set with 'ALL' markers, so the shuffle moves (#batches x #set-keys)
+    rows regardless of fact-table size.  The reference has no OLAP layer;
+    this extends the rollup/pivot family (queries_rel) to full CUBE."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cols in (
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag"],
+            ["l_linestatus"],
+            [],
+        ):
+            if cols:
+                g = (
+                    df.groupby(cols, sort=False)
+                    .agg(n=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+                    .reset_index()
+                )
+            else:
+                g = pd.DataFrame(
+                    {"n": [len(df)], "sum_qty": [df["l_quantity"].sum()]}
+                )
+            for c in ("l_returnflag", "l_linestatus"):
+                if c not in g:
+                    g[c] = "ALL"
+            outs.append(g[["l_returnflag", "l_linestatus", "n", "sum_qty"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n": batch.column("n"),
+                "sum_qty": pc.round(batch.column("sum_qty"), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_CUBE = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,"
+    " COALESCE(l_linestatus, 'ALL') AS l_linestatus,"
+    " count(*) AS n, round(sum(l_quantity), 2) AS sum_qty"
+    " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+)
+
+
+TRAIN_QUERIES = {
+    "training_pack": q_training_pack,
+    "weighted_sample": q_weighted_sample,
+    "events_moving_win": q_events_moving_win,
+    "lineitem_cube": q_lineitem_cube,
+}
+
+TRAIN_ORACLE_SQL = {
+    "training_pack": SQL_TRAINING_PACK,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "events_moving_win": SQL_EVENTS_MOVING_WIN,
+    "lineitem_cube": SQL_LINEITEM_CUBE,
+}

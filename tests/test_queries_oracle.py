@@ -33,6 +33,10 @@ PICKS = [
     "source_cap",
     "len_quantiles",
     "doc_langid",
+    "training_pack",
+    "weighted_sample",
+    "events_moving_win",
+    "lineitem_cube",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Kernel property tests for the round-4 training-data assembly ops
+(queries_train): RANGE-frame moving window vs a brute-force reference
+(both overflow paths), packing invariants, A-ES sampling brute-force
+equivalence, CUBE partial-emission equivalence."""
+
+import numpy as np
+import pandas as pd
+
+from ocr_ray.pipelines.queries_train import (
+    PACK_BLOCK,
+    SAMPLE_K,
+    WIN_US,
+    moving_win_frame,
+)
+
+
+def _brute_frame(base, new_seg, win):
+    seg = np.cumsum(new_seg) - 1
+    n = len(base)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        in_frame = (seg == seg[i]) & (base >= base[i] - win) & (base <= base[i])
+        idx = np.flatnonzero(in_frame)
+        lo[i], hi[i] = idx[0], idx[-1] + 1
+    return lo, hi
+
+
+def _random_segments(rng, n_users, max_len, ts_scale):
+    bases, segs = [], []
+    for _ in range(n_users):
+        m = rng.integers(1, max_len)
+        ts = np.sort(rng.integers(0, ts_scale, size=m))
+        bases.append(ts)
+        marks = np.zeros(m, dtype=bool)
+        marks[0] = True
+        segs.append(marks)
+    return np.concatenate(bases), np.concatenate(segs)
+
+
+def test_moving_win_frame_matches_brute_force():
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        base, new_seg = _random_segments(rng, 5, 40, 1000)
+        win = int(rng.integers(1, 300))
+        lo, hi = moving_win_frame(base, new_seg, win)
+        blo, bhi = _brute_frame(base, new_seg, win)
+        np.testing.assert_array_equal(lo, blo)
+        np.testing.assert_array_equal(hi, bhi)
+
+
+def test_moving_win_frame_fallback_identical():
+    rng = np.random.default_rng(11)
+    base, new_seg = _random_segments(rng, 8, 30, 10**6)
+    win = 5000
+    lo_v, hi_v = moving_win_frame(base, new_seg, win)
+    lo_f, hi_f = moving_win_frame(base, new_seg, win, force_fallback=True)
+    np.testing.assert_array_equal(lo_v, lo_f)
+    np.testing.assert_array_equal(hi_v, hi_f)
+
+
+def test_moving_win_frame_includes_peers():
+    # three events at the same ts for one user: every one sees all three
+    base = np.array([100, 100, 100], dtype=np.int64)
+    new_seg = np.array([True, False, False])
+    lo, hi = moving_win_frame(base, new_seg, 10)
+    assert (hi - lo).tolist() == [3, 3, 3]
+
+
+def test_training_pack_invariants(ray_session):
+    from ocr_ray.pipelines.queries_train import q_training_pack
+
+    df = q_training_pack("/root/testdata/sf0.001").to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    # the global stream is dense: next start = start + n_tokens + separator
+    nxt = (df["tok_start"] + df["n_tokens"] + 1).to_numpy()[:-1]
+    np.testing.assert_array_equal(nxt, df["tok_start"].to_numpy()[1:])
+    assert int(df["tok_start"].iloc[0]) == 0
+    assert (df["first_block"] == df["tok_start"] // PACK_BLOCK).all()
+    last_tok = df["tok_start"] + np.maximum(df["n_tokens"], 1) - 1
+    assert (df["last_block"] == last_tok // PACK_BLOCK).all()
+    assert (df["last_block"] >= df["first_block"]).all()
+
+
+def test_weighted_sample_matches_brute_force(ray_session):
+    from ocr_ray.pipelines.queries_train import q_weighted_sample
+
+    got = q_weighted_sample("/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    u = (((docs["doc_id"].to_numpy() * 2654435761) % (2**32)) + 0.5) / (2**32)
+    key = u ** (1.0 / docs["n_chars"].to_numpy().astype(np.float64))
+    exp = docs.assign(skey=key).nlargest(SAMPLE_K, "skey")
+    assert set(got["doc_id"]) == set(exp["doc_id"])
+    merged = got.merge(exp, on="doc_id", suffixes=("", "_exp"))
+    np.testing.assert_allclose(
+        merged["skey"], np.round(merged["skey_exp"], 6), atol=1e-9
+    )
+
+
+def test_lineitem_cube_matches_brute_force(ray_session):
+    from ocr_ray.pipelines.queries_train import q_lineitem_cube
+
+    got = (
+        q_lineitem_cube("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    outs = []
+    for cols in (["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []):
+        if cols:
+            g = (
+                li.groupby(cols)
+                .agg(n=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+                .reset_index()
+            )
+        else:
+            g = pd.DataFrame({"n": [len(li)], "sum_qty": [li["l_quantity"].sum()]})
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in g:
+                g[c] = "ALL"
+        outs.append(g)
+    exp = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got["sum_qty"], np.round(exp["sum_qty"], 2), atol=0.02)
+    # grand-total row present exactly once
+    assert ((got["l_returnflag"] == "ALL") & (got["l_linestatus"] == "ALL")).sum() == 1
+
+
+def test_moving_win_window_constant_sane():
+    assert WIN_US == 3_600_000_000
