@@ -164,3 +164,51 @@ def bloom_contains(bits: np.ndarray, values) -> np.ndarray:
 
 def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.bitwise_or(a, b)
+
+
+# --- integer-key fast path (round 4) ---------------------------------------
+#
+# The string Bloom above hashes per element in Python (sha1) — fine for the
+# sketch queries' bounded partials, wrong for a JOIN prefilter that touches
+# every fact row.  Integer keys get a fully vectorized splitmix64
+# (Steele/Lea/Flood 2014, public domain mixer) feeding the same
+# Kirsch-Mitzenmacher double hashing and the same bitset layout, so
+# int-keyed and string-keyed filters merge with the same bloom_merge.
+
+
+def hash64_ints(values: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int64/uint64 array."""
+    with np.errstate(over="ignore"):
+        z = values.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions_ints(keys: np.ndarray) -> np.ndarray:
+    h = hash64_ints(keys)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(BLOOM_BITS)).astype(
+            np.int64
+        )
+
+
+def bloom_add_ints(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    if not len(keys):
+        return bits
+    pos = _bloom_positions_ints(keys).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains_ints(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership: True = possibly present, False = definitely
+    absent — zero Python per row."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions_ints(keys)
+    present = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return present.all(axis=0).astype(bool)

@@ -328,11 +328,140 @@ SQL_LINEITEM_CUBE = (
 )
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram-LM negative log-likelihood per document — the CCNet-style
+    perplexity quality filter, derandomized to the corpus's own unigram
+    model so the oracle is closed-form SQL.  Two stages: (1) corpus token
+    counts via per-batch ``value_counts`` partials + one vocab-bounded
+    groupby (Heaps' law keeps the vocabulary driver-small even at 100 TB —
+    the top_tokens shape); (2) a map-side scoring pass: the -ln(c/N) table
+    broadcasts once (``ray.put``, fetched per task from the object store),
+    each batch dictionary-encodes its flattened tokens and looks up only
+    UNIQUE tokens in Python, then one ``np.add.reduceat`` over the list
+    offsets yields every doc's mean NLL — no shuffle touches the corpus
+    after the count pass."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"t": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    cnt = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocab-bounded, not corpus-bounded
+    )
+    total = float(cnt["c"].sum())
+    nll = dict(zip(cnt["t"], -np.log(cnt["c"].to_numpy() / total)))
+    nll_ref = ray.put(nll)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(nll_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        dct = pc.dictionary_encode(flat)
+        if isinstance(dct, pa.ChunkedArray):
+            dct = dct.combine_chunks()
+        uvals = dct.dictionary.to_pylist()  # unique tokens only
+        unll = np.array([table[t] for t in uvals], dtype=np.float64)
+        per_tok = unll[dct.indices.to_numpy()]
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        means = np.add.reduceat(per_tok, offsets) / lengths
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lm_nll": pa.array(np.round(means, 4)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_LM_SCORE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+    " FROM documents),"
+    " cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),"
+    " tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)"
+    " SELECT tok.doc_id, round(avg(-ln(cnt.c / tot.n)), 4) AS lm_nll"
+    " FROM tok, cnt, tot WHERE tok.t = cnt.t GROUP BY tok.doc_id"
+)
+
+
+#: Selective order filter for bloom_semi_join.
+BLOOM_PRICE = 450_000.0
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered exact semi join — THE shuffle-reduction pattern
+    for a selective join at 100 TB: lineitems of orders with
+    o_totalprice > 450k.  Stage 1 folds the qualifying order keys into a
+    128 KiB mergeable bitset (one partial per batch, OR-merge of the tiny
+    partials); stage 2 drops ~{1-sel} of the fact table MAP-SIDE with a
+    fully vectorized int64 membership test (splitmix64 double hashing, no
+    Python per row); stage 3 removes the Bloom's false positives with the
+    size-planned exact ``semi_anti_join`` — which now only sees the
+    survivors, so its shuffle (or broadcast) is proportional to the
+    MATCHING rows, not the fact table.  The result is exact; the Bloom
+    only changes how many bytes cross the wire."""
+    import ray
+
+    from ..functions import sketches
+    from ..stages.joins import semi_anti_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def hot_keys(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("o_totalprice"), BLOOM_PRICE)
+        return pa.table({"o_orderkey": pc.filter(batch.column("o_orderkey"), m)})
+
+    hot = orders.map_batches(hot_keys, batch_format="pyarrow")
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bits = sketches.bloom_empty()
+        sketches.bloom_add_ints(bits, batch.column("o_orderkey").to_numpy())
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = sketches.bloom_empty()
+    for row in hot.map_batches(bloom_partial, batch_format="pyarrow").take_all():
+        bits = sketches.bloom_merge(bits, np.frombuffer(row["bits"], dtype=np.uint8))
+    bits_ref = ray.put(bits)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        keys = batch.column("l_orderkey").to_numpy()
+        return batch.filter(pa.array(sketches.bloom_contains_ints(b, keys)))
+
+    survivors = li.map_batches(prefilter, batch_format="pyarrow")
+    exact = semi_anti_join(survivors, hot, on="l_orderkey", right_on="o_orderkey")
+    from ray.data.aggregate import Count
+
+    return exact.groupby("l_orderkey").aggregate(Count(alias_name="n_items"))
+
+
+SQL_BLOOM_SEMI_JOIN = (
+    "SELECT l_orderkey, count(*) AS n_items FROM lineitem l"
+    " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey"
+    " AND o.o_totalprice > 450000) GROUP BY l_orderkey"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
     "events_moving_win": q_events_moving_win,
     "lineitem_cube": q_lineitem_cube,
+    "lm_score": q_lm_score,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -340,4 +469,6 @@ TRAIN_ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_moving_win": SQL_EVENTS_MOVING_WIN,
     "lineitem_cube": SQL_LINEITEM_CUBE,
+    "lm_score": SQL_LM_SCORE,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }

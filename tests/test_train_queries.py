@@ -139,3 +139,80 @@ def test_lineitem_cube_matches_brute_force(ray_session):
 
 def test_moving_win_window_constant_sane():
     assert WIN_US == 3_600_000_000
+
+
+def test_bloom_int_path_no_false_negatives_and_low_fpr():
+    from ocr_ray.functions import sketches
+
+    rng = np.random.default_rng(3)
+    added = rng.choice(10**7, size=20_000, replace=False).astype(np.int64)
+    other = (rng.choice(10**7, size=20_000, replace=False) + 10**7).astype(np.int64)
+    bits = sketches.bloom_empty()
+    sketches.bloom_add_ints(bits, added)
+    assert sketches.bloom_contains_ints(bits, added).all()  # no false negatives
+    fpr = sketches.bloom_contains_ints(bits, other).mean()
+    assert fpr < 0.02  # m=2^20, k=7, n=20k -> theoretical FPR ~ 1e-4
+
+
+def test_bloom_int_partials_merge_like_one_filter():
+    from ocr_ray.functions import sketches
+
+    keys = np.arange(1000, dtype=np.int64)
+    whole = sketches.bloom_add_ints(sketches.bloom_empty(), keys)
+    a = sketches.bloom_add_ints(sketches.bloom_empty(), keys[:500])
+    b = sketches.bloom_add_ints(sketches.bloom_empty(), keys[500:])
+    np.testing.assert_array_equal(whole, sketches.bloom_merge(a, b))
+
+
+def test_bloom_semi_join_equals_plain_semi_join(ray_session):
+    from ocr_ray.pipelines.queries_train import BLOOM_PRICE, q_bloom_semi_join
+
+    got = (
+        q_bloom_semi_join("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("l_orderkey")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet", columns=["l_orderkey"])
+    orders = pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    hot = set(orders.loc[orders["o_totalprice"] > BLOOM_PRICE, "o_orderkey"])
+    exp = (
+        li[li["l_orderkey"].isin(hot)]
+        .groupby("l_orderkey")
+        .size()
+        .rename("n_items")
+        .reset_index()
+        .sort_values("l_orderkey")
+        .reset_index(drop=True)
+    )
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["n_items"].tolist() == exp["n_items"].tolist()
+
+
+def test_lm_score_matches_brute_force(ray_session):
+    from ocr_ray.pipelines.queries_train import q_lm_score
+
+    got = (
+        q_lm_score("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for t in docs["text"]:
+        cnt.update(t.split(" "))
+    total = sum(cnt.values())
+    exp = []
+    for t in docs["text"]:
+        toks = t.split(" ")
+        exp.append(np.mean([-np.log(cnt[w] / total) for w in toks]))
+    np.testing.assert_allclose(
+        got["lm_nll"], np.round(exp, 4), atol=2e-4
+    )
