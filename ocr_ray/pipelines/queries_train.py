@@ -48,18 +48,10 @@ PACK_BLOCK = 512
 WIN_US = 3_600_000_000
 
 
-def q_training_pack(sf_dir: str):
-    """Concat-and-chunk sequence packing (GPT pretraining layout): all
-    documents are concatenated in doc_id order into one token stream with
-    a single separator token after each doc, and the stream is cut into
-    fixed ``PACK_BLOCK``-token training blocks.  Output per doc: its token
-    count, its global start offset, and the first/last block it lands in.
-
-    Scale shape: token counts are map-side; the only wide ops are the two
-    tiny shuffles inside bucketed_prefix_sum (per-bucket totals + one
-    map_groups per bucket).  The driver holds one offset per BUCKET —
-    at 10^12 docs the caller raises bucket_size so bucket count stays
-    ~10^4, exactly the documented contract of the scan."""
+def _packed_counts(sf_dir: str):
+    """Shared first half of the packing family: per-doc token counts plus
+    the global stream offset of every doc (inclusive cumsum ``__cum`` of
+    n_tokens+1 in doc_id order) via the distributed prefix-sum scan."""
     from ..stages.joins import bucketed_prefix_sum
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -79,9 +71,22 @@ def q_training_pack(sf_dir: str):
         )
 
     counted = ds.map_batches(count, batch_format="pyarrow")
-    cum = bucketed_prefix_sum(
-        counted, key="doc_id", value="__n_plus", out_col="__cum"
-    )
+    return bucketed_prefix_sum(counted, key="doc_id", value="__n_plus", out_col="__cum")
+
+
+def q_training_pack(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT pretraining layout): all
+    documents are concatenated in doc_id order into one token stream with
+    a single separator token after each doc, and the stream is cut into
+    fixed ``PACK_BLOCK``-token training blocks.  Output per doc: its token
+    count, its global start offset, and the first/last block it lands in.
+
+    Scale shape: token counts are map-side; the only wide ops are the two
+    tiny shuffles inside bucketed_prefix_sum (per-bucket totals + one
+    map_groups per bucket).  The driver holds one offset per BUCKET —
+    at 10^12 docs the caller raises bucket_size so bucket count stays
+    ~10^4, exactly the documented contract of the scan."""
+    cum = _packed_counts(sf_dir)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         start = (df["__cum"] - df["__n_plus"]).to_numpy()
@@ -109,6 +114,58 @@ SQL_TRAINING_PACK = (
     " SELECT doc_id, n_tokens, tok_start,"
     " tok_start // 512 AS first_block,"
     " (tok_start + GREATEST(n_tokens, 1) - 1) // 512 AS last_block FROM c"
+)
+
+
+def q_training_blocks(sf_dir: str):
+    """The packed layout itself: every (training block, document) overlap
+    with the document's span inside that block — what a loader needs to
+    materialize fixed-shape batches from the packed stream.  Map-side
+    vectorized explode (np.repeat + arange over per-doc block counts) on
+    top of the shared prefix-sum scan; output size ~ total_tokens /
+    PACK_BLOCK + n_docs rows, never the token stream itself."""
+    cum = _packed_counts(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        start = (df["__cum"] - df["__n_plus"]).to_numpy()
+        n = df["n_tokens"].to_numpy()
+        did = df["doc_id"].to_numpy()
+        first = start // PACK_BLOCK
+        last = (start + np.maximum(n, 1) - 1) // PACK_BLOCK
+        reps = (last - first + 1).astype(np.int64)
+        total = int(reps.sum())
+        # block_id per exploded row: first[i] + (0..reps[i]-1), all vectorized
+        row_doc = np.repeat(np.arange(len(df)), reps)
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        block = first[row_doc] + (np.arange(total) - offs[row_doc])
+        s = start[row_doc]
+        e = s + n[row_doc] - 1
+        span_start = np.maximum(s, block * PACK_BLOCK)
+        span_end = np.minimum(e, block * PACK_BLOCK + PACK_BLOCK - 1)
+        return pd.DataFrame(
+            {
+                "block_id": block,
+                "doc_id": did[row_doc],
+                "start_in_block": span_start - block * PACK_BLOCK,
+                "n_in_block": span_end - span_start + 1,
+            }
+        )
+
+    return cum.map_batches(explode, batch_format="pandas")
+
+
+SQL_TRAINING_BLOCKS = (
+    "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens"
+    " FROM documents), c AS (SELECT doc_id, n_tokens,"
+    " CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    " AS tok_start FROM t), e AS (SELECT doc_id, n_tokens, tok_start,"
+    " unnest(generate_series(tok_start // 512,"
+    " (tok_start + GREATEST(n_tokens, 1) - 1) // 512)) AS block_id FROM c)"
+    " SELECT block_id, doc_id,"
+    " GREATEST(tok_start, block_id * 512) - block_id * 512 AS start_in_block,"
+    " LEAST(tok_start + n_tokens - 1, block_id * 512 + 511)"
+    " - GREATEST(tok_start, block_id * 512) + 1 AS n_in_block FROM e"
 )
 
 
@@ -396,6 +453,66 @@ SQL_LM_SCORE = (
 )
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText-shape quality classifier inference: a linear model over
+    the 16-dim hashed-token-count features (queries_cc._embed_hash_batch),
+    map-side batched matmul + sigmoid — the real inference pattern for a
+    learned quality filter at 100 TB (weights broadcast once per actor,
+    each batch is ONE matrix multiply; here the weight vector is a
+    16-float closure constant).  Weights are hash-derived so the oracle is
+    closed-form arithmetic over the same feature CTE the doc_embed_hash
+    oracle uses."""
+    from .queries_cc import _EMBED_DIM, _embed_hash_batch
+
+    # deterministic weights in [-1, 1]: w_j = ((j*2654435761) % 19 - 9) / 9
+    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def infer(batch: pa.Table) -> pa.Table:
+        feats = _embed_hash_batch(batch)
+        x = np.column_stack(
+            [feats.column(f"d{d}").to_numpy() for d in range(_EMBED_DIM)]
+        ).astype(np.float64)
+        z = (x @ w) / 100.0
+        score = np.round(1.0 / (1.0 + np.exp(-z)), 4)
+        # keep derives from the ROUNDED score: the raw z>0 boundary is
+        # fp-summation-order fragile (one sf0.01 doc lands exactly on it)
+        return pa.table(
+            {
+                "doc_id": feats.column("doc_id"),
+                "quality": pa.array(score),
+                "keep": pa.array(score > 0.5),
+            }
+        )
+
+    return ds.map_batches(infer, batch_format="pyarrow")
+
+
+def _sql_quality_classifier() -> str:
+    from .queries_cc import _EMBED_DIM
+
+    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+    terms = " + ".join(
+        "({w}) * sum(CASE WHEN dim = {d} THEN 1 ELSE 0 END)".format(
+            w=repr(float(wj)), d=d
+        )
+        for d, wj in enumerate(w)
+    )
+    return (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents),"
+        " h AS (SELECT doc_id,"
+        " list_reduce(list_transform(string_split(w, ''), c -> ascii(c)),"
+        " (a, b) -> (a * 31 + b) % 1024) % 16 AS dim"
+        " FROM words WHERE w <> ''),"
+        " z AS (SELECT doc_id, (" + terms + ") / 100.0 AS z FROM h"
+        " GROUP BY doc_id)"
+        " SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality,"
+        " round(1.0 / (1.0 + exp(-z)), 4) > 0.5 AS keep FROM z"
+    )
+
+
 #: Selective order filter for bloom_semi_join.
 BLOOM_PRICE = 450_000.0
 
@@ -462,6 +579,8 @@ TRAIN_QUERIES = {
     "lineitem_cube": q_lineitem_cube,
     "lm_score": q_lm_score,
     "bloom_semi_join": q_bloom_semi_join,
+    "training_blocks": q_training_blocks,
+    "quality_classifier": q_quality_classifier,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -471,4 +590,6 @@ TRAIN_ORACLE_SQL = {
     "lineitem_cube": SQL_LINEITEM_CUBE,
     "lm_score": SQL_LM_SCORE,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "training_blocks": SQL_TRAINING_BLOCKS,
+    "quality_classifier": _sql_quality_classifier(),
 }

@@ -191,6 +191,33 @@ def test_bloom_semi_join_equals_plain_semi_join(ray_session):
     assert got["n_items"].tolist() == exp["n_items"].tolist()
 
 
+def test_training_blocks_covers_every_token(ray_session):
+    from ocr_ray.pipelines.queries_train import q_training_blocks, q_training_pack
+
+    blocks = q_training_blocks("/root/testdata/sf0.001").to_pandas()
+    pack = q_training_pack("/root/testdata/sf0.001").to_pandas()
+    # per-doc: sum of in-block spans == the doc's token count
+    per_doc = blocks.groupby("doc_id")["n_in_block"].sum()
+    merged = pack.set_index("doc_id").join(per_doc)
+    assert (merged["n_in_block"] == merged["n_tokens"]).all()
+    # spans stay inside their block
+    assert (blocks["start_in_block"] >= 0).all()
+    assert (blocks["start_in_block"] + blocks["n_in_block"] <= 512).all()
+    # doc's blocks are exactly the contiguous range first..last
+    rng = blocks.groupby("doc_id")["block_id"].agg(["min", "max", "count"])
+    assert (rng["count"] == rng["max"] - rng["min"] + 1).all()
+
+
+def test_quality_classifier_keep_matches_score(ray_session):
+    from ocr_ray.pipelines.queries_train import q_quality_classifier
+
+    df = q_quality_classifier("/root/testdata/sf0.001").to_pandas()
+    assert ((df["quality"] > 0.5) == df["keep"]).all()
+    assert df["quality"].between(0.0, 1.0).all()
+    # the model actually separates: both classes present on synth data
+    assert 0 < df["keep"].sum() < len(df)
+
+
 def test_lm_score_matches_brute_force(ray_session):
     from ocr_ray.pipelines.queries_train import q_lm_score
 
