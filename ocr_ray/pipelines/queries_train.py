@@ -33,6 +33,8 @@ queries.py convention).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -572,6 +574,71 @@ SQL_BLOOM_SEMI_JOIN = (
 )
 
 
+#: kmeans_assign: number of clusters (centroids = embeddings of vec_id 0..K-1).
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Integer-exact k-means cluster assignment over the embedding table —
+    the assignment step every IVF/clustering pipeline runs at scale, made
+    oracle-checkable by quantizing to a fixed int grid (floor(v*1000+0.5),
+    identical arithmetic in numpy and DuckDB) and seeding centroids from
+    the table itself (the K lowest vec_ids).  Map-side batched int64
+    distance expansion (||x||^2 - 2 x.c + ||c||^2, one matmul per batch)
+    against the broadcast centroid matrix; argmin ties break to the lowest
+    cluster id on both sides.  Complements stages/similarity.kmeans_fit
+    (float training loop) with an exactness-gated inference pass."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..schema import list_column_matrix
+
+    # centroids: tiny pushdown read of the K seed rows, quantized
+    seed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],
+    ).sort_by("vec_id")
+    cmat = np.floor(
+        list_column_matrix(seed.column("embedding"), dtype="float64") * 1000.0 + 0.5
+    ).astype(np.int64)
+    c_ref = ray.put(cmat)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = np.floor(
+            list_column_matrix(batch.column("embedding"), dtype="float64") * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        d = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_KMEANS_ASSIGN = (
+    "WITH q AS (SELECT vec_id, list_transform(embedding,"
+    " v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS e FROM embeddings),"
+    " c AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < 8),"
+    " d AS (SELECT q.vec_id, c.cid, list_sum(list_transform(list_zip(q.e, c.ce),"
+    " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist FROM q, c)"
+    " SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM"
+    " (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+    " ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -581,6 +648,7 @@ TRAIN_QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "training_blocks": q_training_blocks,
     "quality_classifier": q_quality_classifier,
+    "kmeans_assign": q_kmeans_assign,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -592,4 +660,5 @@ TRAIN_ORACLE_SQL = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "training_blocks": SQL_TRAINING_BLOCKS,
     "quality_classifier": _sql_quality_classifier(),
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
 }

@@ -218,6 +218,27 @@ def test_quality_classifier_keep_matches_score(ray_session):
     assert 0 < df["keep"].sum() < len(df)
 
 
+def test_kmeans_assign_matches_brute_force(ray_session):
+    from ocr_ray.pipelines.queries_train import KMEANS_K, q_kmeans_assign
+
+    got = (
+        q_kmeans_assign("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    x = np.floor(np.stack(emb["embedding"].to_numpy()) * 1000.0 + 0.5).astype(np.int64)
+    c = x[:KMEANS_K]
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    exp = np.argmin(d, axis=1)
+    assert got["cluster"].tolist() == exp.tolist()
+    # seed rows assign to themselves and all clusters are populated
+    assert got["cluster"].tolist()[:KMEANS_K] == list(range(KMEANS_K))
+    assert got["cluster"].nunique() == KMEANS_K
+
+
 def test_lm_score_matches_brute_force(ray_session):
     from ocr_ray.pipelines.queries_train import q_lm_score
 
