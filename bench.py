@@ -180,6 +180,13 @@ def run_queries(sf_dir: str) -> dict:
         "doc_skyline",
         "top_bigrams",
         "audio_mel",
+        # round-4 training-data family (the 600k-row fact-table ops and
+        # the prefix-sum / broadcast-model shapes)
+        "bloom_semi_join",
+        "events_moving_win",
+        "lineitem_cube",
+        "lm_score",
+        "training_blocks",
     ]
     import ray.data
 
