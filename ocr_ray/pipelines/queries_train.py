@@ -639,6 +639,99 @@ SQL_KMEANS_ASSIGN = (
 )
 
 
+#: zorder_layout: rows per output file and morton bits per dimension.
+ZORDER_FILE_ROWS = 1000
+ZORDER_BITS = 10
+
+
+def _morton_expr(xcol: str, ycol: str) -> str:
+    """DuckDB bit-interleave expression for two ZORDER_BITS-bit ints."""
+    terms = []
+    for b in range(ZORDER_BITS):
+        # every term fully parenthesized: DuckDB's << binds LOOSER than +
+        terms.append("((({x} >> {b}) & 1) << {s})".format(x=xcol, b=b, s=2 * b))
+        terms.append("((({y} >> {b}) & 1) << {s})".format(y=ycol, b=b, s=2 * b + 1))
+    return " + ".join(terms)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (morton curve) file clustering of the orders table on
+    (o_custkey, o_totalprice) — the data-layout operator that makes
+    min/max pruning work on TWO columns at once: rows sorted by the
+    interleaved-bit key land in files whose per-file [min,max] ranges are
+    tight on BOTH dimensions.  Output is the pruning manifest itself: one
+    row per output file with its row count and both column ranges.
+
+    Scale shape: the morton key is map-side bit arithmetic; the global
+    rank comes from the distributed prefix-sum scan keyed on the UNIQUE
+    (zkey << 20 | o_orderkey) so tie order is deterministic (bucket_size
+    2^28 keeps the sparse-key bucket count driver-small); file stats are
+    one bounded groupby over #files rows.  No global sort operator — at
+    10^12 rows the scan's bucket totals are the only driver state."""
+    from ..stages.joins import bucketed_prefix_sum
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["o_custkey"].to_numpy() % (1 << ZORDER_BITS)).astype(np.int64)
+        y = (
+            np.floor(df["o_totalprice"].to_numpy() / 500.0).astype(np.int64)
+            % (1 << ZORDER_BITS)
+        )
+        z = np.zeros(len(df), dtype=np.int64)
+        for b in range(ZORDER_BITS):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        # unique rank key: morton key then orderkey (orderkey < 2^20 by
+        # testdata contract; at larger id spaces widen the shift)
+        df["__ukey"] = (z << 20) | df["o_orderkey"].to_numpy()
+        df["__one"] = np.int64(1)
+        return df
+
+    ranked = bucketed_prefix_sum(
+        ds.map_batches(add_key, batch_format="pandas"),
+        key="__ukey",
+        value="__one",
+        out_col="__rank",
+        bucket_size=1 << 28,
+    )
+
+    def add_file(df: pd.DataFrame) -> pd.DataFrame:
+        df["file_id"] = (df["__rank"].to_numpy() - 1) // ZORDER_FILE_ROWS
+        return df[["file_id", "o_custkey", "o_totalprice"]]
+
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        ranked.map_batches(add_file, batch_format="pandas")
+        .groupby("file_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("o_custkey", alias_name="min_cust"),
+            Max("o_custkey", alias_name="max_cust"),
+            Min("o_totalprice", alias_name="min_price"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+    )
+
+
+SQL_ZORDER_LAYOUT = (
+    "WITH z AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+    + _morton_expr(
+        "(o_custkey % 1024)",
+        "(CAST(floor(o_totalprice / 500.0) AS BIGINT) % 1024)",
+    )
+    + " AS zkey FROM orders),"
+    " r AS (SELECT *, row_number() OVER (ORDER BY zkey, o_orderkey) AS rn FROM z)"
+    " SELECT (rn - 1) // 1000 AS file_id, count(*) AS n,"
+    " min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,"
+    " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
+    " FROM r GROUP BY 1"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -649,6 +742,7 @@ TRAIN_QUERIES = {
     "training_blocks": q_training_blocks,
     "quality_classifier": q_quality_classifier,
     "kmeans_assign": q_kmeans_assign,
+    "zorder_layout": q_zorder_layout,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -661,4 +755,5 @@ TRAIN_ORACLE_SQL = {
     "training_blocks": SQL_TRAINING_BLOCKS,
     "quality_classifier": _sql_quality_classifier(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
 }

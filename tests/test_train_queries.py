@@ -239,6 +239,29 @@ def test_kmeans_assign_matches_brute_force(ray_session):
     assert got["cluster"].nunique() == KMEANS_K
 
 
+def test_zorder_layout_improves_two_dim_locality(ray_session):
+    from ocr_ray.pipelines.queries_train import ZORDER_FILE_ROWS, q_zorder_layout
+
+    got = q_zorder_layout("/root/testdata/sf0.01").to_pandas()
+    orders = pd.read_parquet(
+        "/root/testdata/sf0.01/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    assert got["n"].sum() == len(orders)
+    # full files carry exactly FILE_ROWS rows
+    full = got[got["file_id"] < got["file_id"].max()]
+    assert (full["n"] == ZORDER_FILE_ROWS).all()
+    # locality: mean per-file price range under z-order is tighter than
+    # under the naive o_orderkey layout (the point of the curve)
+    naive = orders.sort_values("o_orderkey").reset_index(drop=True)
+    naive["file_id"] = naive.index // ZORDER_FILE_ROWS
+    naive_rng = (
+        naive.groupby("file_id")["o_totalprice"].agg(lambda s: s.max() - s.min()).mean()
+    )
+    z_rng = (got["max_price"] - got["min_price"]).mean()
+    assert z_rng < naive_rng * 0.8
+
+
 def test_lm_score_matches_brute_force(ray_session):
     from ocr_ray.pipelines.queries_train import q_lm_score
 
