@@ -212,3 +212,87 @@ def bloom_contains_ints(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
     pos = _bloom_positions_ints(keys)
     present = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return present.all(axis=0).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016, public
+# algorithm, simplified: equal capacity k per level)
+# ---------------------------------------------------------------------------
+#
+# Why it exists next to the exact value-histogram quantiles (len_quantiles):
+# the histogram needs driver state ~ #DISTINCT values — exact and cheap for
+# bounded integer domains, impossible for continuous doubles at 100 TB.  The
+# KLL sketch holds O(k log(n/k)) values total regardless of distribution.
+#
+# Level L holds items of weight 2^L.  A full level is sorted and every other
+# item promoted (deterministic alternating offset per level so runs are
+# reproducible; the classic random offset only improves constants).  Partial
+# sketches merge by level-wise concatenation + the same compaction — the
+# map_batches partial / driver-combine shape of the other sketches.
+
+KLL_K = 200
+
+
+def kll_empty(k: int = KLL_K) -> dict:
+    return {"k": k, "levels": [[]], "n": 0, "parity": 0}
+
+
+def _kll_compact(sk: dict) -> None:
+    k = sk["k"]
+    for lvl in range(len(sk["levels"])):
+        buf = sk["levels"][lvl]
+        if len(buf) <= k:
+            continue
+        buf.sort()
+        off = sk["parity"] & 1
+        sk["parity"] += 1
+        promoted = buf[off::2]
+        sk["levels"][lvl] = []
+        if lvl + 1 == len(sk["levels"]):
+            sk["levels"].append([])
+        sk["levels"][lvl + 1].extend(promoted)
+
+
+def kll_add(sk: dict, values) -> dict:
+    vals = np.asarray(values, dtype=np.float64)
+    sk["n"] += len(vals)
+    buf = sk["levels"][0]
+    k = sk["k"]
+    for i in range(0, len(vals), k):
+        buf.extend(vals[i : i + k].tolist())
+        if len(buf) > k:
+            _kll_compact(sk)
+            buf = sk["levels"][0]
+    return sk
+
+
+def kll_merge(a: dict, b: dict) -> dict:
+    out = kll_empty(min(a["k"], b["k"]))
+    out["n"] = a["n"] + b["n"]
+    out["parity"] = a["parity"] + b["parity"]
+    depth = max(len(a["levels"]), len(b["levels"]))
+    while len(out["levels"]) < depth:
+        out["levels"].append([])
+    for sk in (a, b):
+        for lvl, buf in enumerate(sk["levels"]):
+            out["levels"][lvl].extend(buf)
+    _kll_compact(out)
+    return out
+
+
+def kll_quantiles(sk: dict, qs) -> np.ndarray:
+    """Estimate quantiles: weighted order statistics over all retained
+    items (weight 2^level)."""
+    vals, wts = [], []
+    for lvl, buf in enumerate(sk["levels"]):
+        vals.extend(buf)
+        wts.extend([1 << lvl] * len(buf))
+    if not vals:
+        return np.full(len(list(qs)), np.nan)
+    v = np.asarray(vals)
+    w = np.asarray(wts, dtype=np.float64)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w) - w / 2.0
+    total = w.sum()
+    return np.interp(np.asarray(list(qs), dtype=np.float64) * total, cum, v)

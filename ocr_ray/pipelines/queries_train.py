@@ -732,6 +732,43 @@ SQL_ZORDER_LAYOUT = (
 )
 
 
+#: Quantile probe points for value_quantiles_kll.
+KLL_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_value_quantiles_kll(sf_dir: str):
+    """Approximate quantiles of the CONTINUOUS events.value column via a
+    mergeable KLL sketch — the companion to len_quantiles (exact
+    value-histogram, bounded integer domains): a double-valued column at
+    100 TB has ~n distinct values, so the histogram's driver state
+    explodes while the KLL holds O(k log(n/k)) floats regardless.  One
+    sketch partial per batch (map_batches), level-wise merge of the tiny
+    partials on the driver — the HLL/Misra-Gries aggregation shape.
+    Approximate by design -> rows-only; the pytest gate bounds rank error
+    at 2% and pins merge-equivalence + determinism."""
+    import pickle
+
+    from ..functions import sketches
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = sketches.kll_empty()
+        sketches.kll_add(sk, batch.column("value").to_numpy())
+        return pa.table({"sk": pa.array([pickle.dumps(sk)], pa.binary())})
+
+    merged = sketches.kll_empty()
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged = sketches.kll_merge(merged, pickle.loads(row["sk"]))
+    est = sketches.kll_quantiles(merged, KLL_QS)
+    return pa.table(
+        {
+            "q": pa.array(list(KLL_QS)),
+            "value_est": pa.array(np.round(est, 4)),
+        }
+    )
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -743,6 +780,7 @@ TRAIN_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "kmeans_assign": q_kmeans_assign,
     "zorder_layout": q_zorder_layout,
+    "value_quantiles_kll": q_value_quantiles_kll,
 }
 
 TRAIN_ORACLE_SQL = {

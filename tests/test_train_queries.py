@@ -141,6 +141,72 @@ def test_moving_win_window_constant_sane():
     assert WIN_US == 3_600_000_000
 
 
+def test_kll_rank_error_bound():
+    from ocr_ray.functions import sketches
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(0.0, 2.0, size=100_000)
+    sk = sketches.kll_empty()
+    sketches.kll_add(sk, data)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = sketches.kll_quantiles(sk, qs)
+    data_sorted = np.sort(data)
+    for q, e in zip(qs, est):
+        # rank error (not value error): position of the estimate in the
+        # true sorted order must be within 2% of the requested rank
+        rank = np.searchsorted(data_sorted, e) / len(data)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_kll_merge_equivalent_and_deterministic():
+    from ocr_ray.functions import sketches
+
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=50_000)
+    qs = [0.25, 0.5, 0.75]
+    direct = sketches.kll_empty()
+    sketches.kll_add(direct, data)
+    merged = sketches.kll_empty()
+    for part in np.array_split(data, 13):
+        p = sketches.kll_empty()
+        sketches.kll_add(p, part)
+        merged = sketches.kll_merge(merged, p)
+    assert merged["n"] == direct["n"] == len(data)
+    data_sorted = np.sort(data)
+    for q, e in zip(qs, sketches.kll_quantiles(merged, qs)):
+        rank = np.searchsorted(data_sorted, e) / len(data)
+        assert abs(rank - q) < 0.02
+    # deterministic: same input -> identical sketch state
+    again = sketches.kll_empty()
+    sketches.kll_add(again, data)
+    assert again == direct
+
+
+def test_kll_memory_stays_bounded():
+    from ocr_ray.functions import sketches
+
+    sk = sketches.kll_empty()
+    rng = np.random.default_rng(1)
+    sketches.kll_add(sk, rng.normal(size=200_000))
+    retained = sum(len(b) for b in sk["levels"])
+    assert retained <= sketches.KLL_K * (len(sk["levels"]) + 1)
+    assert len(sk["levels"]) < 16
+
+
+def test_value_quantiles_kll_close_to_exact(ray_session):
+    from ocr_ray.pipelines.queries_train import q_value_quantiles_kll
+
+    got = q_value_quantiles_kll("/root/testdata/sf0.001").to_pandas()
+    vals = np.sort(
+        pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["value"])[
+            "value"
+        ].to_numpy()
+    )
+    for q, e in zip(got["q"], got["value_est"]):
+        rank = np.searchsorted(vals, e) / len(vals)
+        assert abs(rank - q) < 0.03, (q, rank)
+
+
 def test_bloom_int_path_no_false_negatives_and_low_fpr():
     from ocr_ray.functions import sketches
 
