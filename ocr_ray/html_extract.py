@@ -163,6 +163,19 @@ def extract_title(root: Node) -> str:
     return ""
 
 
+def extract_links(html: str) -> list:
+    """All <a href> targets of a page in document order — the anchor /
+    outlink extraction a crawl graph is built from (reference analog: the
+    link handling in ``utils/text/parsers/html_parser.py``; here a plain
+    DOM walk over the same from-scratch tree)."""
+    out = []
+    for a in parse_html(html).find_all(("a",)):
+        href = a.attrs.get("href")
+        if href:
+            out.append(href)
+    return out
+
+
 def _is_link_item(node: Node) -> bool:
     """<li> wrapping only a link (html_parser.py:174-175)."""
     if node.tag != "li":

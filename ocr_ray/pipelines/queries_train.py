@@ -769,6 +769,45 @@ def q_value_quantiles_kll(sf_dir: str):
     )
 
 
+def q_link_graph(sf_dir: str):
+    """Crawl link-graph construction: synthesize one link page per
+    document (synth.link_page_html — deterministic cross-link rule),
+    extract every <a href> with the REAL from-scratch DOM parser
+    (html_extract.extract_links), keep internal /page/N targets, and
+    aggregate in-degree per target — the edge-building pass PageRank and
+    host-level dedup consume.  Parsing is per-page (the honest workload,
+    same as extraction); edges leave each task as integer (dst) rows only,
+    and the in-degree groupby is bounded by the id space.  Chrome nav and
+    external links must be found and then filtered — the parse is real,
+    not a regex over the fixture."""
+    from .. import synth
+    from ..html_extract import extract_links
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        dsts = []
+        for d in batch.column("doc_id").to_pylist():
+            for href in extract_links(synth.link_page_html(d)):
+                if href.startswith("/page/"):
+                    dsts.append(int(href[6:]))
+        return pa.table({"dst": pa.array(dsts, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Count(alias_name="n_in"))
+    )
+
+
+SQL_LINK_GRAPH = (
+    "SELECT (7 * doc_id + 13 * r.range + 1) % 1000 AS dst, count(*) AS n_in"
+    " FROM documents, range(0, 3) r GROUP BY 1"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -781,6 +820,7 @@ TRAIN_QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "zorder_layout": q_zorder_layout,
     "value_quantiles_kll": q_value_quantiles_kll,
+    "link_graph": q_link_graph,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -794,4 +834,5 @@ TRAIN_ORACLE_SQL = {
     "quality_classifier": _sql_quality_classifier(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "link_graph": SQL_LINK_GRAPH,
 }

@@ -86,6 +86,30 @@ def wrap_document_html(doc_id: int, text: str) -> str:
     return _chrome_wrap("<p>{}</p>".format(text), "doc {}".format(doc_id))
 
 
+#: link_page_html cross-link rule: doc d links to (7d + 13j + 1) % LINK_MOD
+#: for j in 0..LINK_FANOUT-1 (closed-form, so a SQL oracle can mirror it).
+LINK_MOD = 1000
+LINK_FANOUT = 3
+
+
+def link_page_html(doc_id: int) -> str:
+    """Chrome-wrapped page whose body carries deterministic cross-links —
+    the fixture for link-graph extraction (q_link_graph).  Separate from
+    wrap_document_html so the byte-identity extraction contract and the
+    benchmark workload stay untouched."""
+    rel = "".join(
+        '<li><a href="/page/{0}">related {0}</a></li>'.format(
+            (7 * doc_id + 13 * j + 1) % LINK_MOD
+        )
+        for j in range(LINK_FANOUT)
+    )
+    body = (
+        "<p>doc body {d}</p><ul>{rel}</ul>"
+        '<p>see <a href="https://example.org/ext">elsewhere</a></p>'
+    ).format(d=doc_id, rel=rel)
+    return _chrome_wrap(body, "links {}".format(doc_id))
+
+
 def wrap_documents_batch(batch: pa.Table, *, offset: int = 0) -> pa.Table:
     """One documents batch -> pages batch (PAGES schema), keyed by doc_id.
 

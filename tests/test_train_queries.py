@@ -193,6 +193,19 @@ def test_kll_memory_stays_bounded():
     assert len(sk["levels"]) < 16
 
 
+def test_extract_links_finds_all_anchors_in_order():
+    from ocr_ray.html_extract import extract_links
+    from ocr_ray.synth import LINK_FANOUT, link_page_html
+
+    links = extract_links(link_page_html(42))
+    internal = [h for h in links if h.startswith("/page/")]
+    # the chrome nav links and the external link are present too
+    assert len(links) > len(internal)
+    assert any(h.startswith("https://example.org") for h in links)
+    expected = [(7 * 42 + 13 * j + 1) % 1000 for j in range(LINK_FANOUT)]
+    assert [int(h[6:]) for h in internal] == expected
+
+
 def test_value_quantiles_kll_close_to_exact(ray_session):
     from ocr_ray.pipelines.queries_train import q_value_quantiles_kll
 
