@@ -808,6 +808,61 @@ SQL_LINK_GRAPH = (
 )
 
 
+def q_events_ffill(sf_dir: str):
+    """Per-user forward-fill imputation over event time — the gap-filling
+    pass feature pipelines run before training (LOCF: last observation
+    carried forward).  'view' events are treated as having no reading;
+    each event reports the user's most recent non-missing value (or -1
+    before any).  Same plan as the other window ops: ONE user-hash-bucket
+    shuffle, then a single vectorized kernel per bucket (masked index
+    maximum-accumulate with per-segment floor — no per-key Python, no
+    per-row scan)."""
+    from ..stages.joins import _add_key_bucket, _default_buckets
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    n_buckets = _default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        n = len(g)
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy().astype(np.float64)
+        valid = g["event_type"].to_numpy() != "view"
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.append(starts, n))
+        seg_floor = np.repeat(starts, counts)
+        last_valid = np.maximum.accumulate(np.where(valid, np.arange(n), -1))
+        # an index from a PREVIOUS user is always < this segment's floor
+        filled_idx = np.where(last_valid >= seg_floor, last_valid, -1)
+        filled = np.where(filled_idx >= 0, val[np.maximum(filled_idx, 0)], -1.0)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "filled_value": filled}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_FFILL = (
+    "SELECT event_id, COALESCE(last_value("
+    " CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)"
+    " OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)"
+    " AS filled_value FROM events"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -821,6 +876,7 @@ TRAIN_QUERIES = {
     "zorder_layout": q_zorder_layout,
     "value_quantiles_kll": q_value_quantiles_kll,
     "link_graph": q_link_graph,
+    "events_ffill": q_events_ffill,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -835,4 +891,5 @@ TRAIN_ORACLE_SQL = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "link_graph": SQL_LINK_GRAPH,
+    "events_ffill": SQL_EVENTS_FFILL,
 }

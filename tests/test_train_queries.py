@@ -193,6 +193,26 @@ def test_kll_memory_stays_bounded():
     assert len(sk["levels"]) < 16
 
 
+def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
+    from ocr_ray.pipelines.queries_train import q_events_ffill
+
+    got = (
+        q_events_ffill("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ev["v"] = ev["value"].where(ev["event_type"] != "view")
+    exp = (
+        ev.assign(filled=ev.groupby("user_id")["v"].ffill().fillna(-1.0))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
+
+
 def test_extract_links_finds_all_anchors_in_order():
     from ocr_ray.html_extract import extract_links
     from ocr_ray.synth import LINK_FANOUT, link_page_html
