@@ -863,6 +863,34 @@ SQL_EVENTS_FFILL = (
 )
 
 
+def q_image_phash_dedup(sf_dir: str):
+    """Image near-duplicate detection by DCT perceptual hash — the
+    image-side SimHash: 63-bit pHash per payload (actor-pool stage, DCT
+    basis built once per actor), 4x16-bit LSH banding, one vectorized
+    hamming verify per bucket, aggregate-distinct pairs.  The fixture
+    plants noised re-encoded copies (PNG vs JPEG vs BMP of the same
+    picture) among independent images; planted pairs sit at hamming <= 4,
+    distinct images at >= 18 (pinned by pytest).  Oracle: VALUES literal
+    from tests/golden/image_phash.json (regen via
+    ``python -m tests.regen_golden`` — the media_features pattern)."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from ..stages import multimodal
+
+    media = _rd.from_arrow(multimodal.synth_images_neardup(36))
+    pairs = multimodal.phash_neardup_pairs(media, concurrency=2, batch_size=12)
+    return pairs
+
+
+def _image_phash_oracle_sql():
+    from .queries_rel import _golden_values_sql
+
+    return _golden_values_sql(
+        "image_phash.json", [("a", "int"), ("b", "int"), ("hamming", "int")]
+    )
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -877,6 +905,7 @@ TRAIN_QUERIES = {
     "value_quantiles_kll": q_value_quantiles_kll,
     "link_graph": q_link_graph,
     "events_ffill": q_events_ffill,
+    "image_phash_dedup": q_image_phash_dedup,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -893,3 +922,7 @@ TRAIN_ORACLE_SQL = {
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,
 }
+
+_phash_sql = _image_phash_oracle_sql()
+if _phash_sql is not None:
+    TRAIN_ORACLE_SQL["image_phash_dedup"] = _phash_sql

@@ -363,3 +363,197 @@ def audio_mel_features(media_ds, *, concurrency=2, batch_size: int = 16):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (round 4)
+# ---------------------------------------------------------------------------
+#
+# The image-side analog of SimHash text near-dup: a 63-bit DCT perceptual
+# hash per image (classic pHash recipe — grayscale, 32x32 area resample,
+# 2-D DCT-II, sign-vs-median of the low-frequency block), then the SAME
+# LSH shape as stages/dedup: band the hash, groupby band buckets, verify
+# candidates by hamming distance.  Robust to re-encoding (PNG vs JPEG vs
+# BMP of the same picture) and small noise — exactly the recrawl/mirror
+# duplicate case a 100-TB image corpus needs.
+
+
+def dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (public textbook formula)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2.0 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash64(img: np.ndarray, dct: np.ndarray) -> int:
+    """63-bit perceptual hash of an HxWx3 (or HxW) uint8 image."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    # area resample to 32x32: mean of source pixels per target cell
+    ty = np.arange(h) * 32 // h
+    tx = np.arange(w) * 32 // w
+    cell = (ty[:, None] * 32 + tx[None, :]).ravel()
+    sums = np.bincount(cell, weights=g.ravel(), minlength=1024)
+    cnts = np.maximum(np.bincount(cell, minlength=1024), 1)
+    small = (sums / cnts).reshape(32, 32)
+    low = (dct @ small @ dct.T)[:8, :8].ravel()[1:]  # drop DC
+    med = np.median(low)
+    bits = low > med
+    return int(np.packbits(bits, bitorder="little")[:8].view(np.uint64)[0])
+
+
+def _smooth_field(rng, h: int, w: int, ch: int = 6, cw: int = 8) -> np.ndarray:
+    """Bilinear upsample of a coarse random grid — a smooth 'photo-like'
+    field whose DCT low block has broad, well-separated coefficients (a
+    sparse sinusoid spectrum would leave many coefficients AT the median,
+    making the hash sign-flip under noise)."""
+    coarse = rng.uniform(0.0, 255.0, (ch, cw))
+    y = np.linspace(0, ch - 1, h)
+    x = np.linspace(0, cw - 1, w)
+    y0 = np.floor(y).astype(int)
+    x0 = np.floor(x).astype(int)
+    y1 = np.minimum(y0 + 1, ch - 1)
+    x1 = np.minimum(x0 + 1, cw - 1)
+    wy = (y - y0)[:, None]
+    wx = (x - x0)[None, :]
+    return (
+        coarse[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + coarse[np.ix_(y1, x0)] * wy * (1 - wx)
+        + coarse[np.ix_(y0, x1)] * (1 - wy) * wx
+        + coarse[np.ix_(y1, x1)] * wy * wx
+    )
+
+
+def synth_images_neardup(n: int = 36, seed: int = 41) -> pa.Table:
+    """Deterministic image table with PLANTED near-duplicates: smooth
+    random-field 'photos'; every (3k+1)-th image is a noised, re-encoded
+    copy of image 3k (different codec, +-4 noise, +3 brightness) — a true
+    near-dup; all other images draw independent fields."""
+    from .. import codecs, jpeg
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    base_img = None
+    for i in range(n):
+        if i % 3 == 1 and base_img is not None:
+            img = base_img.astype(np.int64)
+            img = img + rng.randint(-4, 5, size=img.shape) + 3
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        else:
+            g = _smooth_field(np.random.RandomState(seed * 1000 + i), 48, 64)
+            img = np.clip(
+                np.stack([g, np.roll(g, 3, axis=1), np.roll(g, 7, axis=0)], axis=2),
+                0,
+                255,
+            ).astype(np.uint8)
+            base_img = img
+        fmt = ("png", "jpeg", "bmp")[i % 3]
+        if fmt == "png":
+            payload = codecs.encode_png(img)
+        elif fmt == "bmp":
+            payload = codecs.encode_bmp(img)
+        else:
+            payload = jpeg.encode_jpeg(img, quality=95, subsampling="444")
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": payload,
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "sample_rate": 0,
+                "n_frames": 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA)
+
+
+class PHashStage:
+    """Actor-pool stage: image payload -> 63-bit perceptual hash.  The
+    DCT basis is built ONCE per actor in ``__init__``; decode + hash per
+    item in ``__call__`` (per-item work is the honest payload cost, the
+    same shape as MediaFeatureExtractor)."""
+
+    def __init__(self):
+        self.dct = dct_matrix(32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            img = decode_real(payload)
+            ids.append(mid)
+            hashes.append(np.int64(np.uint64(phash64(img, self.dct))))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+PHASH_BANDS = 4
+PHASH_HAMMING_T = 10
+
+
+def phash_neardup_pairs(media_ds, *, concurrency=2, batch_size: int = 16):
+    """Image Dataset -> verified near-dup pairs (a, b, hamming<=T).
+
+    LSH shape (same plan as dedup.simhash): band each 64-bit hash into 4
+    x 16-bit bands, groupby (band, value) buckets — near-identical hashes
+    collide in at least one band with high probability — then one
+    vectorized hamming verify per bucket and an aggregate distinct over
+    the (a, b) pairs.  The corpus never moves: only (media_id, band,
+    16-bit value) rows shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    hashed = media_ds.map_batches(
+        PHashStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("phash").to_numpy().astype(np.uint64)
+        mid = batch.column("media_id").to_numpy()
+        n = len(h)
+        bands = np.arange(PHASH_BANDS, dtype=np.uint64)
+        vals = (h[:, None] >> (bands * np.uint64(16))) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(bands, n).astype(np.int64)),
+                "val": pa.array(vals.ravel().astype(np.int64)),
+                "media_id": pa.array(np.repeat(mid, PHASH_BANDS)),
+                "phash": pa.array(np.repeat(batch.column("phash").to_numpy(), PHASH_BANDS)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("media_id")
+        mid = g["media_id"].to_numpy()
+        h = g["phash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(g), k=1)
+        if not len(ia):
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
+        x = h[ia] ^ h[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= PHASH_HAMMING_T
+        return pd.DataFrame(
+            {"a": mid[ia[keep]], "b": mid[ib[keep]], "hamming": ham[keep]}
+        )
+
+    return (
+        hashed.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )

@@ -47,6 +47,40 @@ def compute_media_rows():
     ]
 
 
+def compute_phash_pairs():
+    """Deterministic verified near-dup pairs over the planted image
+    corpus (the image_phash_dedup query's VALUES-oracle source) —
+    computed WITHOUT Ray: hash every image, enumerate band-colliding
+    pairs, keep hamming <= T, exactly the distributed plan's contract."""
+    import numpy as np
+
+    from ocr_ray.stages import multimodal as M
+
+    tbl = M.synth_images_neardup(36)
+    dct = M.dct_matrix(32)
+    hs = {
+        mid: np.uint64(M.phash64(M.decode_real(p), dct))
+        for mid, p in zip(
+            tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+        )
+    }
+    pairs = []
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            collide = any(
+                (hs[a] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                == (hs[b] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                for k in range(M.PHASH_BANDS)
+            )
+            if not collide:
+                continue
+            ham = int(bin(int(hs[a] ^ hs[b])).count("1"))
+            if ham <= M.PHASH_HAMMING_T:
+                pairs.append({"a": a, "b": b, "hamming": ham})
+    return pairs
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for fname, (n, seed) in CONFIGS.items():
@@ -61,4 +95,8 @@ if __name__ == "__main__":
     path = os.path.join(GOLDEN_DIR, "audio_mel.json")
     with open(path, "w") as f:
         json.dump(compute_audio_mel_rows(), f, indent=1, sort_keys=True)
+    print("wrote", path)
+    path = os.path.join(GOLDEN_DIR, "image_phash.json")
+    with open(path, "w") as f:
+        json.dump(compute_phash_pairs(), f, indent=1, sort_keys=True)
     print("wrote", path)

@@ -213,6 +213,71 @@ def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
     np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
 
 
+def test_phash_separation_margins():
+    from ocr_ray.stages import multimodal as M
+
+    tbl = M.synth_images_neardup(36)
+    dct = M.dct_matrix(32)
+    hs = {}
+    for mid, p in zip(
+        tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+    ):
+        hs[mid] = np.uint64(M.phash64(M.decode_real(p), dct))
+
+    def ham(a, b):
+        return bin(int(hs[a] ^ hs[b])).count("1")
+
+    planted = [(3 * k, 3 * k + 1) for k in range(12)]
+    assert max(ham(a, b) for a, b in planted) <= 6  # re-encode + noise robust
+    others = [
+        ham(a, b)
+        for a in range(36)
+        for b in range(a + 1, 36)
+        if (a, b) not in planted
+    ]
+    assert min(others) > M.PHASH_HAMMING_T  # no false pairs on this corpus
+
+
+def test_phash_invariant_to_reencoding():
+    from ocr_ray import codecs, jpeg
+    from ocr_ray.stages import multimodal as M
+
+    rng = np.random.RandomState(2)
+    g = M._smooth_field(rng, 40, 56)
+    img = np.clip(np.stack([g, g, g], axis=2), 0, 255).astype(np.uint8)
+    dct = M.dct_matrix(32)
+    h_png = M.phash64(M.decode_real(codecs.encode_png(img)), dct)
+    h_bmp = M.phash64(M.decode_real(codecs.encode_bmp(img)), dct)
+    h_jpg = M.phash64(
+        M.decode_real(jpeg.encode_jpeg(img, quality=95, subsampling="444")), dct
+    )
+    assert h_png == h_bmp  # lossless codecs: identical pixels -> identical hash
+    assert bin(h_png ^ h_jpg).count("1") <= 6  # lossy within near-dup margin
+
+
+def test_phash_neardup_pairs_finds_exactly_planted(ray_session):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ocr_ray.stages import multimodal as M
+
+    media = rd.from_arrow(M.synth_images_neardup(36))
+    got = (
+        M.phash_neardup_pairs(media, concurrency=2, batch_size=12)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "image_phash.json"))
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (r["a"], r["b"], r["hamming"]) for r in golden
+    ]
+
+
 def test_extract_links_finds_all_anchors_in_order():
     from ocr_ray.html_extract import extract_links
     from ocr_ray.synth import LINK_FANOUT, link_page_html
