@@ -891,6 +891,122 @@ def _image_phash_oracle_sql():
     )
 
 
+def q_corpus_to_blocks(sf_dir: str):
+    """End-to-end training-data assembly flagship: quality-classifier
+    filter -> exact content dedup -> sequence packing, as ONE streaming
+    pipeline.  Composition of three already-green stages: (1) map-side
+    classifier inference + filter (no shuffle); (2) winner-per-content
+    via the bucketed vectorized aggregate (digest lanes, min doc_id —
+    the high-cardinality-groupby path, n_tokens rides along since texts
+    in a group are identical); (3) the distributed prefix-sum scan
+    assigns every surviving doc its global token offset and first
+    training block.  The corpus text never crosses a shuffle: stage 2
+    moves (doc_id, 2x int64 digest lanes, n_tokens), stage 3 moves
+    (doc_id, n_tokens)."""
+    import hashlib
+
+    from ..stages.groupagg import bucketed_group_agg
+    from ..stages.joins import bucketed_prefix_sum
+    from .queries_cc import _EMBED_DIM, _embed_hash_batch
+
+    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        feats = _embed_hash_batch(batch)
+        x = np.column_stack(
+            [feats.column(f"d{d}").to_numpy() for d in range(_EMBED_DIM)]
+        ).astype(np.float64)
+        score = np.round(1.0 / (1.0 + np.exp(-(x @ w) / 100.0)), 4)
+        kept = batch.filter(pa.array(score > 0.5))
+        texts = kept.column("text").to_pylist()
+        digs = b"".join(
+            hashlib.sha256(t.encode("utf-8")).digest()[:16] for t in texts
+        )
+        arr = (
+            np.frombuffer(digs, dtype="<u8").reshape(-1, 2)
+            if digs
+            else np.empty((0, 2), np.uint64)
+        )
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(kept.column("text"), " ")),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "h1": pa.array(arr[:, 0].view(np.int64), pa.int64()),
+                "h2": pa.array(arr[:, 1].view(np.int64), pa.int64()),
+                "n_tokens": n,
+            }
+        )
+
+    winners = bucketed_group_agg(
+        ds.map_batches(survivors, batch_format="pyarrow"),
+        ["h1", "h2"],
+        {"doc_id": ("min", "doc_id"), "n_tokens": ("min", "n_tokens")},
+    ).select_columns(["doc_id", "n_tokens"])
+
+    def plus(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__n_plus", pc.add(batch.column("n_tokens"), 1)
+        )
+
+    cum = bucketed_prefix_sum(
+        winners.map_batches(plus, batch_format="pyarrow"),
+        key="doc_id",
+        value="__n_plus",
+        out_col="__cum",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        start = (df["__cum"] - df["__n_plus"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "tok_start": start,
+                "first_block": start // PACK_BLOCK,
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pandas")
+
+
+def _sql_corpus_to_blocks() -> str:
+    from .queries_cc import _EMBED_DIM
+
+    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+    terms = " + ".join(
+        "({w}) * sum(CASE WHEN dim = {d} THEN 1 ELSE 0 END)".format(
+            w=repr(float(wj)), d=d
+        )
+        for d, wj in enumerate(w)
+    )
+    return (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents),"
+        " h AS (SELECT doc_id,"
+        " list_reduce(list_transform(string_split(w, ''), c -> ascii(c)),"
+        " (a, b) -> (a * 31 + b) % 1024) % 16 AS dim"
+        " FROM words WHERE w <> ''),"
+        " z AS (SELECT doc_id, (" + terms + ") / 100.0 AS z FROM h"
+        " GROUP BY doc_id),"
+        " keep AS (SELECT doc_id FROM z"
+        " WHERE round(1.0 / (1.0 + exp(-z)), 4) > 0.5),"
+        " d AS (SELECT doc_id, text FROM documents"
+        " WHERE doc_id IN (SELECT doc_id FROM keep)),"
+        " win AS (SELECT min(doc_id) AS doc_id,"
+        " min(len(string_split(text, ' '))) AS n_tokens FROM d GROUP BY text),"
+        " c AS (SELECT doc_id, n_tokens,"
+        " CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        " AS tok_start FROM win)"
+        " SELECT doc_id, n_tokens, tok_start, tok_start // 512 AS first_block"
+        " FROM c"
+    )
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -906,6 +1022,7 @@ TRAIN_QUERIES = {
     "link_graph": q_link_graph,
     "events_ffill": q_events_ffill,
     "image_phash_dedup": q_image_phash_dedup,
+    "corpus_to_blocks": q_corpus_to_blocks,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -921,6 +1038,7 @@ TRAIN_ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,
+    "corpus_to_blocks": _sql_corpus_to_blocks(),
 }
 
 _phash_sql = _image_phash_oracle_sql()

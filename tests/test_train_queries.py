@@ -213,6 +213,35 @@ def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
     np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
 
 
+def test_corpus_to_blocks_composition_invariants(ray_session):
+    from ocr_ray.pipelines.queries_train import q_corpus_to_blocks, q_quality_classifier
+
+    got = (
+        q_corpus_to_blocks("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cls = q_quality_classifier("/root/testdata/sf0.001").to_pandas()
+    kept = set(cls.loc[cls["keep"], "doc_id"])
+    assert set(got["doc_id"]) <= kept  # only quality-kept docs survive
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = docs.set_index("doc_id")["text"]
+    # exact dedup: surviving texts are distinct, and each winner is the
+    # min doc_id among KEPT docs sharing its text
+    surv_texts = texts.loc[got["doc_id"]]
+    assert surv_texts.is_unique
+    kept_docs = docs[docs["doc_id"].isin(kept)]
+    expect_winners = set(kept_docs.groupby("text")["doc_id"].min())
+    assert set(got["doc_id"]) == expect_winners
+    # packing is dense over the survivors in doc_id order
+    nxt = (got["tok_start"] + got["n_tokens"] + 1).to_numpy()[:-1]
+    np.testing.assert_array_equal(nxt, got["tok_start"].to_numpy()[1:])
+    assert int(got["tok_start"].iloc[0]) == 0
+
+
 def test_phash_separation_margins():
     from ocr_ray.stages import multimodal as M
 
