@@ -1007,6 +1007,135 @@ def _sql_corpus_to_blocks() -> str:
     )
 
 
+#: BM25 constants (Robertson-Sparck Jones defaults) and result size.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+BM25_NTERMS = 3
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval over the corpus for the {N} highest-df
+    tokens (a deterministic stand-in for a user query) — the scoring
+    side of the inverted_index postings build (queries_cc).  Two passes:
+    (1) document-frequency aggregate (vocab-bounded, the inverted_index
+    df idiom) + one tiny length aggregate -> the query-term idf table and
+    (nd, avgdl) broadcast; (2) map-side scoring — each batch computes tf
+    for ONLY the query terms via dictionary-encode + isin, applies the
+    BM25 formula vectorized, and forwards its local top-N — the final
+    sort sees <= N x #batches rows.  Ranking uses the ROUNDED score
+    (ties then by doc_id) so the oracle contract is ulp-stable."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+        enc = split.flatten().dictionary_encode()
+        wcodes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = len(enc.dictionary)
+        row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        pair = np.unique(row * vocab + wcodes)
+        tok_code, n_docs = np.unique(pair % vocab, return_counts=True)
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(tok_code)),
+                "n": pa.array(n_docs.astype(np.int64), pa.int64()),
+                "dl_sum": pa.array(
+                    np.r_[sizes.sum(), np.zeros(len(tok_code) - 1, np.int64)]
+                    if len(tok_code)
+                    else np.empty(0, np.int64)
+                ),
+                "nd": pa.array(
+                    np.r_[len(sizes), np.zeros(len(tok_code) - 1, np.int64)]
+                    if len(tok_code)
+                    else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    stats = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            _Sum("n", alias_name="df"),
+            _Sum("dl_sum", alias_name="dl_sum"),
+            _Sum("nd", alias_name="nd"),
+        )
+        .to_pandas()  # vocab-bounded
+    )
+    nd = int(stats["nd"].sum())
+    avgdl = float(stats["dl_sum"].sum()) / nd
+    top = stats.sort_values(["df", "token"], ascending=[False, True]).head(
+        BM25_NTERMS
+    )
+    terms = top["token"].tolist()
+    idf = {
+        t: float(np.log(1.0 + (nd - d + 0.5) / (d + 0.5)))
+        for t, d in zip(top["token"], top["df"])
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        dl = np.asarray(split.value_lengths(), dtype=np.int64)
+        enc = split.flatten().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()
+        code_of = {w: c for c, w in enumerate(vocab)}
+        row = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+        s = np.zeros(len(dl), dtype=np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        for t in terms:
+            c = code_of.get(t)
+            if c is None:
+                continue
+            tf = np.bincount(row[codes == c], minlength=len(dl)).astype(np.float64)
+            s += idf[t] * tf * (BM25_K1 + 1.0) / (tf + norm)
+        keep = s > 0.0
+        out = pa.table(
+            {
+                "doc_id": pc.filter(batch.column("doc_id"), pa.array(keep)),
+                "bm25": pa.array(np.round(s[keep], 4)),
+            }
+        )
+        # local top-N cap: the global sort never sees the corpus.  The cap
+        # uses the GLOBAL comparator (score desc, doc_id asc) so dropping
+        # rows beyond N can never change the final top-N under ties.
+        if out.num_rows > BM25_TOPN:
+            sc_r = out.column("bm25").to_numpy()
+            did = out.column("doc_id").to_numpy()
+            order = np.lexsort((did, -sc_r))[:BM25_TOPN]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["bm25", "doc_id"], descending=[True, False])
+        .limit(BM25_TOPN)
+    )
+
+
+SQL_BM25_SEARCH = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+    " FROM documents),"
+    " lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),"
+    " stats AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM lens),"
+    " df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),"
+    " qt AS (SELECT t, df FROM df ORDER BY df DESC, t LIMIT 3),"
+    " tf AS (SELECT doc_id, t, count(*) AS tf FROM tok"
+    " WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t),"
+    " sc AS (SELECT tf.doc_id, sum("
+    " ln(1.0 + (stats.nd - qt.df + 0.5) / (qt.df + 0.5))"
+    " * tf.tf * (1.2 + 1.0)"
+    " / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))) AS s"
+    " FROM tf JOIN qt USING (t) JOIN lens USING (doc_id), stats"
+    " GROUP BY tf.doc_id)"
+    " SELECT doc_id, round(s, 4) AS bm25 FROM sc"
+    " ORDER BY round(s, 4) DESC, doc_id LIMIT 20"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -1023,6 +1152,7 @@ TRAIN_QUERIES = {
     "events_ffill": q_events_ffill,
     "image_phash_dedup": q_image_phash_dedup,
     "corpus_to_blocks": q_corpus_to_blocks,
+    "bm25_search": q_bm25_search,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -1039,6 +1169,7 @@ TRAIN_ORACLE_SQL = {
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,
     "corpus_to_blocks": _sql_corpus_to_blocks(),
+    "bm25_search": SQL_BM25_SEARCH,
 }
 
 _phash_sql = _image_phash_oracle_sql()

@@ -213,6 +213,46 @@ def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
     np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
 
 
+def test_bm25_matches_brute_force(ray_session):
+    from collections import Counter
+
+    from ocr_ray.pipelines.queries_train import (
+        BM25_B,
+        BM25_K1,
+        BM25_NTERMS,
+        BM25_TOPN,
+        q_bm25_search,
+    )
+
+    got = q_bm25_search("/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = [t.split(" ") for t in docs["text"]]
+    nd = len(docs)
+    avgdl = sum(len(t) for t in toks) / nd
+    df: Counter = Counter()
+    for t in toks:
+        df.update(set(t))
+    terms = sorted(df, key=lambda w: (-df[w], w))[:BM25_NTERMS]
+    rows = []
+    for did, t in zip(docs["doc_id"], toks):
+        c = Counter(t)
+        s = 0.0
+        for w in terms:
+            tf = c.get(w, 0)
+            if tf:
+                idf = np.log(1.0 + (nd - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * (BM25_K1 + 1) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * len(t) / avgdl)
+                )
+        if s > 0:
+            rows.append((round(s, 4), did))
+    exp = sorted(rows, key=lambda r: (-r[0], r[1]))[:BM25_TOPN]
+    assert got["doc_id"].tolist() == [d for _, d in exp]
+    np.testing.assert_allclose(got["bm25"], [s for s, _ in exp], atol=1e-9)
+
+
 def test_corpus_to_blocks_composition_invariants(ray_session):
     from ocr_ray.pipelines.queries_train import q_corpus_to_blocks, q_quality_classifier
 
