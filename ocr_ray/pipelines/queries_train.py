@@ -1136,6 +1136,50 @@ SQL_BM25_SEARCH = (
 )
 
 
+def q_distinct_tokens_by_lang(sf_dir: str):
+    """Approximate distinct-token count PER LANGUAGE via HyperLogLog used
+    as a true distributed aggregate: each batch emits one 4096-register
+    partial per language it contains, and the register-wise-max merge
+    happens INSIDE ``groupby(lang).map_groups`` — the sketch algebra runs
+    where the shuffle lands, the driver never touches a register (the
+    global distinct_tokens_hll merges on the driver; this is the shape
+    that generalizes to 10^4 groups).  Approximate by design -> rows-only;
+    pytest pins every language's estimate within 5% of exact."""
+    from ..functions import sketches
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for lang, grp in df.groupby("lang", sort=False):
+            regs = sketches.hll_empty()
+            for t in grp["text"]:
+                sketches.hll_add(regs, t.split())
+            rows.append({"lang": lang, "registers": regs.tobytes()})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("lang", pa.string()), ("registers", pa.binary())]),
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["registers"]]
+        )
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "distinct_tokens_est": [int(round(sketches.hll_estimate(regs)))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -1153,6 +1197,7 @@ TRAIN_QUERIES = {
     "image_phash_dedup": q_image_phash_dedup,
     "corpus_to_blocks": q_corpus_to_blocks,
     "bm25_search": q_bm25_search,
+    "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
 }
 
 TRAIN_ORACLE_SQL = {

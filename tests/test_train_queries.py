@@ -213,6 +213,26 @@ def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
     np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
 
 
+def test_distinct_tokens_by_lang_within_5pct(ray_session):
+    from ocr_ray.pipelines.queries_train import q_distinct_tokens_by_lang
+
+    got = (
+        q_distinct_tokens_by_lang("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("lang")["distinct_tokens_est"]
+    )
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang", "text"]
+    )
+    exact = docs.groupby("lang")["text"].apply(
+        lambda s: len(set(w for t in s for w in t.split()))
+    )
+    assert set(got.index) == set(exact.index)
+    for lang in exact.index:
+        err = abs(got[lang] - exact[lang]) / exact[lang]
+        assert err < 0.05, (lang, got[lang], exact[lang])
+
+
 def test_bm25_matches_brute_force(ray_session):
     from collections import Counter
 
