@@ -215,6 +215,55 @@ def bloom_contains_ints(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode-Muthukrishnan 2005, public algorithm)
+# ---------------------------------------------------------------------------
+#
+# Mergeable point-frequency estimates: d rows of w counters, update/query
+# via the same splitmix64 double hashing as the int Bloom.  Estimates are
+# NEVER below the true count (one-sided error <= eps*N w.p. 1-delta);
+# partials merge by elementwise +.
+
+CM_W = 1 << 12
+CM_D = 4
+
+
+def cm_empty() -> np.ndarray:
+    return np.zeros((CM_D, CM_W), dtype=np.int64)
+
+
+def _cm_positions(keys: np.ndarray) -> np.ndarray:
+    h = hash64_ints(np.asarray(keys))
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+    i = np.arange(CM_D, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(CM_W)).astype(np.int64)
+
+
+def cm_add(cm: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    if not len(keys):
+        return cm
+    pos = _cm_positions(keys)
+    for d in range(CM_D):
+        np.add.at(cm[d], pos[d], 1)
+    return cm
+
+
+def cm_query(cm: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized point estimates: min over the d counter rows."""
+    if not len(keys):
+        return np.zeros(0, dtype=np.int64)
+    pos = _cm_positions(keys)
+    return np.min(
+        np.stack([cm[d][pos[d]] for d in range(CM_D)], axis=0), axis=0
+    )
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+# ---------------------------------------------------------------------------
 # KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016, public
 # algorithm, simplified: equal capacity k per level)
 # ---------------------------------------------------------------------------

@@ -111,3 +111,32 @@ def test_bloom_merge_is_union():
     b = sketches.bloom_add(sketches.bloom_empty(), ["b%d" % i for i in range(500)])
     m = sketches.bloom_merge(a, b)
     assert sketches.bloom_contains(m, ["a1", "b1", "a499", "b499"]).all()
+
+
+def test_count_min_one_sided_error_and_merge():
+    import numpy as np
+
+    from ocr_ray.functions import sketches
+
+    rng = np.random.default_rng(6)
+    # zipf-ish key stream: heavy hitters + long tail
+    keys = np.concatenate(
+        [np.repeat(np.arange(10, dtype=np.int64), 2000),
+         rng.integers(100, 100_000, size=30_000).astype(np.int64)]
+    )
+    rng.shuffle(keys)
+    cm = sketches.cm_empty()
+    sketches.cm_add(cm, keys)
+    import collections
+
+    truth = collections.Counter(keys.tolist())
+    probe = np.array(list(truth)[:500], dtype=np.int64)
+    est = sketches.cm_query(cm, probe)
+    true = np.array([truth[int(k)] for k in probe])
+    assert (est >= true).all()  # never undercounts
+    # error bound: overestimate <= ~2N/W with large margin
+    assert (est - true).max() <= 2 * len(keys) // sketches.CM_W + 50
+    # mergeability: split-stream partials sum to the whole-stream sketch
+    a = sketches.cm_add(sketches.cm_empty(), keys[: len(keys) // 2])
+    b = sketches.cm_add(sketches.cm_empty(), keys[len(keys) // 2:])
+    np.testing.assert_array_equal(sketches.cm_merge(a, b), cm)
