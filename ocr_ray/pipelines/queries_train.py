@@ -1180,6 +1180,60 @@ def q_distinct_tokens_by_lang(sf_dir: str):
     )
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Exact distinct users per tumbling hour — the COUNT(DISTINCT) window
+    every traffic dashboard needs, built scale-first: each batch emits its
+    LOCAL distinct (hour, user) pairs packed into one int64 (np.unique —
+    map-side dedup shrinks the stream before any shuffle), the global
+    distinct runs through the bucketed vectorized aggregate (pair count is
+    data-cardinality — exactly the ~30us/group native-overhead regime
+    BASELINE r4 #4 measured, so Ray's native groupby is the wrong tool),
+    and the final per-hour count is a tiny bounded groupby."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..sources.io import cpu_count
+    from ..stages.groupagg import bucketed_group_agg
+
+    ds = read_table(
+        sf_dir, "events", columns=["ts", "user_id"], min_blocks=cpu_count()
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour_id = us // 3_600_000_000
+        uid = batch.column("user_id").to_numpy()
+        key = np.unique((hour_id << 32) | uid)  # user_id < 2^32 by contract
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    distinct = bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["key"],
+        {"n": ("count", None)},
+    )
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        return pa.table(
+            {
+                "hour": pa.array(
+                    (key >> 32) * 3_600_000_000, pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        distinct.map_batches(to_hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(_Count(alias_name="n_users"))
+    )
+
+
+SQL_WINDOW_DISTINCT_USERS = (
+    "SELECT date_trunc('hour', ts) AS hour,"
+    " count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+)
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -1198,6 +1252,7 @@ TRAIN_QUERIES = {
     "corpus_to_blocks": q_corpus_to_blocks,
     "bm25_search": q_bm25_search,
     "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
+    "window_distinct_users": q_window_distinct_users,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -1215,6 +1270,7 @@ TRAIN_ORACLE_SQL = {
     "events_ffill": SQL_EVENTS_FFILL,
     "corpus_to_blocks": _sql_corpus_to_blocks(),
     "bm25_search": SQL_BM25_SEARCH,
+    "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
 }
 
 _phash_sql = _image_phash_oracle_sql()

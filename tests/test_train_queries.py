@@ -213,6 +213,30 @@ def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
     np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
 
 
+def test_window_distinct_users_matches_pandas(ray_session):
+    from ocr_ray.pipelines.queries_train import q_window_distinct_users
+
+    got = (
+        q_window_distinct_users("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"]
+    )
+    exp = (
+        ev.assign(hour=ev["ts"].dt.floor("h"))
+        .groupby("hour")["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert got["hour"].tolist() == exp["hour"].tolist()
+    assert got["n_users"].tolist() == exp["n_users"].tolist()
+
+
 def test_distinct_tokens_by_lang_within_5pct(ray_session):
     from ocr_ray.pipelines.queries_train import q_distinct_tokens_by_lang
 
