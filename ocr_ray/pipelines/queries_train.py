@@ -1234,6 +1234,88 @@ SQL_WINDOW_DISTINCT_USERS = (
 )
 
 
+#: PQ layout: 8 subspaces of 8 dims, 8 centroids each (codes fit 3 bits;
+#: a 64-float vector compresses to 8 small ints — the billion-scale ANN trick).
+PQ_SUB = 8
+PQ_SUBDIM = 8
+PQ_K = 8
+
+
+def q_pq_encode(sf_dir: str):
+    """Product-quantization encoding of the embedding table — the
+    compression step billion-scale ANN runs so the index fits in RAM
+    (64 float32 dims -> 8 codebook codes here).  Same exactness trick as
+    kmeans_assign: quantize to an int grid (floor(v*1000+0.5)), seed each
+    subspace's codebook from the K lowest vec_ids, assign by int64
+    distance expansion per subspace (8 small matmuls per batch against
+    broadcast codebooks), ties to the lowest code.  Output is the full
+    code table (vec_id, c0..c7) — integer-exact, oracle-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..schema import list_column_matrix
+
+    seed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_K)],
+    ).sort_by("vec_id")
+    cmat = np.floor(
+        list_column_matrix(seed.column("embedding"), dtype="float64") * 1000.0 + 0.5
+    ).astype(np.int64)
+    c_ref = ray.put(cmat)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = np.floor(
+            list_column_matrix(batch.column("embedding"), dtype="float64") * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        cols = {"vec_id": batch.column("vec_id")}
+        for s in range(PQ_SUB):
+            xs = x[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            cs = c[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            d = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2 * (xs @ cs.T)
+                + (cs * cs).sum(axis=1)[None, :]
+            )
+            cols[f"c{s}"] = pa.array(np.argmin(d, axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_pq_encode() -> str:
+    subs = []
+    joins = []
+    outs = []
+    for s in range(PQ_SUB):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM  # 1-based inclusive
+        subs.append(
+            " a{s} AS (SELECT q.vec_id, c.cid,"
+            " list_sum(list_transform(list_zip(q.e[{lo}:{hi}], c.ce[{lo}:{hi}]),"
+            " t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d FROM q, c),"
+            " w{s} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn"
+            " FROM a{s}) WHERE rn = 1)".format(s=s, lo=lo, hi=hi)
+        )
+        joins.append(" JOIN w{s} ON w{s}.vec_id = q.vec_id".format(s=s))
+        outs.append("CAST(w{s}.cid AS BIGINT) AS c{s}".format(s=s))
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding,"
+        " v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS e FROM embeddings),"
+        " c AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < 8),"
+        + ",".join(subs)
+        + " SELECT q.vec_id, "
+        + ", ".join(outs)
+        + " FROM q"
+        + "".join(joins)
+    )
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -1253,6 +1335,7 @@ TRAIN_QUERIES = {
     "bm25_search": q_bm25_search,
     "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
     "window_distinct_users": q_window_distinct_users,
+    "pq_encode": q_pq_encode,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -1271,6 +1354,7 @@ TRAIN_ORACLE_SQL = {
     "corpus_to_blocks": _sql_corpus_to_blocks(),
     "bm25_search": SQL_BM25_SEARCH,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
+    "pq_encode": _sql_pq_encode(),
 }
 
 _phash_sql = _image_phash_oracle_sql()

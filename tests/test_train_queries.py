@@ -213,6 +213,29 @@ def test_events_ffill_matches_pandas_groupby_ffill(ray_session):
     np.testing.assert_allclose(got["filled_value"], exp["filled"], rtol=0, atol=0)
 
 
+def test_pq_encode_matches_brute_force_and_compresses(ray_session):
+    from ocr_ray.pipelines.queries_train import PQ_K, PQ_SUB, PQ_SUBDIM, q_pq_encode
+
+    got = (
+        q_pq_encode("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    x = np.floor(np.stack(emb["embedding"].to_numpy()) * 1000.0 + 0.5).astype(np.int64)
+    c = x[:PQ_K]
+    for s in range(PQ_SUB):
+        xs = x[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        cs = c[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        d = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        assert got[f"c{s}"].tolist() == np.argmin(d, axis=1).tolist()
+    # codes are a real compression: every subspace uses several centroids
+    for s in range(PQ_SUB):
+        assert got[f"c{s}"].nunique() >= 4
+
+
 def test_window_distinct_users_matches_pandas(ray_session):
     from ocr_ray.pipelines.queries_train import q_window_distinct_users
 
