@@ -32,10 +32,11 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 92) -> bytes:
     """Encode an iterable of [h, w, 3] uint8 frames as MJPEG-in-AVI."""
     from . import jpeg
 
-    blobs = [jpeg.encode_jpeg(np.asarray(f), quality=quality) for f in frames]
+    frames = [np.asarray(f) for f in frames]  # materialize once: generators ok
+    blobs = [jpeg.encode_jpeg(f, quality=quality) for f in frames]
     if not blobs:
         raise ValueError("need at least one frame")
-    h, w = np.asarray(frames[0]).shape[:2]
+    h, w = frames[0].shape[:2]
     max_bytes = max(len(b) for b in blobs)
 
     avih = struct.pack(

@@ -172,10 +172,13 @@ def mel_spectrogram(
 
 
 def mel_length(audio_length: int, filter_length: int = 1024, hop_length: int = 256) -> int:
-    """Expected mel frame count (stft.py:122-124 get_mel_length)."""
-    import math
-
-    return int(math.ceil(max(filter_length, audio_length) / hop_length))
+    """Expected mel frame count for :func:`mel_spectrogram`'s centered
+    STFT (reference analog stft.py:122-124 get_mel_length): audio shorter
+    than the window is right-padded to it, then reflect-padding by
+    filter_length//2 on both sides gives 1 + L//hop frames.  (The former
+    ceil(L/hop) was one frame short whenever hop divides L — i.e. every
+    power-of-two length.)"""
+    return 1 + max(filter_length, audio_length) // hop_length
 
 
 # ---------------------------------------------------------------------------

@@ -299,7 +299,12 @@ def _parse_jpeg(payload: bytes):
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
-            pos += 1
+            # jump straight to the next 0xFF instead of stepping one byte
+            # per Python iteration through entropy-coded data
+            nxt = payload.find(b"\xff", pos)
+            if nxt < 0:
+                break
+            pos = nxt
             continue
         marker = payload[pos + 1]
         if marker == 0xFF:  # fill byte: extra 0xFF padding before a marker
@@ -524,6 +529,8 @@ def _decode_scan(payload, frame, geom, coefs, scan, sequential):
                                 r -= 1
                             k += 1
                         if newval:
+                            if k > se:  # malformed run beyond the band
+                                raise ValueError("AC refine index beyond band")
                             blk[k] = newval
                         k += 1
                 if eobrun > 0:

@@ -1323,6 +1323,32 @@ SQL_LEN_QUANTILES = (
 INVERTED_K = 100  # vocabulary slice the index is built for (query parameter)
 
 
+def distinct_doc_token_counts(batch):
+    """Per-batch document-frequency partial: DISTINCT (doc, token) counts
+    via dictionary-encode + one np.unique over packed row*vocab+code ints
+    — no token-level Python.  Shared by q_inverted_index and
+    queries_train.q_bm25_search (the trickiest tokenization kernel in the
+    repo lives in exactly one place).  Returns (table(token, n), n_docs,
+    token_sum) so callers can also aggregate corpus length stats."""
+    import pyarrow.compute as pc
+
+    split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    sizes = np.asarray(split.value_lengths(), dtype=np.int64)
+    enc = split.flatten().dictionary_encode()
+    wcodes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = len(enc.dictionary)
+    row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    pair = np.unique(row * vocab + wcodes)  # distinct (row, token)
+    tok_code, n_docs = np.unique(pair % vocab, return_counts=True)
+    tbl = pa.table(
+        {
+            "token": enc.dictionary.take(pa.array(tok_code)),
+            "n": pa.array(n_docs.astype(np.int64), pa.int64()),
+        }
+    )
+    return tbl, len(sizes), int(sizes.sum())
+
+
 def q_inverted_index(sf_dir: str):
     """Postings-list build for the top-{K}-df tokens — the retrieval-side
     artifact a contamination / attribution pipeline queries (reference
@@ -1342,20 +1368,8 @@ def q_inverted_index(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
-        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
-        enc = split.flatten().dictionary_encode()
-        wcodes = np.asarray(enc.indices, dtype=np.int64)
-        vocab = len(enc.dictionary)
-        row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
-        pair = np.unique(row * vocab + wcodes)  # distinct (row, token)
-        tok_code, n_docs = np.unique(pair % vocab, return_counts=True)
-        return pa.table(
-            {
-                "token": enc.dictionary.take(pa.array(tok_code)),
-                "n": pa.array(n_docs.astype(np.int64), pa.int64()),
-            }
-        )
+        tbl, _, _ = distinct_doc_token_counts(batch)
+        return tbl
 
     top = (
         ds.map_batches(df_partial, batch_format="pyarrow")

@@ -674,12 +674,12 @@ def q_top_tokens_mg(sf_dir: str):
         summ = sketches.mg_merge(
             summ, dict(zip(r["items"], (int(c) for c in r["counts"]))), k=K
         )
-    cand = set(summ)
+    cand_arr = pa.array(sorted(summ))  # built ONCE, not per batch
 
     def count_cand(batch: pa.Table) -> pa.Table:
         tokens = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
         vc = pc.filter(
-            tokens, pc.is_in(tokens, value_set=pa.array(sorted(cand)))
+            tokens, pc.is_in(tokens, value_set=cand_arr)
         ).value_counts()
         return pa.table(
             {

@@ -504,7 +504,8 @@ def _golden_values_sql(fname: str, columns: list[tuple[str, str]]) -> str | None
             return str(int(r[name]))
         if kind == "float":
             return "CAST({!r} AS DOUBLE)".format(float(r[name]))
-        return "'{}'".format(r[name])
+        # SQL-escape single quotes: error strings can contain apostrophes
+        return "'{}'".format(str(r[name]).replace("'", "''"))
 
     vals = ", ".join(
         "(" + ", ".join(lit(r, n, k) for n, k in columns) + ")" for r in rows

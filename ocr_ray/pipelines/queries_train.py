@@ -455,6 +455,26 @@ SQL_LM_SCORE = (
 )
 
 
+def _classifier_weights() -> np.ndarray:
+    """The ONE definition of the hash-derived classifier weights — the
+    numpy and SQL sides (quality_classifier AND corpus_to_blocks) must
+    stay bit-identical for their oracles, so all four use sites derive
+    from here."""
+    from .queries_cc import _EMBED_DIM
+
+    return ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+
+
+def _classifier_terms_sql() -> str:
+    """The matching SQL sum-of-weighted-dims expression."""
+    return " + ".join(
+        "({w}) * sum(CASE WHEN dim = {d} THEN 1 ELSE 0 END)".format(
+            w=repr(float(wj)), d=d
+        )
+        for d, wj in enumerate(_classifier_weights())
+    )
+
+
 def q_quality_classifier(sf_dir: str):
     """fastText-shape quality classifier inference: a linear model over
     the 16-dim hashed-token-count features (queries_cc._embed_hash_batch),
@@ -466,8 +486,7 @@ def q_quality_classifier(sf_dir: str):
     oracle uses."""
     from .queries_cc import _EMBED_DIM, _embed_hash_batch
 
-    # deterministic weights in [-1, 1]: w_j = ((j*2654435761) % 19 - 9) / 9
-    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+    w = _classifier_weights()
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -494,13 +513,7 @@ def q_quality_classifier(sf_dir: str):
 def _sql_quality_classifier() -> str:
     from .queries_cc import _EMBED_DIM
 
-    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
-    terms = " + ".join(
-        "({w}) * sum(CASE WHEN dim = {d} THEN 1 ELSE 0 END)".format(
-            w=repr(float(wj)), d=d
-        )
-        for d, wj in enumerate(w)
-    )
+    terms = _classifier_terms_sql()
     return (
         "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
         " FROM documents),"
@@ -574,6 +587,25 @@ SQL_BLOOM_SEMI_JOIN = (
 )
 
 
+def _quantized_seed_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """The ONE quantization rule (floor(v*1000+0.5) int grid) and centroid
+    seeding (the k lowest vec_ids, pushdown-filtered read) shared by
+    kmeans_assign and pq_encode — this rule is the exactness contract with
+    both SQL oracles, so it must not fork."""
+    import pyarrow.parquet as pq
+
+    from ..schema import list_column_matrix
+
+    seed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    return np.floor(
+        list_column_matrix(seed.column("embedding"), dtype="float64") * 1000.0 + 0.5
+    ).astype(np.int64)
+
+
 #: kmeans_assign: number of clusters (centroids = embeddings of vec_id 0..K-1).
 KMEANS_K = 8
 
@@ -588,21 +620,11 @@ def q_kmeans_assign(sf_dir: str):
     against the broadcast centroid matrix; argmin ties break to the lowest
     cluster id on both sides.  Complements stages/similarity.kmeans_fit
     (float training loop) with an exactness-gated inference pass."""
-    import pyarrow.parquet as pq
     import ray
 
     from ..schema import list_column_matrix
 
-    # centroids: tiny pushdown read of the K seed rows, quantized
-    seed = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", KMEANS_K)],
-    ).sort_by("vec_id")
-    cmat = np.floor(
-        list_column_matrix(seed.column("embedding"), dtype="float64") * 1000.0 + 0.5
-    ).astype(np.int64)
-    c_ref = ray.put(cmat)
+    c_ref = ray.put(_quantized_seed_centroids(sf_dir, KMEANS_K))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -909,7 +931,7 @@ def q_corpus_to_blocks(sf_dir: str):
     from ..stages.joins import bucketed_prefix_sum
     from .queries_cc import _EMBED_DIM, _embed_hash_batch
 
-    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
+    w = _classifier_weights()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def survivors(batch: pa.Table) -> pa.Table:
@@ -976,13 +998,7 @@ def q_corpus_to_blocks(sf_dir: str):
 def _sql_corpus_to_blocks() -> str:
     from .queries_cc import _EMBED_DIM
 
-    w = ((np.arange(_EMBED_DIM, dtype=np.int64) * 2654435761) % 19 - 9) / 9.0
-    terms = " + ".join(
-        "({w}) * sum(CASE WHEN dim = {d} THEN 1 ELSE 0 END)".format(
-            w=repr(float(wj)), d=d
-        )
-        for d, wj in enumerate(w)
-    )
+    terms = _classifier_terms_sql()
     return (
         "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
         " FROM documents),"
@@ -1030,29 +1046,26 @@ def q_bm25_search(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
-        sizes = np.asarray(split.value_lengths(), dtype=np.int64)
-        enc = split.flatten().dictionary_encode()
-        wcodes = np.asarray(enc.indices, dtype=np.int64)
-        vocab = len(enc.dictionary)
-        row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
-        pair = np.unique(row * vocab + wcodes)
-        tok_code, n_docs = np.unique(pair % vocab, return_counts=True)
-        return pa.table(
-            {
-                "token": enc.dictionary.take(pa.array(tok_code)),
-                "n": pa.array(n_docs.astype(np.int64), pa.int64()),
-                "dl_sum": pa.array(
-                    np.r_[sizes.sum(), np.zeros(len(tok_code) - 1, np.int64)]
-                    if len(tok_code)
-                    else np.empty(0, np.int64)
-                ),
-                "nd": pa.array(
-                    np.r_[len(sizes), np.zeros(len(tok_code) - 1, np.int64)]
-                    if len(tok_code)
-                    else np.empty(0, np.int64)
-                ),
-            }
+        from .queries_cc import distinct_doc_token_counts
+
+        tbl, n_rows, tok_sum = distinct_doc_token_counts(batch)
+        k = tbl.num_rows
+        # corpus length stats piggyback on the first row of each partial
+        tbl = tbl.append_column(
+            "dl_sum",
+            pa.array(
+                np.r_[tok_sum, np.zeros(k - 1, np.int64)]
+                if k
+                else np.empty(0, np.int64)
+            ),
+        )
+        return tbl.append_column(
+            "nd",
+            pa.array(
+                np.r_[n_rows, np.zeros(k - 1, np.int64)]
+                if k
+                else np.empty(0, np.int64)
+            ),
         )
 
     stats = (
@@ -1250,20 +1263,11 @@ def q_pq_encode(sf_dir: str):
     distance expansion per subspace (8 small matmuls per batch against
     broadcast codebooks), ties to the lowest code.  Output is the full
     code table (vec_id, c0..c7) — integer-exact, oracle-checked."""
-    import pyarrow.parquet as pq
     import ray
 
     from ..schema import list_column_matrix
 
-    seed = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", PQ_K)],
-    ).sort_by("vec_id")
-    cmat = np.floor(
-        list_column_matrix(seed.column("embedding"), dtype="float64") * 1000.0 + 0.5
-    ).astype(np.int64)
-    c_ref = ray.put(cmat)
+    c_ref = ray.put(_quantized_seed_centroids(sf_dir, PQ_K))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 

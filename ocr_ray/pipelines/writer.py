@@ -58,6 +58,21 @@ def _content_digest(tbl: pa.Table) -> str:
     return hashlib.sha256(sink.getvalue()).hexdigest()[:16]
 
 
+#: Per-task write sequence: distinguishes byte-identical blocks written by
+#: the SAME task (same task id + content digest + row count would collide
+#: and silently overwrite, under-writing rows the manifest counted).  Keyed
+#: by task id so a RETRIED task (fresh process, same id, same deterministic
+#: block order) reproduces the same sequence and overwrites its own debris
+#: instead of duplicating it.
+_TASK_SEQ: dict = {}
+
+
+def _next_seq(task_id: str) -> int:
+    n = _TASK_SEQ.get(task_id, 0)
+    _TASK_SEQ[task_id] = n + 1
+    return n
+
+
 def _key_sum(col) -> int:
     """Order-insensitive, duplicate-sensitive key digest (sum of crc32s
     mod 2^64 — manifest.combine_digests' combine rule)."""
@@ -102,14 +117,15 @@ def write_partitioned(
             ks = _key_sum(part.column(key))
             pdir = os.path.join(output_dir, "partition_id={}".format(int(pid)))
             os.makedirs(pdir, exist_ok=True)
-            # file name = task id + digest over the FULL row bytes: a
-            # retried task (same task id, same content) overwrites its own
-            # file, while two DIFFERENT blocks that happen to share a key
-            # multiset and row count (common for low-cardinality string
-            # keys) land as distinct files instead of silently clobbering
+            # file name = task id + per-task sequence + content digest: a
+            # retried task (same id, same deterministic block order)
+            # overwrites its own files, two DIFFERENT blocks sharing a key
+            # multiset land as distinct files, and two byte-IDENTICAL
+            # blocks from the same task get distinct sequence numbers
+            # instead of silently clobbering one another
             content = _content_digest(part)
-            fname = "part-{}-{}-{}.parquet".format(
-                task_id[:12], content, part.num_rows
+            fname = "part-{}-{}-{}-{}.parquet".format(
+                task_id[:12], _next_seq(task_id), content, part.num_rows
             )
             pq.write_table(part, os.path.join(pdir, fname))
             out_pid.append(int(pid))

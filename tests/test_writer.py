@@ -85,3 +85,31 @@ def test_same_key_multiset_blocks_both_land(ray_session, tmp_path):
     back = writer.read_partitioned(out)
     assert back.num_rows == 8  # manifest count and actual rows agree
     assert sorted(back.column("v").to_pylist()) == list(range(8))
+
+
+def test_byte_identical_blocks_from_one_task_both_land(ray_session, tmp_path):
+    """Regression (ADVICE r4 follow-up): two byte-identical blocks written
+    by the SAME task used to collide on (task_id, digest, rows) and
+    silently overwrite — the per-task sequence number keeps both."""
+    out = str(tmp_path / "o")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7] * 50, pa.int64()),
+            "text": pa.array(["same"] * 50),
+        }
+    )
+    # two byte-identical input blocks; whatever the task placement, the
+    # committed row count must equal what lands on disk
+    ds = ray.data.from_arrow([tbl, tbl])
+    r = writer.write_partitioned(ds, out, key="doc_id", n_partitions=4)
+    assert r["written"] == 100
+    back = writer.read_partitioned(out)
+    assert back.num_rows == 100  # was 50 on the overwrite bug when colocated
+
+
+def test_next_seq_distinguishes_same_task_writes():
+    writer._TASK_SEQ.clear()
+    a = writer._next_seq("t1")
+    b = writer._next_seq("t1")
+    c = writer._next_seq("t2")
+    assert (a, b, c) == (0, 1, 0)
