@@ -712,17 +712,30 @@ def q_zorder_layout(sf_dir: str):
         df["__one"] = np.int64(1)
         return df
 
+    # bucket_size 2^32 over the 2^40 ukey range -> <=256 buckets: enough
+    # parallelism at 32 CPUs, and map_groups emits ~256 output blocks
+    # (4096 buckets measured 42 s of pure per-tiny-block overhead in the
+    # downstream aggregate at sf0.1 — block COUNT, not bytes, was the cost)
     ranked = bucketed_prefix_sum(
         ds.map_batches(add_key, batch_format="pandas"),
         key="__ukey",
         value="__one",
         out_col="__rank",
-        bucket_size=1 << 28,
+        bucket_size=1 << 32,
     )
 
-    def add_file(df: pd.DataFrame) -> pd.DataFrame:
-        df["file_id"] = (df["__rank"].to_numpy() - 1) // ZORDER_FILE_ROWS
-        return df[["file_id", "o_custkey", "o_totalprice"]]
+    def add_file(df: pd.DataFrame) -> pa.Table:
+        # emit ARROW: a pandas block feeding the native aggregate was
+        # measured at 18 s/task vs ~1 s on the same rows as Arrow
+        return pa.table(
+            {
+                "file_id": pa.array(
+                    (df["__rank"].to_numpy() - 1) // ZORDER_FILE_ROWS, pa.int64()
+                ),
+                "o_custkey": pa.array(df["o_custkey"].to_numpy()),
+                "o_totalprice": pa.array(df["o_totalprice"].to_numpy()),
+            }
+        )
 
     from ray.data.aggregate import Count, Max, Min
 

@@ -395,11 +395,23 @@ def bucketed_prefix_sum(
     means bucket_size >= ~10^8, not the default."""
     import numpy as np
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["__bucket"] = (df[key].to_numpy() // bucket_size).astype("int64")
-        return df
+    import pyarrow as pa
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # emit ARROW blocks: the downstream native aggregate was measured
+        # ~18 s/task on the same rows as pandas blocks vs ~1 s as Arrow
+        b = (
+            batch.column(key).to_numpy(zero_copy_only=False) // bucket_size
+        ).astype("int64")
+        return batch.append_column("__bucket", pa.array(b))
+
+    # The bucketed stream feeds TWO consumers (the totals aggregate and the
+    # per-bucket scan); without a checkpoint Ray re-executes the upstream
+    # read + transform for each.  Materializing here is safe at scale by
+    # the scan's own contract: callers project to the slim (key, value)
+    # columns before calling, so what lands in the object store is ints,
+    # not the corpus — and re-reading 100 TB twice is the real cost.
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Sum
 
