@@ -1333,6 +1333,81 @@ def _sql_pq_encode() -> str:
     )
 
 
+def q_fetch_corpus(sf_dir: str):
+    """The reference's search-fetch-parse pipeline (S6,
+    search_engine.py + json_dir.py cache) with the network socket swapped
+    for a local content store: spool the synthetic pages to disk once
+    (the 'web'), FETCH them back through the actor-pool Fetcher (per-url
+    disk cache, bounded retries against the deterministic transient-
+    failure rule, optional token-bucket politeness), then run the real
+    extraction stage on the fetched bytes.  Output (url, extracted,
+    n_attempts, status) is fully closed-form: extraction must return the
+    source text byte-identically and retries hit exactly the doc_id%7==0
+    urls — both mirrorable in SQL."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .. import synth
+    from ..sources import fetch as F
+    from ..stages.extract import extract_batch
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    pages = synth.pages_from_documents(docs)
+    import zlib
+
+    # stable per-sf scratch key (hash() is per-process randomized)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ocr_ray_fetch_{:08x}".format(
+            zlib.crc32(os.path.abspath(sf_dir).encode("utf-8"))
+        ),
+    )
+    store = os.path.join(base, "store")
+    cache = os.path.join(base, "cache")
+    F.spool_store(pages, store)
+
+    import ray.data
+
+    urls = ray.data.from_arrow(pages.select(["url"]))
+    fetched = F.fetch_pages(urls, store, cache, concurrency=4, batch_size=64)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch.column("status"), "ok"))
+        page_like = pa.table(
+            {
+                "url": ok.column("url"),
+                "html": ok.column("html"),
+                "text": pa.array([""] * ok.num_rows, pa.string()),
+                "lang": pa.array([""] * ok.num_rows, pa.string()),
+            }
+        )
+        ex = extract_batch(page_like)
+        return pa.table(
+            {
+                "url": ok.column("url"),
+                "extracted": ex.column("extracted"),
+                "n_attempts": ok.column("n_attempts"),
+                "status": ok.column("status"),
+            }
+        )
+
+    return fetched.map_batches(extract, batch_format="pyarrow")
+
+
+def _sql_fetch_corpus() -> str:
+    from .queries import _URL_SQL
+
+    return (
+        "SELECT " + _URL_SQL + " AS url, text AS extracted,"
+        " CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS n_attempts,"
+        " 'ok' AS status FROM documents"
+    )
+
+
 TRAIN_QUERIES = {
     "training_pack": q_training_pack,
     "weighted_sample": q_weighted_sample,
@@ -1353,6 +1428,7 @@ TRAIN_QUERIES = {
     "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
     "window_distinct_users": q_window_distinct_users,
     "pq_encode": q_pq_encode,
+    "fetch_corpus": q_fetch_corpus,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -1372,6 +1448,7 @@ TRAIN_ORACLE_SQL = {
     "bm25_search": SQL_BM25_SEARCH,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "pq_encode": _sql_pq_encode(),
+    "fetch_corpus": _sql_fetch_corpus(),
 }
 
 _phash_sql = _image_phash_oracle_sql()
