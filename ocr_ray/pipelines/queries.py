@@ -59,13 +59,9 @@ def _extracted(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-# SQL fragment reconstructing synth.page_url(doc_id) (see synth._host):
-_URL_SQL = (
-    "'https://host-' || lpad(CAST(CASE WHEN (doc_id*48271)%100 < 25 THEN 0 "
-    "WHEN (doc_id*48271)%100 < 40 THEN 1 "
-    "ELSE 2 + (doc_id*69621)%48 END AS VARCHAR), 3, '0') "
-    "|| '.example/p/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
-)
+# SQL fragment reconstructing synth.page_url(doc_id) — now defined next to
+# page_url itself so non-cyclic modules can share it
+from ..synth import URL_SQL as _URL_SQL  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

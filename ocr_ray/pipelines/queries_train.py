@@ -1399,12 +1399,43 @@ def q_fetch_corpus(sf_dir: str):
 
 
 def _sql_fetch_corpus() -> str:
-    from .queries import _URL_SQL
+    from ..synth import URL_SQL
 
     return (
-        "SELECT " + _URL_SQL + " AS url, text AS extracted,"
+        "SELECT " + URL_SQL + " AS url, text AS extracted,"
         " CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS n_attempts,"
         " 'ok' AS status FROM documents"
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Frame-stream source: the reference's camera/video streaming
+    (image_io.py:391-461 — a frame generator with frame_index and a
+    subsample stride) recast as a Dataset explode: every video payload
+    (raw VID1 dialect AND real MJPEG-AVI) fans out to ordered per-frame
+    feature rows through the FrameSampler actor pool.  Ordering rides in
+    (media_id, frame_index) columns, so the stream is restartable and
+    order-independent downstream.  Oracle: VALUES literal from
+    tests/golden/video_frames.json (regen via
+    ``python -m tests.regen_golden``)."""
+    import ray.data as _rd
+
+    from ..stages import multimodal
+
+    table = pa.concat_tables(
+        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+    )
+    media = _rd.from_arrow(table)
+    return multimodal.video_frames(media, concurrency=2, batch_size=16)
+
+
+def _video_frames_oracle_sql():
+    from .queries_rel import _golden_values_sql
+
+    return _golden_values_sql(
+        "video_frames.json",
+        [("media_id", "int"), ("frame_index", "int"), ("mean", "float"),
+         ("std", "float"), ("status", "str")],
     )
 
 
@@ -1429,6 +1460,7 @@ TRAIN_QUERIES = {
     "window_distinct_users": q_window_distinct_users,
     "pq_encode": q_pq_encode,
     "fetch_corpus": q_fetch_corpus,
+    "video_frames": q_video_frames,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -1454,3 +1486,6 @@ TRAIN_ORACLE_SQL = {
 _phash_sql = _image_phash_oracle_sql()
 if _phash_sql is not None:
     TRAIN_ORACLE_SQL["image_phash_dedup"] = _phash_sql
+_vf_sql = _video_frames_oracle_sql()
+if _vf_sql is not None:
+    TRAIN_ORACLE_SQL["video_frames"] = _vf_sql

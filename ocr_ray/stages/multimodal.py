@@ -8,8 +8,9 @@ baseline-DCT JPEG 4:4:4 / 4:2:0 with restart markers (ocr_ray/jpeg.py),
 and MJPEG-in-AVI video built on that JPEG codec (ocr_ray/avi.py);
 :func:`decode_real` dispatches on magic bytes and raises
 ``NotImplementedError`` only for genuinely unimplemented variants
-(progressive/arithmetic JPEG, exotic BMP/WAV encodings, non-MJPEG video
-codecs), exactly as a production stage fails fast on a missing codec.  Everything
+(arithmetic JPEG, exotic BMP/WAV encodings, non-MJPEG video codecs —
+progressive JPEG decodes since r4), exactly as a production stage fails
+fast on a missing codec.  Everything
 around the codecs — schema, payload sniffing, actor signature, batch
 sizing, deterministic feature extraction, resize, frame sampling, output
 layout — is likewise real and tested.
@@ -556,4 +557,87 @@ def phash_neardup_pairs(media_ds, *, concurrency=2, batch_size: int = 16):
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame-stream source (round 4): the camera/video streaming analog
+# ---------------------------------------------------------------------------
+#
+# The reference streams camera/video as a generator of frames with a
+# frame_index (utils/image/image_io.py:391-461) and subsamples by stride.
+# Here a video payload column explodes into ordered per-frame rows via an
+# actor-pool stage — the Dataset-native recast of the frame generator:
+# ordering rides in the (media_id, frame_index) columns instead of
+# generator position, so downstream stages stay order-independent.
+
+FRAME_STRIDE = 2
+
+
+class FrameSampler:
+    """Actor-pool stage: video payloads -> ordered per-frame feature rows
+    (every FRAME_STRIDE-th frame, the reference's subsample knob).
+    Non-video rows are passed over silently; undecodable payloads become
+    error rows."""
+
+    def __init__(self, stride: int = FRAME_STRIDE):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            try:
+                video = (
+                    decode_real(payload)
+                    if payload[:4] == b"RIFF"
+                    else decode_media(payload)
+                )
+                for fi in range(0, len(video), self.stride):
+                    frame = np.asarray(video[fi], dtype=np.float64)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_index": fi,
+                            "mean": round(float(frame.mean()), 4),
+                            "std": round(float(frame.std()), 4),
+                            "status": "ok",
+                        }
+                    )
+            except Exception as exc:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_index": -1,
+                        "mean": 0.0,
+                        "std": 0.0,
+                        "status": "error: {}".format(type(exc).__name__),
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.int64()),
+                    ("frame_index", pa.int64()),
+                    ("mean", pa.float64()),
+                    ("std", pa.float64()),
+                    ("status", pa.string()),
+                ]
+            ),
+        )
+
+
+def video_frames(media_ds, *, concurrency=2, batch_size: int = 16):
+    """media table -> ordered per-frame feature rows via the actor pool."""
+    return media_ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

@@ -60,6 +60,16 @@ def page_url(i: int, kind: str = "p") -> str:
     return "https://host-{:03d}.example/{}/{:08d}".format(_host(i), kind, i)
 
 
+
+#: DuckDB fragment reconstructing :func:`page_url`(doc_id) (see _host) —
+#: shared by every oracle that must name synthesized urls in SQL.
+URL_SQL = (
+    "'https://host-' || lpad(CAST(CASE WHEN (doc_id*48271)%100 < 25 THEN 0 "
+    "WHEN (doc_id*48271)%100 < 40 THEN 1 "
+    "ELSE 2 + (doc_id*69621)%48 END AS VARCHAR), 3, '0') "
+    "|| '.example/p/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
 def _chrome_wrap(body_html: str, title: str) -> str:
     """Boilerplate that prepare_tree must strip entirely."""
     nav = "".join("<li><a href=\"/{0}\">{0}</a></li>".format(x) for x in CHROME_NAV)

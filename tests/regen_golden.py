@@ -81,6 +81,21 @@ def compute_phash_pairs():
     return pairs
 
 
+def compute_video_frame_rows():
+    """Deterministic per-frame rows over the video subset of the media
+    table (the video_frames query's VALUES-oracle source)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages import multimodal
+
+    table = pa.concat_tables(
+        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+    )
+    out = multimodal.FrameSampler()(table)
+    keys = ("media_id", "frame_index", "mean", "std", "status")
+    return [{k: r[k] for k in keys} for r in out.to_pylist()]
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for fname, (n, seed) in CONFIGS.items():
@@ -99,4 +114,8 @@ if __name__ == "__main__":
     path = os.path.join(GOLDEN_DIR, "image_phash.json")
     with open(path, "w") as f:
         json.dump(compute_phash_pairs(), f, indent=1, sort_keys=True)
+    print("wrote", path)
+    path = os.path.join(GOLDEN_DIR, "video_frames.json")
+    with open(path, "w") as f:
+        json.dump(compute_video_frame_rows(), f, indent=1, sort_keys=True)
     print("wrote", path)

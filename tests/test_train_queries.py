@@ -414,6 +414,34 @@ def test_phash_neardup_pairs_finds_exactly_planted(ray_session):
     ]
 
 
+def test_frame_sampler_orders_and_strides():
+    from ocr_ray.stages import multimodal as M
+
+    table = M.synth_media(12)
+    out = M.FrameSampler()(table).to_pandas()
+    assert (out["status"] == "ok").all()
+    vids = table.filter(
+        __import__("pyarrow").compute.equal(table.column("kind"), "video")
+    )
+    for mid, nf in zip(
+        vids.column("media_id").to_pylist(), vids.column("n_frames").to_pylist()
+    ):
+        sub = out[out["media_id"] == mid]
+        # every STRIDE-th frame, in order
+        assert sub["frame_index"].tolist() == list(range(0, nf, M.FRAME_STRIDE))
+
+
+def test_frame_sampler_decodes_real_avi():
+    from ocr_ray.stages import multimodal as M
+
+    table = M.synth_media_real(20)
+    out = M.FrameSampler()(table).to_pandas()
+    assert (out["status"] == "ok").all()
+    assert len(out) > 0  # the avi rows produced frames
+    # frame means of uint8 RGB sit inside [0, 255]
+    assert out["mean"].between(0, 255).all()
+
+
 def test_extract_links_finds_all_anchors_in_order():
     from ocr_ray.html_extract import extract_links
     from ocr_ray.synth import LINK_FANOUT, link_page_html
