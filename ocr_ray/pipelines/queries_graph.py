@@ -26,6 +26,8 @@ skipping self-loops, N = 97 — so the oracle rebuilds it in SQL.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -383,11 +385,94 @@ SQL_TRIANGLE_COUNT = (
     " SELECT node, count(*) AS n_tri FROM m GROUP BY node ORDER BY node"
 ).format(n=N_NODES)
 
+#: crawl_frontier: BFS depth bound and seed count.
+BFS_HOPS = 3
+BFS_SEEDS = 5
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Bounded BFS reachability over the synthetic link graph — the crawl
+    scheduler's frontier expansion: from BFS_SEEDS seed pages, discover
+    pages reachable within BFS_HOPS link hops and report each page's
+    minimum hop count.  Per round: the frontier emits its out-links
+    map-side (the closed-form cross-link rule of queries_train.link_graph
+    — extraction itself is that query's job), candidates are
+    anti-joined against the visited set (stages.joins.semi_anti_join —
+    NOT EXISTS, the 'skip already-crawled urls' filter), and the next
+    frontier is the distinct remainder.  Driver holds only per-round
+    Dataset handles, never the frontier rows; at web scale each round is
+    one broadcast-or-shuffle anti join."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import semi_anti_join
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def seed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(batch.column("doc_id"), BFS_SEEDS)
+        ids = pc.filter(batch.column("doc_id"), keep)
+        return pa.table(
+            {"doc_id": ids, "hops": pa.array([0] * len(ids), pa.int64())}
+        )
+
+    levels = [docs.map_batches(seed, batch_format="pyarrow")]
+    frontier = levels[0]
+    for h in range(1, BFS_HOPS + 1):
+
+        def expand(batch: pa.Table, _h=h) -> pa.Table:
+            src = batch.column("doc_id").to_numpy()
+            dst = np.unique(
+                ((7 * src[:, None] + 13 * np.arange(3)[None, :] + 1) % 1000).ravel()
+            )
+            dst = dst[dst < n_docs]  # only existing pages
+            return pa.table(
+                {
+                    "doc_id": pa.array(dst.astype(np.int64)),
+                    "hops": pa.array(np.full(len(dst), _h, dtype=np.int64)),
+                }
+            )
+
+        candidates = frontier.map_batches(expand, batch_format="pyarrow")
+        visited = ray.data.Dataset.union(*levels) if len(levels) > 1 else levels[0]
+        fresh = semi_anti_join(
+            candidates, visited, on="doc_id", anti=True
+        )
+        frontier = distinct_rows(fresh, ["doc_id", "hops"])
+        levels.append(frontier)
+
+    from ray.data.aggregate import Min
+
+    all_rows = levels[0]
+    for lv in levels[1:]:
+        all_rows = all_rows.union(lv)
+    return all_rows.groupby("doc_id").aggregate(Min("hops", alias_name="min_hops"))
+
+
+SQL_CRAWL_FRONTIER = (
+    "WITH RECURSIVE e AS (SELECT doc_id AS src,"
+    " (7 * doc_id + 13 * r.range + 1) % 1000 AS dst FROM documents,"
+    " range(0, 3) r),"
+    " bfs(doc_id, hops) AS ("
+    " SELECT doc_id, 0 FROM documents WHERE doc_id < 5"
+    " UNION ALL SELECT e.dst, bfs.hops + 1 FROM bfs"
+    " JOIN e ON e.src = bfs.doc_id WHERE bfs.hops < 3"
+    " AND e.dst IN (SELECT doc_id FROM documents))"
+    " SELECT doc_id, min(hops) AS min_hops FROM bfs GROUP BY doc_id"
+)
+
+
 GRAPH_QUERIES = {
+    "crawl_frontier": q_crawl_frontier,
     "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
 }
 GRAPH_ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "crawl_frontier": SQL_CRAWL_FRONTIER,
 }

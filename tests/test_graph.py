@@ -117,3 +117,34 @@ def test_triangle_count_distributed_path_matches_small(ray_session, tmp_path, mo
     assert dist["node"].tolist() == small["node"].tolist()
     assert dist["n_tri"].tolist() == small["n_tri"].tolist()
     assert small["n_tri"].sum() > 0
+
+
+def test_crawl_frontier_matches_brute_force_bfs(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries_graph import BFS_HOPS, BFS_SEEDS, q_crawl_frontier
+
+    got = (
+        q_crawl_frontier("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(pd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]))
+    dist = {i: 0 for i in range(BFS_SEEDS)}
+    frontier = list(dist)
+    for h in range(1, BFS_HOPS + 1):
+        nxt = []
+        for s in frontier:
+            for j in range(3):
+                d = (7 * s + 13 * j + 1) % 1000
+                if d < n and d not in dist:
+                    dist[d] = h
+                    nxt.append(d)
+        frontier = nxt
+    exp = pd.DataFrame(
+        sorted(dist.items()), columns=["doc_id", "min_hops"]
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["min_hops"].tolist() == exp["min_hops"].tolist()
