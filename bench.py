@@ -187,6 +187,7 @@ def run_queries(sf_dir: str) -> dict:
         "lineitem_cube",
         "lm_score",
         "training_blocks",
+        "zorder_layout",
     ]
     import ray.data
 

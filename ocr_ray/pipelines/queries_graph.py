@@ -442,7 +442,10 @@ def q_crawl_frontier(sf_dir: str):
         fresh = semi_anti_join(
             candidates, visited, on="doc_id", anti=True
         )
-        frontier = distinct_rows(fresh, ["doc_id", "hops"])
+        # checkpoint each level (the q_pagerank convention): lazy frontiers
+        # embed every earlier level's plan and re-expand it per round —
+        # O(hops^2) redundant crawl work without this
+        frontier = distinct_rows(fresh, ["doc_id", "hops"]).materialize()
         levels.append(frontier)
 
     from ray.data.aggregate import Min
@@ -458,12 +461,12 @@ SQL_CRAWL_FRONTIER = (
     " (7 * doc_id + 13 * r.range + 1) % 1000 AS dst FROM documents,"
     " range(0, 3) r),"
     " bfs(doc_id, hops) AS ("
-    " SELECT doc_id, 0 FROM documents WHERE doc_id < 5"
+    " SELECT doc_id, 0 FROM documents WHERE doc_id < {seeds}"
     " UNION ALL SELECT e.dst, bfs.hops + 1 FROM bfs"
-    " JOIN e ON e.src = bfs.doc_id WHERE bfs.hops < 3"
+    " JOIN e ON e.src = bfs.doc_id WHERE bfs.hops < {hops}"
     " AND e.dst IN (SELECT doc_id FROM documents))"
     " SELECT doc_id, min(hops) AS min_hops FROM bfs GROUP BY doc_id"
-)
+).format(seeds=BFS_SEEDS, hops=BFS_HOPS)
 
 
 GRAPH_QUERIES = {

@@ -652,13 +652,14 @@ def q_kmeans_assign(sf_dir: str):
 SQL_KMEANS_ASSIGN = (
     "WITH q AS (SELECT vec_id, list_transform(embedding,"
     " v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS e FROM embeddings),"
-    " c AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < 8),"
+    " c AS (SELECT vec_id AS cid, e AS ce FROM q"
+    " WHERE vec_id < {k}),"
     " d AS (SELECT q.vec_id, c.cid, list_sum(list_transform(list_zip(q.e, c.ce),"
     " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist FROM q, c)"
     " SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM"
     " (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
     " ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1"
-)
+).format(k=KMEANS_K)
 
 
 #: zorder_layout: rows per output file and morton bits per dimension.
@@ -687,7 +688,8 @@ def q_zorder_layout(sf_dir: str):
     Scale shape: the morton key is map-side bit arithmetic; the global
     rank comes from the distributed prefix-sum scan keyed on the UNIQUE
     (zkey << 20 | o_orderkey) so tie order is deterministic (bucket_size
-    2^28 keeps the sparse-key bucket count driver-small); file stats are
+    2^32 -> <=256 buckets: driver-small AND few enough that map_groups'
+    per-bucket output blocks don't tax the next aggregate); file stats are
     one bounded groupby over #files rows.  No global sort operator — at
     10^12 rows the scan's bucket totals are the only driver state."""
     from ..stages.joins import bucketed_prefix_sum
@@ -1228,7 +1230,11 @@ def q_window_distinct_users(sf_dir: str):
         us = batch.column("ts").cast(pa.int64()).to_numpy()
         hour_id = us // 3_600_000_000
         uid = batch.column("user_id").to_numpy()
-        key = np.unique((hour_id << 32) | uid)  # user_id < 2^32 by contract
+        # packing contract enforced loudly: an out-of-range id would OR
+        # into the hour bits and silently miscount
+        if len(uid) and (uid.min() < 0 or int(uid.max()) >> 32):
+            raise ValueError("user_id outside [0, 2^32) breaks hour packing")
+        key = np.unique((hour_id << 32) | uid)
         return pa.table({"key": pa.array(key, pa.int64())})
 
     distinct = bucketed_group_agg(
@@ -1324,7 +1330,8 @@ def _sql_pq_encode() -> str:
     return (
         "WITH q AS (SELECT vec_id, list_transform(embedding,"
         " v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS e FROM embeddings),"
-        " c AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < 8),"
+        " c AS (SELECT vec_id AS cid, e AS ce FROM q"
+        " WHERE vec_id < {}),".format(PQ_K)
         + ",".join(subs)
         + " SELECT q.vec_id, "
         + ", ".join(outs)
@@ -1359,12 +1366,16 @@ def q_fetch_corpus(sf_dir: str):
     pages = synth.pages_from_documents(docs)
     import zlib
 
-    # stable per-sf scratch key (hash() is per-process randomized)
+    # stable per-sf scratch key (hash() is per-process randomized), plus a
+    # CONTENT version (documents.parquet size + mtime): regenerating the
+    # fixture invalidates the store/cache instead of serving stale bytes
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ver = zlib.crc32(
+        "{}:{}:{}".format(os.path.abspath(sf_dir), st.st_size, int(st.st_mtime)).encode()
+    )
     base = os.path.join(
-        tempfile.gettempdir(),
-        "ocr_ray_fetch_{:08x}".format(
-            zlib.crc32(os.path.abspath(sf_dir).encode("utf-8"))
-        ),
+        tempfile.gettempdir(), "ocr_ray_fetch_{:08x}".format(ver)
     )
     store = os.path.join(base, "store")
     cache = os.path.join(base, "cache")
@@ -1401,11 +1412,17 @@ def q_fetch_corpus(sf_dir: str):
 def _sql_fetch_corpus() -> str:
     from ..synth import URL_SQL
 
+    try:
+        from ..sources.fetch import LocalStoreTransport
+
+        fail_mod = LocalStoreTransport("").fail_mod
+    except Exception:  # pragma: no cover
+        fail_mod = 7
     return (
         "SELECT " + URL_SQL + " AS url, text AS extracted,"
-        " CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS n_attempts,"
+        " CASE WHEN doc_id % {} = 0 THEN 2 ELSE 1 END AS n_attempts,"
         " 'ok' AS status FROM documents"
-    )
+    ).format(fail_mod)
 
 
 def q_video_frames(sf_dir: str):

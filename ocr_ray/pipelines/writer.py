@@ -60,17 +60,25 @@ def _content_digest(tbl: pa.Table) -> str:
 
 #: Per-task write sequence: distinguishes byte-identical blocks written by
 #: the SAME task (same task id + content digest + row count would collide
-#: and silently overwrite, under-writing rows the manifest counted).  Keyed
-#: by task id so a RETRIED task (fresh process, same id, same deterministic
-#: block order) reproduces the same sequence and overwrites its own debris
-#: instead of duplicating it.
+#: and silently overwrite, under-writing rows the manifest counted).  Each
+#: (process, task) execution also draws a random ATTEMPT SALT: a retried
+#: task — whether on a fresh worker or a REUSED one (Ray reuses worker
+#: processes, so a process-global counter alone would keep counting and
+#: leave the first attempt's files behind) — carries a different salt, and
+#: every write first sweeps same-task files bearing a foreign salt from the
+#: partition dir it touches.  Deterministic blocks => a retry touches the
+#: same partitions, so all prior-attempt debris is swept before commit.
 _TASK_SEQ: dict = {}
 
 
-def _next_seq(task_id: str) -> int:
-    n = _TASK_SEQ.get(task_id, 0)
-    _TASK_SEQ[task_id] = n + 1
-    return n
+def _task_salt_seq(task_id: str) -> tuple:
+    import uuid
+
+    salt, n = _TASK_SEQ.get(task_id, (None, 0))
+    if salt is None:
+        salt = uuid.uuid4().hex[:8]
+    _TASK_SEQ[task_id] = (salt, n + 1)
+    return salt, n
 
 
 def _key_sum(col) -> int:
@@ -117,15 +125,20 @@ def write_partitioned(
             ks = _key_sum(part.column(key))
             pdir = os.path.join(output_dir, "partition_id={}".format(int(pid)))
             os.makedirs(pdir, exist_ok=True)
-            # file name = task id + per-task sequence + content digest: a
-            # retried task (same id, same deterministic block order)
-            # overwrites its own files, two DIFFERENT blocks sharing a key
-            # multiset land as distinct files, and two byte-IDENTICAL
-            # blocks from the same task get distinct sequence numbers
-            # instead of silently clobbering one another
+            # file name = task id + attempt salt + per-task sequence +
+            # content digest: distinct blocks AND byte-identical blocks
+            # from the same task land as distinct files; a retried task
+            # carries a different salt, and sweeping same-task foreign-salt
+            # files from every partition dir it touches removes the failed
+            # attempt's debris before this attempt's file lands
+            salt, seq = _task_salt_seq(task_id)
+            prefix = "part-{}-".format(task_id[:12])
+            for old in os.listdir(pdir):
+                if old.startswith(prefix) and "-{}-".format(salt) not in old:
+                    os.remove(os.path.join(pdir, old))
             content = _content_digest(part)
-            fname = "part-{}-{}-{}-{}.parquet".format(
-                task_id[:12], _next_seq(task_id), content, part.num_rows
+            fname = "part-{}-{}-{}-{}-{}.parquet".format(
+                task_id[:12], salt, seq, content, part.num_rows
             )
             pq.write_table(part, os.path.join(pdir, fname))
             out_pid.append(int(pid))
@@ -188,11 +201,28 @@ def _clean_debris(output_dir: str, *, committed=frozenset()) -> int:
 
 def read_partitioned(output_dir: str) -> pa.Table:
     """All committed partitions back as one Arrow table (test-scale
-    helper; at scale, ``ray.data.read_parquet(output_dir)`` streams it)."""
+    helper; at scale, ``ray.data.read_parquet(output_dir)`` streams it).
+
+    Validates each partition's on-disk row count against its manifest
+    entry — any residual write duplication (e.g. a retried task whose
+    debris escaped the salt sweep) raises loudly instead of returning
+    silently duplicated rows."""
     parts = []
-    for pid in sorted(mf.completed_partitions(output_dir)):
+    for pid, entry in sorted(mf.completed_partitions(output_dir).items()):
         pdir = os.path.join(output_dir, "partition_id={}".format(pid))
-        for f in sorted(os.listdir(pdir)):
-            if f.endswith(".parquet"):
-                parts.append(pq.read_table(os.path.join(pdir, f)))
+        ptables = [
+            pq.read_table(os.path.join(pdir, f))
+            for f in sorted(os.listdir(pdir))
+            if f.endswith(".parquet")
+        ]
+        n = sum(t.num_rows for t in ptables)
+        expected = entry.get("n_docs")
+        if expected is not None and n != expected:
+            raise ValueError(
+                "partition {} holds {} rows on disk but its manifest "
+                "committed {} — duplicated or missing write debris".format(
+                    pid, n, expected
+                )
+            )
+        parts.extend(ptables)
     return pa.concat_tables(parts) if parts else pa.table({})

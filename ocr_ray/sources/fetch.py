@@ -47,8 +47,8 @@ def spool_store(pages: "pa.Table", store_dir: str) -> int:
     ):
         path = os.path.join(store_dir, url_key(url) + ".html")
         if not os.path.exists(path):
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
+            tmp = "{}.{}.tmp".format(path, os.getpid())  # per-writer tmp:
+            with open(tmp, "wb") as f:  # concurrent spoolers never share it
                 f.write(html)
             os.replace(tmp, path)
         n += 1
@@ -132,7 +132,7 @@ class Fetcher:
             try:
                 html = self.transport.get(url, attempt)
                 rec = {"html": html, "n_attempts": attempt, "status": "ok"}
-                tmp = cpath + ".tmp"
+                tmp = "{}.{}.tmp".format(cpath, os.getpid())
                 with open(tmp, "w") as f:
                     json.dump(
                         {**rec, "html": html.hex()}, f

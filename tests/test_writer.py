@@ -107,9 +107,29 @@ def test_byte_identical_blocks_from_one_task_both_land(ray_session, tmp_path):
     assert back.num_rows == 100  # was 50 on the overwrite bug when colocated
 
 
-def test_next_seq_distinguishes_same_task_writes():
+def test_task_salt_seq_distinguishes_same_task_writes():
     writer._TASK_SEQ.clear()
-    a = writer._next_seq("t1")
-    b = writer._next_seq("t1")
-    c = writer._next_seq("t2")
+    s1, a = writer._task_salt_seq("t1")
+    s1b, b = writer._task_salt_seq("t1")
+    s2, c = writer._task_salt_seq("t2")
     assert (a, b, c) == (0, 1, 0)
+    assert s1 == s1b  # stable within one task execution
+    assert s1 != s2
+
+
+def test_read_partitioned_raises_on_duplicated_debris(ray_session, tmp_path):
+    out = str(tmp_path / "o")
+    writer.write_partitioned(_docs(40), out, key="doc_id", n_partitions=4)
+    # simulate a retried task's escaped debris: duplicate one data file
+    # under a foreign salt so the sweep would have missed it
+    import shutil
+
+    pdir = os.path.join(out, "partition_id=0")
+    f = [x for x in os.listdir(pdir) if x.endswith(".parquet")][0]
+    parts = f.split("-")
+    parts[2] = "deadbeef"  # foreign attempt salt
+    shutil.copy(os.path.join(pdir, f), os.path.join(pdir, "-".join(parts)))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="debris"):
+        writer.read_partitioned(out)
