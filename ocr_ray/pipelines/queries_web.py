@@ -1,0 +1,609 @@
+"""Web/crawl-lifecycle operators round 4 session 2: host-level stats,
+recrawl SCD-2 history, reciprocal-link detection, SymSpell edit-distance-1
+fuzzy matching, robust median/MAD outlier stats, NTILE window buckets, and
+integer-exact time-decayed engagement.
+
+These extend the CC-curation family (queries_cc) with the crawl-LIFECYCLE
+passes a production web corpus needs: per-host accounting drives politeness
+and domain caps (reference analog: the per-filename prediction map that
+groups work by source, ``models/detection/base_detector.py:171-174``);
+recrawl version history (SCD type 2) is how a crawl store answers
+"what did this url say at time T"; reciprocal links feed spam/authority
+features; deletion-neighborhood fuzzy matching is the standard
+typo-normalization pass (SymSpell) before token-level dedup.
+
+Scale rules observed throughout (same contract as queries_cc):
+
+- partial aggregation inside ``map_batches`` before every groupby
+- shuffles keyed on integers / hash buckets, never raw text payloads
+- per-bucket kernels fully vectorized (lexsort + shift / segment arange);
+  the only Python loops run over batch VOCABULARY (distinct short tokens),
+  never over rows
+- driver state bounded by construction (distinct (lang, n_chars) pairs,
+  a ~vocab-sized deletion index) and broadcast once via ``ray.put``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.io import read_table
+from ..stages.joins import _add_key_bucket, _default_buckets
+from ..synth import EPOCH_US, URL_SQL, link_page_html, wrap_documents_batch
+
+DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# host-level crawl stats (politeness / domain-cap accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host page counts, byte mass, and most-recent crawl time over the
+    synthesized pages table — the accounting pass domain caps and crawl
+    politeness budgets read.  Host id is sliced out of the url with ONE
+    vectorized kernel (the synth url layout is fixed-width); everything
+    after that is a native hash aggregate with map-side combine, so the
+    zipf-skewed host 0 (~25% of pages) costs one combiner cell per block,
+    never a hot reduce task."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pages = docs.map_batches(wrap_documents_batch, batch_format="pyarrow")
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        # url = https://host-XXX.example/... -> digits at codeunits [13, 16)
+        host = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("url"), 13, 16), pa.int64()
+        )
+        n_chars = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        ts_us = pc.cast(batch.column("warc_ts"), pa.int64())
+        return pa.table({"host": host, "n_chars": n_chars, "ts_us": ts_us})
+
+    return (
+        pages.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Sum("n_chars", alias_name="total_chars"),
+            Max("ts_us", alias_name="last_crawl_us"),
+        )
+    )
+
+
+SQL_HOST_STATS = (
+    "SELECT CASE WHEN (doc_id*48271)%100 < 25 THEN 0"
+    " WHEN (doc_id*48271)%100 < 40 THEN 1"
+    " ELSE 2 + (doc_id*69621)%48 END AS host,"
+    " count(*) AS n_pages,"
+    " CAST(sum(length(text)) AS BIGINT) AS total_chars,"
+    " CAST(max({epoch} + doc_id*1000000) AS BIGINT) AS last_crawl_us"
+    " FROM documents GROUP BY 1"
+).format(epoch=EPOCH_US)
+
+
+# ---------------------------------------------------------------------------
+# recrawl version history — SCD type 2 intervals per url
+# ---------------------------------------------------------------------------
+
+#: number of recrawl versions of url d is 1 + (d % SCD_MOD)
+SCD_MOD = 3
+#: open-interval sentinel for the current version (9999-01-01T00:00:00Z us)
+SCD_OPEN_US = 253_370_764_800_000_000
+
+
+def q_pages_scd(sf_dir: str):
+    """Slowly-changing-dimension (type 2) intervals over recrawled pages:
+    every url's crawl versions become (valid_from, valid_to, is_current)
+    rows — the snapshot-history table a crawl store serves "as-of T"
+    queries from.  Versions are synthesized deterministically (url d has
+    1 + d % 3 recrawls, one day apart) so the oracle is a LEAD window.
+
+    Plan: vectorized version explode (np.repeat + segment arange — no
+    per-row Python), ONE url-hash bucket shuffle, then a per-bucket
+    lexsort + shift kernel that closes each version with its successor's
+    timestamp.  The kernel never loops per key; at 10^12 urls the bucket
+    count rides ``_default_buckets`` and each task stays one vectorized
+    call."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_buckets = _default_buckets()
+
+    def versions(batch: pa.Table) -> pa.Table:
+        from ..synth import page_url
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = (d % SCD_MOD) + 1
+        rows_doc = np.repeat(d, nv)
+        off = np.repeat(np.cumsum(nv) - nv, nv)
+        ver = np.arange(rows_doc.size, dtype=np.int64) - off
+        ts = EPOCH_US + rows_doc * 1_000_000 + ver * DAY_US
+        urls = [page_url(int(x)) for x in rows_doc]  # same wrap path as synth
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "version": pa.array(ver, pa.int64()),
+                "valid_from": pa.array(ts, pa.int64()),
+            }
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key="url", n_buckets=n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["valid_from"].to_numpy(), g["url"].to_numpy()))
+        url = g["url"].to_numpy()[order]
+        ver = g["version"].to_numpy()[order]
+        ts = g["valid_from"].to_numpy()[order]
+        n = len(url)
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[:-1] = url[1:] == url[:-1]
+        valid_to = np.full(n, SCD_OPEN_US, dtype=np.int64)
+        if n > 1:
+            valid_to[:-1] = np.where(same_next[:-1], ts[1:], SCD_OPEN_US)
+        return pd.DataFrame(
+            {
+                "url": url,
+                "version": ver,
+                "valid_from": ts,
+                "valid_to": valid_to,
+                "is_current": ~same_next,
+            }
+        )
+
+    return (
+        docs.map_batches(versions, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_PAGES_SCD = (
+    "WITH v AS (SELECT doc_id, CAST(r.range AS BIGINT) AS version"
+    " FROM documents, range(0, {mod}) r WHERE r.range <= doc_id % {mod})"
+    " SELECT {url} AS url, version,"
+    " CAST({epoch} + doc_id*1000000 + version*{day} AS BIGINT) AS valid_from,"
+    " CAST(COALESCE(LEAD({epoch} + doc_id*1000000 + version*{day})"
+    " OVER (PARTITION BY doc_id ORDER BY version), {open}) AS BIGINT) AS valid_to,"
+    " (version = doc_id % {mod}) AS is_current FROM v"
+).format(mod=SCD_MOD, url=URL_SQL, epoch=EPOCH_US, day=DAY_US, open=SCD_OPEN_US)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal (mutual) links — spam/authority feature over the link graph
+# ---------------------------------------------------------------------------
+
+
+def q_reciprocal_links(sf_dir: str):
+    """Mutual-link pairs in the crawl link graph: (a, b) such that a links
+    to b AND b links to a — the classic link-farm / reciprocal-exchange
+    signal.  Edges come from the REAL from-scratch DOM parse of the synth
+    link pages (same honest workload as q_link_graph); detection is one
+    canonical-pair groupby: normalize each edge to (lo, hi, direction) and
+    keep pairs that saw both directions (Min=0 and Max=1).  No join
+    operator, no driver state; edge rows leaving each task are three int64
+    columns."""
+    from ..html_extract import extract_links
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list[int] = []
+        dsts: list[int] = []
+        for d in batch.column("doc_id").to_pylist():
+            for href in extract_links(link_page_html(d)):
+                if href.startswith("/page/"):
+                    srcs.append(d)
+                    dsts.append(int(href[6:]))
+        s = np.asarray(srcs, dtype=np.int64)
+        t = np.asarray(dsts, dtype=np.int64)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, t)),
+                "hi": pa.array(np.maximum(s, t)),
+                "dirn": pa.array((s < t).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Min("dirn", alias_name="dmin"), Max("dirn", alias_name="dmax"))
+    )
+
+    def mutual(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("dmin"), 0), pc.equal(batch.column("dmax"), 1)
+        )
+        out = batch.filter(m)
+        return out.select(["lo", "hi"])
+
+    return agg.map_batches(mutual, batch_format="pyarrow")
+
+
+SQL_RECIPROCAL_LINKS = (
+    "WITH e AS (SELECT doc_id AS src, (7*doc_id + 13*r.range + 1) % 1000 AS dst"
+    " FROM documents, range(0, 3) r)"
+    " SELECT e1.src AS lo, e1.dst AS hi FROM e e1"
+    " JOIN e e2 ON e1.dst = e2.src AND e2.dst = e1.src WHERE e1.src < e1.dst"
+)
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood fuzzy match (edit distance <= 1)
+# ---------------------------------------------------------------------------
+
+
+def _dist_le_1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check (verify step; vocabulary-level only)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a + one inserted char: longest common prefix + suffix covers a
+    p = 0
+    while p < la and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < la - p and a[la - 1 - s] == b[lb - 1 - s]:
+        s += 1
+    return p + s >= la
+
+
+def _del1(w: str) -> list:
+    return [w[:i] + w[i + 1 :] for i in range(len(w))]
+
+
+def q_edit1_matches(sf_dir: str):
+    """Typo normalization via the SymSpell deletion-neighborhood index:
+    each document derives a deterministic typo (its first token with the
+    char at position ``doc_id % len`` deleted) and is matched against every
+    corpus vocabulary word within edit distance <= 1.
+
+    This is the standard scalable fuzzy-match plan: edit-distance-1
+    candidates are exactly the pairs whose deletion-1 neighborhoods
+    intersect, so the vocabulary's (variant -> words) index is built ONCE
+    and broadcast (``ray.put``), and each batch probes it by hash lookup —
+    no all-pairs distance matrix, no shuffle of string payloads.  At a
+    10^8-word web vocabulary the index itself would be hash-partitioned by
+    variant and the probe becomes a semi-join on variant hash; here it is
+    the broadcast small side (documented bound: vocab x avg_len entries).
+    All per-batch loops run over the batch's DISTINCT (token, pos) pairs
+    (dictionary-encode first), never over rows; candidate verification is
+    an exact distance check at the vocabulary level."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        enc = split.flatten().dictionary_encode()
+        return pa.table({"w": enc.dictionary})
+
+    vocab_df = (
+        docs.map_batches(toks, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # distinct corpus tokens only — vocabulary-bounded
+    )
+    vocab = sorted(w for w in vocab_df["w"].tolist() if w)
+    index: dict = {}
+    for wi, w in enumerate(vocab):
+        for v in set(_del1(w) + [w]):
+            index.setdefault(v, []).append(wi)
+    shared = ray.put((vocab, index))
+
+    def match(batch: pa.Table) -> pa.Table:
+        voc, idx = ray.get(shared)
+        split = pc.split_pattern(batch.column("text"), " ", max_splits=1)
+        tok_arr = pc.list_element(split.combine_chunks(), 0)
+        enc = tok_arr.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        toks_d = enc.dictionary.to_pylist()
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(toks_d[c]) for c in codes], dtype=np.int64)
+        pos = d % np.maximum(lens, 1)
+        # distinct (token-code, deletion-pos) pairs — the batch vocabulary
+        packed = codes * 64 + pos
+        upacked, inv = np.unique(packed, return_inverse=True)
+        pair_words: list = []  # per distinct pair: sorted matched word ids
+        for pk in upacked:
+            c, p = int(pk) // 64, int(pk) % 64
+            tok = toks_d[c]
+            typo = tok[:p] + tok[p + 1 :] if tok else ""
+            cands: set = set()
+            for v in set(_del1(typo) + [typo]):
+                cands.update(idx.get(v, ()))
+            hits = sorted(wi for wi in cands if _dist_le_1(typo, voc[wi]))
+            pair_words.append((typo, np.asarray(hits, dtype=np.int64)))
+        counts = np.array([len(h) for _, h in pair_words], dtype=np.int64)
+        all_hits = (
+            np.concatenate([h for _, h in pair_words])
+            if pair_words
+            else np.zeros(0, np.int64)
+        )
+        starts = np.cumsum(counts) - counts  # per-pair offset into all_hits
+        row_counts = counts[inv]
+        out_doc = np.repeat(d, row_counts)
+        out_typo = np.repeat(
+            np.array([t for t, _ in pair_words], dtype=object)[inv], row_counts
+        )
+        # row-level explode without a Python loop: per-row arange + offset
+        total = int(row_counts.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(row_counts) - row_counts, row_counts
+        )
+        flat_hits = all_hits[np.repeat(starts[inv], row_counts) + intra]
+        voc_arr = np.array(voc, dtype=object)
+        out_match = voc_arr[flat_hits]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "typo": pa.array(list(out_typo), pa.string()),
+                "matched": pa.array(out_match, pa.string()),
+            }
+        )
+
+    return docs.map_batches(match, batch_format="pyarrow")
+
+
+SQL_EDIT1_MATCHES = (
+    "WITH vocab AS (SELECT DISTINCT w FROM"
+    " (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),"
+    " t AS (SELECT doc_id, split_part(text, ' ', 1) AS tok FROM documents"
+    " WHERE length(split_part(text, ' ', 1)) > 0),"
+    " ty AS (SELECT doc_id,"
+    " substr(tok, 1, CAST(doc_id % length(tok) AS INT))"
+    " || substr(tok, CAST(doc_id % length(tok) AS INT) + 2) AS typo FROM t)"
+    " SELECT ty.doc_id, ty.typo, v.w AS matched FROM ty"
+    " JOIN vocab v ON levenshtein(ty.typo, v.w) <= 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# NTILE window buckets (exact, two well-shaped shuffles)
+# ---------------------------------------------------------------------------
+
+NTILE_N = 4
+
+
+def q_lang_ntile(sf_dir: str):
+    """Exact NTILE(4) per language ordered by (n_chars, doc_id) — the
+    bucketing step behind per-language quality tiers.
+
+    Scale shape: the doc_len_rank histogram gives each (lang, n_chars)
+    pair its global base rank (driver state = distinct pairs only,
+    broadcast once); within-pair ordinal ranks come from ONE hash-bucket
+    shuffle keyed on the packed (lang, n_chars) pair with a lexsort +
+    segment-arange kernel per bucket.  NTILE's uneven-bucket rule
+    (first c%N tiles get the extra row) is then a closed-form vectorized
+    expression over (rank, total) — no per-group Python anywhere."""
+    hist_src = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "n_chars"]).size().rename("cnt")
+        return pa.Table.from_pandas(df.reset_index(), preserve_index=False)
+
+    hist = (
+        hist_src.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    base: dict = {}
+    totals: dict = {}
+    for lang, g in hist.sort_values(["lang", "n_chars"]).groupby("lang", sort=False):
+        cnts = g["cnt"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnts)])
+        for v, b in zip(g["n_chars"].to_numpy(np.int64), cum[:-1]):
+            base[(lang, int(v))] = int(b)
+        totals[lang] = int(cum[-1])
+    shared = ray.put((base, totals))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    n_buckets = _default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pair"] = df["lang"].astype(str) + "\x1f" + df["n_chars"].astype(str)
+        return _add_key_bucket(df, key="__pair", n_buckets=n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bse, tot = ray.get(shared)
+        order = np.lexsort(
+            (g["doc_id"].to_numpy(), g["n_chars"].to_numpy(), g["lang"].to_numpy())
+        )
+        lang = g["lang"].to_numpy()[order]
+        nch = g["n_chars"].to_numpy()[order].astype(np.int64)
+        did = g["doc_id"].to_numpy()[order].astype(np.int64)
+        n = len(did)
+        # within-(lang, n_chars) ordinal rank: segment arange
+        new_seg = np.ones(n, dtype=bool)
+        if n > 1:
+            new_seg[1:] = (lang[1:] != lang[:-1]) | (nch[1:] != nch[:-1])
+        seg_starts = np.flatnonzero(new_seg)
+        seg_floor = np.repeat(seg_starts, np.diff(np.append(seg_starts, n)))
+        peer_rank = np.arange(n, dtype=np.int64) - seg_floor
+        base_r = np.array(
+            [bse[(lg, int(v))] for lg, v in zip(lang[new_seg], nch[new_seg])],
+            dtype=np.int64,
+        )
+        rank = peer_rank + np.repeat(base_r, np.diff(np.append(seg_starts, n)))
+        total = np.array([tot[lg] for lg in lang], dtype=np.int64)
+        q8, rem = total // NTILE_N, total % NTILE_N
+        boundary = (q8 + 1) * rem
+        tile = np.where(
+            rank < boundary,
+            rank // np.maximum(q8 + 1, 1),
+            rem + (rank - boundary) // np.maximum(q8, 1),
+        ) + 1
+        return pd.DataFrame({"doc_id": did, "lang": lang, "tile": tile})
+
+    return (
+        docs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_LANG_NTILE = (
+    "SELECT doc_id, lang, CAST(NTILE({n}) OVER"
+    " (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS tile"
+    " FROM documents"
+).format(n=NTILE_N)
+
+
+# ---------------------------------------------------------------------------
+# robust per-language outlier stats (exact median + MAD via value histogram)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+def q_robust_outliers(sf_dir: str):
+    """Per-language robust length statistics: exact interpolated median,
+    exact MAD (median absolute deviation), and the count of documents
+    beyond ``MAD_K`` MADs — the outlier-trim thresholds quality filters use
+    when the mean/stddev pair is skew-poisoned (web corpora always are).
+
+    Same scale contract as len_quantiles: ONE (lang, n_chars) histogram
+    groupby, then all medians walk the DISTINCT-value histogram on the
+    driver (state bounded by #langs x #distinct lengths, never row count).
+    Every arithmetic step is exact in binary (medians of ints and halves),
+    so the oracle needs no rounding tolerance."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "n_chars"]).size().rename("cnt")
+        return pa.Table.from_pandas(df.reset_index(), preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    def wmedian(vals: np.ndarray, cnts: np.ndarray) -> float:
+        """Interpolated median of a weighted sorted histogram (DuckDB
+        ``median``/quantile_cont semantics: average the two central values
+        when the total count is even)."""
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        if total % 2 == 1:
+            k = (total + 1) // 2  # 1-based central position
+            return float(vals[np.searchsorted(cum, k)])
+        lo = float(vals[np.searchsorted(cum, total // 2)])
+        hi = float(vals[np.searchsorted(cum, total // 2 + 1)])
+        return (lo + hi) / 2.0
+
+    rows = []
+    for lang, g in hist.sort_values(["lang", "n_chars"]).groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy(np.int64).astype(np.float64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        med = wmedian(vals, cnts)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        mad = wmedian(dev[order], cnts[order])
+        n_out = int(cnts[dev > MAD_K * mad].sum())
+        rows.append({"lang": lang, "med": med, "mad": mad, "n_outliers": n_out})
+    return pd.DataFrame(rows)
+
+
+SQL_ROBUST_OUTLIERS = (
+    "WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),"
+    " s AS (SELECT d.lang, median(abs(d.n_chars - m.med)) AS mad"
+    " FROM documents d JOIN m USING (lang) GROUP BY d.lang)"
+    " SELECT m.lang, m.med, s.mad,"
+    " CAST(count(*) FILTER (WHERE abs(d.n_chars - m.med) > {k} * s.mad)"
+    " AS BIGINT) AS n_outliers"
+    " FROM documents d JOIN m USING (lang) JOIN s ON s.lang = m.lang"
+    " GROUP BY m.lang, m.med, s.mad"
+).format(k=MAD_K)
+
+
+# ---------------------------------------------------------------------------
+# integer-exact time-decayed engagement (mergeable decay aggregate)
+# ---------------------------------------------------------------------------
+
+#: decay reference instant: 2024-02-01T00:00:00Z (after every event ts)
+DECAY_T_US = 1_706_745_600_000_000
+
+
+def q_decayed_value(sf_dir: str):
+    """Per-user time-decayed engagement: each event's value halves for
+    every full day of age at the reference instant, summed per user — the
+    recency weighting feature stores compute at serve time.
+
+    Exactness trick (the kmeans/zscore int-exact pattern): quantize each
+    event to integer 1e-4 units FIRST (one deterministic double multiply +
+    half-away round on both sides), then decay by RIGHT SHIFT (units //
+    2^age_days is exact integer math) and sum int64s — no float summation
+    order anywhere, so the oracle needs no rounding tolerance.  The decay
+    is mergeable map-side: partial per (user, batch) sums combine
+    natively."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        units = np.floor(v * 10000.0 + 0.5).astype(np.int64)  # v >= 0 half-away
+        age = np.minimum((DECAY_T_US - ts_us) // DAY_US, 62).astype(np.int64)
+        dec = units >> age
+        uu, inv = np.unique(uid, return_inverse=True)
+        sums_exact = np.zeros(len(uu), dtype=np.int64)  # int64 scatter-add: exact
+        np.add.at(sums_exact, inv, dec)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "decayed_units": pa.array(sums_exact, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("decayed_units", alias_name="decayed_units"))
+    )
+
+
+SQL_DECAYED_VALUE = (
+    "SELECT user_id, CAST(sum("
+    " CAST(ROUND(value * 10000, 0) AS BIGINT)"
+    " // CAST(POW(2, ({t} - epoch_us(ts)) // {day}) AS BIGINT)"
+    ") AS BIGINT) AS decayed_units FROM events GROUP BY user_id"
+).format(t=DECAY_T_US, day=DAY_US)
+
+
+WEB_QUERIES = {
+    "host_stats": q_host_stats,
+    "pages_scd": q_pages_scd,
+    "reciprocal_links": q_reciprocal_links,
+    "edit1_matches": q_edit1_matches,
+    "lang_ntile": q_lang_ntile,
+    "robust_outliers": q_robust_outliers,
+    "decayed_value": q_decayed_value,
+}
+
+WEB_ORACLE_SQL = {
+    "host_stats": SQL_HOST_STATS,
+    "pages_scd": SQL_PAGES_SCD,
+    "reciprocal_links": SQL_RECIPROCAL_LINKS,
+    "edit1_matches": SQL_EDIT1_MATCHES,
+    "lang_ntile": SQL_LANG_NTILE,
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "decayed_value": SQL_DECAYED_VALUE,
+}

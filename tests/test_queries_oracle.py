@@ -37,6 +37,13 @@ PICKS = [
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
+    "host_stats",
+    "pages_scd",
+    "reciprocal_links",
+    "edit1_matches",
+    "lang_ntile",
+    "robust_outliers",
+    "decayed_value",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Kernel-level gates for the web/crawl-lifecycle family (queries_web):
+the exact edit-distance<=1 verifier, the deletion-neighborhood candidate
+property, the NTILE uneven-bucket formula, weighted-median semantics, and
+SCD-2 interval invariants.  The oracle equality gate for the full queries
+lives in test_queries_oracle.py (PICKS) and tools/check_queries.py.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_ray.pipelines.queries_web import (
+    NTILE_N,
+    SCD_OPEN_US,
+    _del1,
+    _dist_le_1,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+            prev, dp[j] = dp[j], cur
+    return dp[lb]
+
+
+WORDS = ["sort", "sore", "sorts", "ort", "sord", "tors", "", "a", "ab", "abc",
+         "acb", "merge", "marge", "mergee", "mrege", "window", "widow"]
+
+
+def test_dist_le_1_matches_full_levenshtein():
+    for a in WORDS:
+        for b in WORDS:
+            assert _dist_le_1(a, b) == (_lev(a, b) <= 1), (a, b)
+
+
+def test_del1_neighborhood_is_complete_for_distance_1():
+    # SymSpell candidate rule: lev(a,b)<=1 implies the del-1 neighborhoods
+    # (including self) intersect — so index probing never misses a match
+    for a in WORDS:
+        for b in WORDS:
+            if _lev(a, b) <= 1:
+                na = set(_del1(a) + [a])
+                nb = set(_del1(b) + [b])
+                assert na & nb, (a, b)
+
+
+def _ntile_formula(rank: np.ndarray, total: np.ndarray) -> np.ndarray:
+    q8, rem = total // NTILE_N, total % NTILE_N
+    boundary = (q8 + 1) * rem
+    return np.where(
+        rank < boundary,
+        rank // np.maximum(q8 + 1, 1),
+        rem + (rank - boundary) // np.maximum(q8, 1),
+    ) + 1
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9, 100, 101, 102, 103])
+def test_ntile_formula_matches_sql_semantics(n):
+    # NTILE(k): first (n % k) tiles get ceil(n/k) rows, the rest floor(n/k)
+    ranks = np.arange(n, dtype=np.int64)
+    tiles = _ntile_formula(ranks, np.full(n, n, dtype=np.int64))
+    sizes = pd.Series(tiles).value_counts().sort_index()
+    q8, rem = divmod(n, NTILE_N)
+    expect = [q8 + 1] * rem + [q8] * (NTILE_N - rem)
+    expect = [s for s in expect if s > 0]
+    assert sizes.tolist() == expect
+    # tiles are monotone in rank
+    assert (np.diff(tiles) >= 0).all()
+
+
+def test_pages_scd_interval_invariants(ray_session):
+    from ocr_ray.pipelines.queries_web import q_pages_scd
+
+    df = q_pages_scd("/root/testdata/sf0.001").to_pandas()
+    # per url: versions contiguous from 0, exactly one open/current row,
+    # intervals chain exactly (valid_to of v == valid_from of v+1)
+    for url, g in df.groupby("url"):
+        g = g.sort_values("version")
+        assert g["version"].tolist() == list(range(len(g)))
+        assert int(g["is_current"].sum()) == 1
+        assert bool(g["is_current"].iloc[-1])
+        assert g["valid_to"].iloc[-1] == SCD_OPEN_US
+        chain = g["valid_to"].to_numpy()[:-1] == g["valid_from"].to_numpy()[1:]
+        assert chain.all()
+
+
+def test_decayed_value_is_integer_exact_vs_recompute(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_web import DAY_US, DECAY_T_US, q_decayed_value
+
+    got = (
+        q_decayed_value("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("user_id")["decayed_units"]
+        .sort_index()
+    )
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+    units = np.floor(t.column("value").to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    age = (DECAY_T_US - ts) // DAY_US
+    dec = units >> np.minimum(age, 62)
+    expect = (
+        pd.DataFrame({"u": t.column("user_id").to_numpy(), "d": dec})
+        .groupby("u")["d"]
+        .sum()
+        .sort_index()
+    )
+    assert (got.to_numpy() == expect.to_numpy()).all()
