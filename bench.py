@@ -188,6 +188,14 @@ def run_queries(sf_dir: str) -> dict:
         "lm_score",
         "training_blocks",
         "zorder_layout",
+        # round-4 web/crawl-lifecycle family (session 2)
+        "host_stats",
+        "pages_scd",
+        "edit1_matches",
+        "lang_ntile",
+        "decayed_value",
+        "table_rows",
+        "pages_asof",
     ]
     import ray.data
 

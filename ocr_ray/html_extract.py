@@ -176,6 +176,26 @@ def extract_links(html: str) -> list:
     return out
 
 
+def extract_anchors(html: str) -> list:
+    """(href, anchor_text) pairs in document order — the anchor-text
+    retrieval signal (search engines index target pages under the words
+    of inbound anchors)."""
+    out = []
+    for a in parse_html(html).find_all(("a",)):
+        href = a.attrs.get("href")
+        if href:
+            out.append((href, a.get_text()))
+    return out
+
+
+def extract_tables(html: str) -> list:
+    """Structured rows of every <table> on the page (list of list-of-dict,
+    one inner list per table, constant columns dropped) — the
+    relational-extraction surface over _parse_table."""
+    root = parse_html(html)
+    return [_parse_table(t) for t in root.find_all(("table",))]
+
+
 def _is_link_item(node: Node) -> bool:
     """<li> wrapping only a link (html_parser.py:174-175)."""
     if node.tag != "li":

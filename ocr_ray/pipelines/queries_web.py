@@ -312,6 +312,8 @@ def q_edit1_matches(sf_dir: str):
         toks_d = enc.dictionary.to_pylist()
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.array([len(toks_d[c]) for c in codes], dtype=np.int64)
+        nonempty = lens > 0  # SQL side: WHERE length(tok) > 0
+        d, codes, lens = d[nonempty], codes[nonempty], lens[nonempty]
         pos = d % np.maximum(lens, 1)
         # distinct (token-code, deletion-pos) pairs — the batch vocabulary
         packed = codes * 64 + pos
@@ -588,6 +590,149 @@ SQL_DECAYED_VALUE = (
 ).format(t=DECAY_T_US, day=DAY_US)
 
 
+# ---------------------------------------------------------------------------
+# structured table extraction (HTML table -> relational rows)
+# ---------------------------------------------------------------------------
+
+
+def q_table_rows(sf_dir: str):
+    """STRUCTURED extraction: every data table on a page becomes relational
+    rows — the step that turns web tables into training-data records
+    (reference analog: the table paragraph type,
+    ``utils/text/parsers/html_parser.py:182-207``).  Pages are the synth
+    table fixture (deterministic cells, one constant column); the REAL
+    from-scratch DOM parser does the work per page, including the
+    constant-column drop the oracle asserts by omission.  Output rows are
+    (doc_id, row_idx, name, val) with val re-typed to int64 — text payloads
+    never shuffle (the query ends map-side)."""
+    from ..html_extract import extract_tables
+    from ..synth import table_page_html
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        out_name: list[str] = []
+        out_val: list[int] = []
+        for d in batch.column("doc_id").to_pylist():
+            for tbl in extract_tables(table_page_html(d)):
+                for k, row in enumerate(tbl):
+                    assert "fixed" not in row  # constant column must drop
+                    out_doc.append(d)
+                    out_idx.append(k)
+                    out_name.append(row["name"])
+                    out_val.append(int(row["val"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "row_idx": pa.array(out_idx, pa.int64()),
+                "name": pa.array(out_name, pa.string()),
+                "val": pa.array(out_val, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+SQL_TABLE_ROWS = (
+    "SELECT doc_id, CAST(r.range AS BIGINT) AS row_idx,"
+    " 'row' || CAST(r.range AS VARCHAR) AS name,"
+    " (31*doc_id + 7*r.range) % 100 AS val"
+    " FROM documents, range(0, 4) r"
+)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text stats (retrieval signal per link target)
+# ---------------------------------------------------------------------------
+
+
+def q_anchor_stats(sf_dir: str):
+    """Per-target anchor-text accounting over the crawl link graph: inbound
+    link count plus total anchor characters — the signal web search indexes
+    target pages under (anchor text describes the TARGET, not the source).
+    Same honest workload as q_link_graph (real DOM parse per page via
+    extract_anchors); integer rows out, one native aggregate."""
+    from ..html_extract import extract_anchors
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        dsts: list[int] = []
+        chars: list[int] = []
+        for d in batch.column("doc_id").to_pylist():
+            for href, text in extract_anchors(link_page_html(d)):
+                if href.startswith("/page/"):
+                    dsts.append(int(href[6:]))
+                    chars.append(len(text))
+        return pa.table(
+            {
+                "dst": pa.array(dsts, pa.int64()),
+                "chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(anchors, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(
+            Count(alias_name="n_in"), Sum("chars", alias_name="anchor_chars")
+        )
+    )
+
+
+SQL_ANCHOR_STATS = (
+    "WITH e AS (SELECT (7*doc_id + 13*r.range + 1) % 1000 AS dst"
+    " FROM documents, range(0, 3) r)"
+    " SELECT dst, count(*) AS n_in,"
+    " CAST(sum(8 + length(CAST(dst AS VARCHAR))) AS BIGINT) AS anchor_chars"
+    " FROM e GROUP BY dst"
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of snapshot read over the SCD-2 history
+# ---------------------------------------------------------------------------
+
+#: snapshot instant for q_pages_asof: EPOCH + 2.5 days
+ASOF_T_US = EPOCH_US + 2 * DAY_US + DAY_US // 2
+
+
+def q_pages_asof(sf_dir: str):
+    """Time-travel read: the version of every url that was live at instant
+    T — the serve-side query an SCD-2 crawl store exists to answer.
+    Composes the full q_pages_scd pipeline (explode, bucket shuffle,
+    interval-close kernel) then filters ``valid_from <= T < valid_to``
+    MAP-SIDE — at any corpus size the snapshot costs one predicate per
+    row, no extra shuffle."""
+    scd = q_pages_scd(sf_dir)
+
+    def live_at(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less_equal(batch.column("valid_from"), ASOF_T_US),
+            pc.greater(batch.column("valid_to"), ASOF_T_US),
+        )
+        return batch.filter(m).select(["url", "version", "valid_from"])
+
+    return scd.map_batches(live_at, batch_format="pyarrow")
+
+
+SQL_PAGES_ASOF = (
+    "WITH v AS (SELECT doc_id, CAST(r.range AS BIGINT) AS version"
+    " FROM documents, range(0, {mod}) r WHERE r.range <= doc_id % {mod}),"
+    " s AS (SELECT doc_id, version,"
+    " CAST({epoch} + doc_id*1000000 + version*{day} AS BIGINT) AS valid_from,"
+    " CAST(COALESCE(LEAD({epoch} + doc_id*1000000 + version*{day})"
+    " OVER (PARTITION BY doc_id ORDER BY version), {open}) AS BIGINT) AS valid_to"
+    " FROM v)"
+    " SELECT {url} AS url, version, valid_from FROM s"
+    " WHERE valid_from <= {t} AND valid_to > {t}"
+).format(
+    mod=SCD_MOD, url=URL_SQL, epoch=EPOCH_US, day=DAY_US, open=SCD_OPEN_US, t=ASOF_T_US
+)
+
+
 WEB_QUERIES = {
     "host_stats": q_host_stats,
     "pages_scd": q_pages_scd,
@@ -596,6 +741,9 @@ WEB_QUERIES = {
     "lang_ntile": q_lang_ntile,
     "robust_outliers": q_robust_outliers,
     "decayed_value": q_decayed_value,
+    "table_rows": q_table_rows,
+    "anchor_stats": q_anchor_stats,
+    "pages_asof": q_pages_asof,
 }
 
 WEB_ORACLE_SQL = {
@@ -606,4 +754,7 @@ WEB_ORACLE_SQL = {
     "lang_ntile": SQL_LANG_NTILE,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "decayed_value": SQL_DECAYED_VALUE,
+    "table_rows": SQL_TABLE_ROWS,
+    "anchor_stats": SQL_ANCHOR_STATS,
+    "pages_asof": SQL_PAGES_ASOF,
 }

@@ -120,6 +120,30 @@ def link_page_html(doc_id: int) -> str:
     return _chrome_wrap(body, "links {}".format(doc_id))
 
 
+#: table_page_html cell rule: row k of doc d carries val (31d + 7k) % 100
+TABLE_ROWS = 4
+
+
+def table_page_html(doc_id: int) -> str:
+    """Chrome-wrapped page whose body is a data table with deterministic
+    cells — the fixture for STRUCTURED table extraction (q_table_rows).
+    The third column is constant on purpose: the extractor's
+    constant-column drop (reference html_parser.py:182-207) must remove it,
+    and the oracle asserts it stays gone."""
+    rows = "".join(
+        "<tr><td>row{0}</td><td>{1}</td><td>const</td></tr>".format(
+            k, (31 * doc_id + 7 * k) % 100
+        )
+        for k in range(TABLE_ROWS)
+    )
+    body = (
+        "<table><thead><tr><th>name</th><th>val</th><th>fixed</th></tr></thead>"
+        "<tbody>{}</tbody></table>".format(rows)
+        + "<p>table page {} trailer</p>".format(doc_id)
+    )
+    return _chrome_wrap(body, "table {}".format(doc_id))
+
+
 def wrap_documents_batch(batch: pa.Table, *, offset: int = 0) -> pa.Table:
     """One documents batch -> pages batch (PAGES schema), keyed by doc_id.
 

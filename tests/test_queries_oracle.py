@@ -44,6 +44,9 @@ PICKS = [
     "lang_ntile",
     "robust_outliers",
     "decayed_value",
+    "table_rows",
+    "anchor_stats",
+    "pages_asof",
 ]
 
 

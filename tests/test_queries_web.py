@@ -91,6 +91,40 @@ def test_pages_scd_interval_invariants(ray_session):
         assert chain.all()
 
 
+def test_extract_tables_drops_constant_column_and_types():
+    from ocr_ray.html_extract import extract_tables
+    from ocr_ray.synth import TABLE_ROWS, table_page_html
+
+    tables = extract_tables(table_page_html(17))
+    assert len(tables) == 1
+    rows = tables[0]
+    assert len(rows) == TABLE_ROWS
+    for k, row in enumerate(rows):
+        assert set(row) == {"name", "val"}  # 'fixed' (constant) dropped
+        assert row["name"] == "row{}".format(k)
+        assert int(row["val"]) == (31 * 17 + 7 * k) % 100
+
+
+def test_extract_anchors_pairs_href_with_text():
+    from ocr_ray.html_extract import extract_anchors
+    from ocr_ray.synth import link_page_html
+
+    anchors = extract_anchors(link_page_html(5))
+    internal = [(h, t) for h, t in anchors if h.startswith("/page/")]
+    assert len(internal) == 3
+    for href, text in internal:
+        assert text == "related " + href[6:]
+
+
+def test_pages_asof_selects_unique_live_version(ray_session):
+    from ocr_ray.pipelines.queries_web import ASOF_T_US, q_pages_asof
+
+    df = q_pages_asof("/root/testdata/sf0.001").to_pandas()
+    # exactly one live version per url, and it was live at T
+    assert df["url"].is_unique
+    assert (df["valid_from"] <= ASOF_T_US).all()
+
+
 def test_decayed_value_is_integer_exact_vs_recompute(ray_session):
     import pyarrow.parquet as pq
 
