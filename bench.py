@@ -196,6 +196,8 @@ def run_queries(sf_dir: str) -> dict:
         "decayed_value",
         "table_rows",
         "pages_asof",
+        "props_stats",
+        "source_except",
     ]
     import ray.data
 

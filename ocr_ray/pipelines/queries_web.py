@@ -733,6 +733,111 @@ SQL_PAGES_ASOF = (
 )
 
 
+# ---------------------------------------------------------------------------
+# schema-on-read JSON field extraction (semi-structured event props)
+# ---------------------------------------------------------------------------
+
+
+def q_props_stats(sf_dir: str):
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    extract the ``k`` field per event and aggregate per event type — the
+    pattern every event-log pipeline runs before its first groupby
+    (payloads arrive as JSON strings; fields materialize lazily).
+
+    The hot path is ONE vectorized RE2 ``extract_regex`` per batch (the
+    overwhelmingly common flat-field case); rows the fast path cannot
+    parse fall back to a real ``json.loads`` — the fallback loop touches
+    only those rows, so a clean corpus pays zero Python.  Partials
+    pre-aggregate per (event_type) before the native groupby."""
+    import json
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props").combine_chunks()
+        ex = pc.extract_regex(props, r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        if k.null_count:  # general-JSON fallback, failed rows only
+            vals = k.to_numpy(zero_copy_only=False).copy()
+            miss = np.flatnonzero(pc.is_null(k).to_numpy(zero_copy_only=False))
+            raw = props.to_pylist()
+            for i in miss:
+                vals[i] = int(json.loads(raw[i]).get("k", 0))
+            k = pa.array(vals.astype(np.int64))
+        df = pa.table(
+            {"event_type": batch.column("event_type"), "k": k}
+        ).to_pandas()
+        g = (
+            df.groupby("event_type")["k"]
+            .agg(n="count", sum_k="sum", max_k="max")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+SQL_PROPS_STATS = (
+    "SELECT event_type, count(*) AS n,"
+    " CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,"
+    " CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k"
+    " FROM events GROUP BY event_type"
+)
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT set operation via digest anti-join (cross-source novelty)
+# ---------------------------------------------------------------------------
+
+
+def q_source_except(sf_dir: str):
+    """Set difference between sources: documents of src0 whose text does
+    NOT appear anywhere in src1 (SQL ``NOT EXISTS`` on text equality) —
+    the novelty filter an incremental crawl runs against the previous
+    snapshot.  Text equality rides the repo's 128-bit shuffle-key
+    convention (two independent 64-bit string hashes packed to one binary
+    column): the anti-join shuffles 16-byte digests + ids, never the text,
+    and ``semi_anti_join`` size-plans broadcast vs partitioned
+    membership."""
+    from ..functions.strhash import hash_strings_u64, pack_u64_pair
+    from ..stages.joins import semi_anti_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def digests(which: str):
+        def add(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch.column("source"), which)
+            sub = batch.filter(m)
+            txt = sub.column("text").combine_chunks()
+            h = pack_u64_pair(
+                hash_strings_u64(txt, seed=0x5EED_0001),
+                hash_strings_u64(txt, seed=0x5EED_0002),
+            )
+            return pa.table({"doc_id": sub.column("doc_id"), "h": h})
+
+        return add
+
+    left = docs.map_batches(digests("src0"), batch_format="pyarrow")
+    right = docs.map_batches(digests("src1"), batch_format="pyarrow")
+    out = semi_anti_join(left, right.select_columns(["h"]), on="h", anti=True)
+    return out.select_columns(["doc_id"])
+
+
+SQL_SOURCE_EXCEPT = (
+    "SELECT d.doc_id FROM documents d WHERE d.source = 'src0'"
+    " AND NOT EXISTS (SELECT 1 FROM documents o"
+    " WHERE o.source = 'src1' AND o.text = d.text)"
+)
+
+
 WEB_QUERIES = {
     "host_stats": q_host_stats,
     "pages_scd": q_pages_scd,
@@ -744,6 +849,8 @@ WEB_QUERIES = {
     "table_rows": q_table_rows,
     "anchor_stats": q_anchor_stats,
     "pages_asof": q_pages_asof,
+    "props_stats": q_props_stats,
+    "source_except": q_source_except,
 }
 
 WEB_ORACLE_SQL = {
@@ -757,4 +864,6 @@ WEB_ORACLE_SQL = {
     "table_rows": SQL_TABLE_ROWS,
     "anchor_stats": SQL_ANCHOR_STATS,
     "pages_asof": SQL_PAGES_ASOF,
+    "props_stats": SQL_PROPS_STATS,
+    "source_except": SQL_SOURCE_EXCEPT,
 }

@@ -47,6 +47,8 @@ PICKS = [
     "table_rows",
     "anchor_stats",
     "pages_asof",
+    "props_stats",
+    "source_except",
 ]
 
 

@@ -125,6 +125,37 @@ def test_pages_asof_selects_unique_live_version(ray_session):
     assert (df["valid_from"] <= ASOF_T_US).all()
 
 
+def test_props_stats_json_fallback_handles_irregular_json(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_web import q_props_stats
+
+    # rows 0/1 take the vectorized regex path; rows 2/3 force the
+    # json.loads fallback (whitespace before colon, nested field order)
+    tbl = pa.table(
+        {
+            "event_type": ["a", "a", "b", "b"],
+            "props": [
+                '{"k": 7}',
+                '{"k": 3}',
+                '{ "k" : 5 }',
+                '{"other": 1, "k"  :  2}',
+            ],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    df = (
+        q_props_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert df.loc["a", "sum_k"] == 10 and df.loc["a", "max_k"] == 7
+    assert df.loc["b", "sum_k"] == 7 and df.loc["b", "max_k"] == 5
+    assert (df["n"] == 2).all()
+
+
 def test_decayed_value_is_integer_exact_vs_recompute(ray_session):
     import pyarrow.parquet as pq
 
