@@ -838,6 +838,242 @@ SQL_SOURCE_EXCEPT = (
 )
 
 
+# ---------------------------------------------------------------------------
+# item co-occurrence (collaborative-filtering pair counts)
+# ---------------------------------------------------------------------------
+
+_ITEM_RE = r'"k":\s*(?P<k>\d+)'
+
+
+def _extract_item(batch: pa.Table) -> np.ndarray:
+    """props JSON -> int item id (vectorized fast path; see q_props_stats)."""
+    import json
+
+    props = batch.column("props").combine_chunks()
+    ex = pc.extract_regex(props, _ITEM_RE)
+    k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+    if k.null_count:
+        vals = k.to_numpy(zero_copy_only=False).copy()
+        miss = np.flatnonzero(pc.is_null(k).to_numpy(zero_copy_only=False))
+        raw = props.to_pylist()
+        for i in miss:
+            vals[i] = int(json.loads(raw[i]).get("k", 0))
+        return vals.astype(np.int64)
+    return k.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def q_item_cooccurrence(sf_dir: str):
+    """Item-item co-occurrence counts (the collaborative-filtering /
+    related-items primitive): for every pair of items interacted with by
+    the same user, the number of distinct such users.
+
+    Plan: map-side DISTINCT (user, item) via packed-int np.unique, one
+    groupby to finish the distinct, then a user-hash bucket shuffle and a
+    per-bucket pair explode that loops only over DISTINCT SEGMENT SIZES
+    (all user segments of equal size explode through one
+    ``np.triu_indices`` gather) — never over users or rows.  Pair counts
+    finish in a native aggregate.  At web scale the per-user item list is
+    capped upstream (every production co-occurrence job truncates hyper-
+    active users); the explode itself is quadratic per user by definition
+    of the operator."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "props"])
+    n_buckets = _default_buckets()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        item = _extract_item(batch)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique(uid * 1_048_576 + item)  # item < 2^20 by contract
+        return pa.table(
+            {
+                "user_id": pa.array(packed // 1_048_576, pa.int64()),
+                "item": pa.array(packed % 1_048_576, pa.int64()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "item"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(
+            df[["user_id", "item"]], key="user_id", n_buckets=n_buckets
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["item"].to_numpy(), g["user_id"].to_numpy()))
+        uid = g["user_id"].to_numpy()[order]
+        item = g["item"].to_numpy()[order].astype(np.int64)
+        n = len(uid)
+        new_seg = np.ones(n, dtype=bool)
+        if n > 1:
+            new_seg[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, n))
+        out_a: list = []
+        out_b: list = []
+        for m in np.unique(sizes):  # loop over DISTINCT sizes only
+            if m < 2:
+                continue
+            seg_starts = starts[sizes == m]
+            # (g, m) item matrix for every segment of this size at once
+            mat = item[seg_starts[:, None] + np.arange(m)[None, :]]
+            ii, jj = np.triu_indices(int(m), k=1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+        else:
+            a = b = np.zeros(0, np.int64)
+        return pd.DataFrame({"item_a": a, "item_b": b})
+
+    return (
+        distinct.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["item_a", "item_b"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_ITEM_COOCCURRENCE = (
+    "WITH ui AS (SELECT DISTINCT user_id,"
+    " CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events)"
+    " SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users"
+    " FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item"
+    " GROUP BY 1, 2"
+)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition counts (Markov-chain prep over user sessions)
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user consecutive event-type transition counts — the
+    transition-matrix estimation step behind next-action models and
+    session-quality heuristics.  ONE user-hash bucket shuffle; the
+    per-bucket kernel is a lexsort + shift (consecutive rows of the same
+    user form a transition) with zero per-user Python."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy(), g["user_id"].to_numpy())
+        )
+        uid = g["user_id"].to_numpy()[order]
+        et = g["event_type"].to_numpy()[order]
+        if len(uid) < 2:
+            return pd.DataFrame({"src_type": [], "dst_type": []}).astype(str)
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({"src_type": et[:-1][same], "dst_type": et[1:][same]})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["src_type", "dst_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = (
+    "WITH s AS (SELECT user_id, event_type,"
+    " LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt"
+    " FROM events)"
+    " SELECT event_type AS src_type, nxt AS dst_type, count(*) AS n FROM s"
+    " WHERE nxt IS NOT NULL GROUP BY 1, 2"
+)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix (signup week x activity-week offset)
+# ---------------------------------------------------------------------------
+
+#: Monday 2024-01-01T00:00:00Z in epoch microseconds (week grid origin —
+#: the synth events all land after it, so integer week indices equal
+#: DuckDB's Monday-based date_trunc('week') buckets)
+WEEK0_US = 1_704_067_200_000_000
+WEEK_US = 7 * DAY_US
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention: users bucketed by their FIRST activity week, then
+    counted per (cohort week, week offset) of later activity — the
+    retention triangle every growth dashboard plots.
+
+    Plan: map-side distinct (user, week) via packed np.unique, groupby to
+    finish the distinct, a Min aggregate for the cohort week, then a
+    size-planned ``auto_join`` back (the cohort table is a per-user
+    dimension: broadcast while provably small, hash-partitioned join
+    beyond) and one final native aggregate.  No driver state proportional
+    to users anywhere."""
+    from ..stages.joins import auto_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def distinct_weeks(batch: pa.Table) -> pa.Table:
+        ts_us = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        week = (ts_us - WEEK0_US) // WEEK_US
+        packed = np.unique(uid * 4096 + week)  # < 4096 weeks (~78 years)
+        return pa.table(
+            {
+                "user_id": pa.array(packed // 4096, pa.int64()),
+                "week": pa.array(packed % 4096, pa.int64()),
+            }
+        )
+
+    act = (
+        ds.map_batches(distinct_weeks, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "week"])
+
+    act = act.map_batches(slim, batch_format="pyarrow")
+    cohort = act.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    joined = auto_join(act, cohort, on="user_id")
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        off = pc.subtract(batch.column("week"), batch.column("cohort_week"))
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": pc.cast(off, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(offsets, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = (
+    "WITH w AS (SELECT DISTINCT user_id,"
+    " (epoch_us(ts) - {w0}) // {wk} AS week FROM events),"
+    " c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)"
+    " SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,"
+    " count(*) AS n_users FROM w JOIN c USING (user_id) GROUP BY 1, 2"
+).format(w0=WEEK0_US, wk=WEEK_US)
+
+
 WEB_QUERIES = {
     "host_stats": q_host_stats,
     "pages_scd": q_pages_scd,
@@ -851,6 +1087,9 @@ WEB_QUERIES = {
     "pages_asof": q_pages_asof,
     "props_stats": q_props_stats,
     "source_except": q_source_except,
+    "item_cooccurrence": q_item_cooccurrence,
+    "event_transitions": q_event_transitions,
+    "cohort_retention": q_cohort_retention,
 }
 
 WEB_ORACLE_SQL = {
@@ -866,4 +1105,7 @@ WEB_ORACLE_SQL = {
     "pages_asof": SQL_PAGES_ASOF,
     "props_stats": SQL_PROPS_STATS,
     "source_except": SQL_SOURCE_EXCEPT,
+    "item_cooccurrence": SQL_ITEM_COOCCURRENCE,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }

@@ -49,6 +49,9 @@ PICKS = [
     "pages_asof",
     "props_stats",
     "source_except",
+    "item_cooccurrence",
+    "event_transitions",
+    "cohort_retention",
 ]
 
 

@@ -156,6 +156,42 @@ def test_props_stats_json_fallback_handles_irregular_json(ray_session, tmp_path)
     assert (df["n"] == 2).all()
 
 
+def test_item_cooccurrence_matches_bruteforce(ray_session):
+    import itertools
+
+    import duckdb
+
+    from ocr_ray.pipelines.queries_web import q_item_cooccurrence
+
+    got = (
+        q_item_cooccurrence("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    ui = con.execute(
+        "SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).df()
+    counts: dict = {}
+    for _, g in ui.groupby("user_id"):
+        for a, b in itertools.combinations(sorted(g["item"]), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    expect = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in counts.items()],
+            columns=["item_a", "item_b", "n_users"],
+        )
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), expect.astype("int64")
+    )
+    assert (got["item_a"] < got["item_b"]).all()
+
+
 def test_decayed_value_is_integer_exact_vs_recompute(ray_session):
     import pyarrow.parquet as pq
 
