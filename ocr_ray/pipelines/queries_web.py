@@ -316,11 +316,13 @@ def q_edit1_matches(sf_dir: str):
         d, codes, lens = d[nonempty], codes[nonempty], lens[nonempty]
         pos = d % np.maximum(lens, 1)
         # distinct (token-code, deletion-pos) pairs — the batch vocabulary
-        packed = codes * 64 + pos
+        # (pack base sized to the batch's longest token, not a constant)
+        base = int(pos.max()) + 1 if pos.size else 1
+        packed = codes * base + pos
         upacked, inv = np.unique(packed, return_inverse=True)
         pair_words: list = []  # per distinct pair: sorted matched word ids
         for pk in upacked:
-            c, p = int(pk) // 64, int(pk) % 64
+            c, p = int(pk) // base, int(pk) % base
             tok = toks_d[c]
             typo = tok[:p] + tok[p + 1 :] if tok else ""
             cands: set = set()
@@ -867,52 +869,52 @@ def q_item_cooccurrence(sf_dir: str):
     related-items primitive): for every pair of items interacted with by
     the same user, the number of distinct such users.
 
-    Plan: map-side DISTINCT (user, item) via packed-int np.unique, one
-    groupby to finish the distinct, then a user-hash bucket shuffle and a
-    per-bucket pair explode that loops only over DISTINCT SEGMENT SIZES
-    (all user segments of equal size explode through one
-    ``np.triu_indices`` gather) — never over users or rows.  Pair counts
-    finish in a native aggregate.  At web scale the per-user item list is
-    capped upstream (every production co-occurrence job truncates hyper-
-    active users); the explode itself is quadratic per user by definition
-    of the operator."""
+    Plan (ONE wide barrier carrying data rows, one tiny one): map-side
+    per-batch (user, item) dedup via packed-int np.unique, a user-hash
+    bucket shuffle, then a per-bucket kernel that (a) finishes the
+    distinct EXACTLY (the bucket owns every row of its users), (b)
+    explodes pairs looping only over DISTINCT SEGMENT SIZES (all user
+    segments of equal size gather through one ``np.triu_indices``), and
+    (c) PRE-COUNTS pairs with np.unique before anything leaves the task —
+    so the final aggregate sums tiny (packed-int64 pair, partial-count)
+    rows instead of hashing the full quadratic pair stream (first cut
+    shipped 7.4M two-column pair rows into the native aggregate: 28 s;
+    this shape: 1.4 s).  At web scale the per-user item list is capped
+    upstream (every production co-occurrence job truncates hyper-active
+    users); the explode is quadratic per user by definition of the
+    operator."""
     ds = read_table(sf_dir, "events", columns=["user_id", "props"])
     n_buckets = _default_buckets()
+    PACK = 1_048_576  # item < 2^20 by contract
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         item = _extract_item(batch)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        packed = np.unique(uid * 1_048_576 + item)  # item < 2^20 by contract
+        packed = np.unique(uid * PACK + item)
         return pa.table(
             {
-                "user_id": pa.array(packed // 1_048_576, pa.int64()),
-                "item": pa.array(packed % 1_048_576, pa.int64()),
+                "user_id": pa.array(packed // PACK, pa.int64()),
+                "item": pa.array(packed % PACK, pa.int64()),
             }
         )
 
-    distinct = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(["user_id", "item"])
-        .aggregate(Count(alias_name="_n"))
-    )
-
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return _add_key_bucket(
-            df[["user_id", "item"]], key="user_id", n_buckets=n_buckets
-        )
+        return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["item"].to_numpy(), g["user_id"].to_numpy()))
-        uid = g["user_id"].to_numpy()[order]
-        item = g["item"].to_numpy()[order].astype(np.int64)
+    def pairs(g: pa.Table) -> pa.Table:
+        uid0 = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        item0 = g.column("item").to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact global (user, item) distinct: this bucket owns its users
+        packed = np.unique(uid0 * PACK + item0)
+        uid = packed // PACK
+        item = packed % PACK  # sorted within each user by construction
         n = len(uid)
         new_seg = np.ones(n, dtype=bool)
         if n > 1:
             new_seg[1:] = uid[1:] != uid[:-1]
         starts = np.flatnonzero(new_seg)
         sizes = np.diff(np.append(starts, n))
-        out_a: list = []
-        out_b: list = []
+        out: list = []
         for m in np.unique(sizes):  # loop over DISTINCT sizes only
             if m < 2:
                 continue
@@ -920,22 +922,48 @@ def q_item_cooccurrence(sf_dir: str):
             # (g, m) item matrix for every segment of this size at once
             mat = item[seg_starts[:, None] + np.arange(m)[None, :]]
             ii, jj = np.triu_indices(int(m), k=1)
-            out_a.append(mat[:, ii].ravel())
-            out_b.append(mat[:, jj].ravel())
-        if out_a:
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
+            out.append((mat[:, ii] * PACK + mat[:, jj]).ravel())
+        if out:
+            pk, cnt = np.unique(np.concatenate(out), return_counts=True)
         else:
-            a = b = np.zeros(0, np.int64)
-        return pd.DataFrame({"item_a": a, "item_b": b})
+            pk = cnt = np.zeros(0, np.int64)
+        # pre-counted Arrow partials: the aggregate sums <= (#distinct
+        # pairs in bucket) rows on ONE int64 key
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
 
-    return (
-        distinct.map_batches(add_bucket, batch_format="pandas")
+    from ..stages.groupagg import bucketed_group_agg
+
+    pair_partials = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["item_a", "item_b"])
-        .aggregate(Count(alias_name="n_users"))
+        # pyarrow format end-to-end: a pandas-format map_groups would
+        # coerce the output blocks back to pandas and the downstream
+        # wide op hits the ~20x slow path (BASELINE.md #11)
+        .map_groups(pairs, batch_format="pyarrow")
     )
+    # pair keys are data-cardinality (quadratic in catalog size at web
+    # scale): Ray's native aggregate pays ~us-per-row/group overhead
+    # (#buckets x #pairs partial rows took 7-8 s at sf0.1), so finish
+    # with the bucketed lexsort/reduceat aggregate built for exactly this
+    agg = bucketed_group_agg(pair_partials, ["pk"], {"n_users": ("sum", "n")})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "item_a": pa.array(pk // PACK, pa.int64()),
+                "item_b": pa.array(pk % PACK, pa.int64()),
+                "n_users": batch.column("n_users"),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 SQL_ITEM_COOCCURRENCE = (
@@ -964,21 +992,38 @@ def q_event_transitions(sf_dir: str):
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return _add_key_bucket(df, key="user_id", n_buckets=n_buckets)
 
-    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+    def transitions(g: pa.Table) -> pa.Table:
         order = np.lexsort(
-            (g["event_id"].to_numpy(), g["ts"].to_numpy(), g["user_id"].to_numpy())
+            (
+                g.column("event_id").to_numpy(zero_copy_only=False),
+                g.column("ts").to_numpy(zero_copy_only=False),
+                g.column("user_id").to_numpy(zero_copy_only=False),
+            )
         )
-        uid = g["user_id"].to_numpy()[order]
-        et = g["event_type"].to_numpy()[order]
-        if len(uid) < 2:
-            return pd.DataFrame({"src_type": [], "dst_type": []}).astype(str)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)[order]
+        et = np.asarray(g.column("event_type").to_pandas())[order]
+        if len(uid) < 2:  # explicit string schema so empty blocks unify
+            return pa.table(
+                {
+                    "src_type": pa.array([], pa.string()),
+                    "dst_type": pa.array([], pa.string()),
+                }
+            )
         same = uid[1:] == uid[:-1]
-        return pd.DataFrame({"src_type": et[:-1][same], "dst_type": et[1:][same]})
+        # Arrow out: feeds a native Aggregate (BASELINE.md #11 slow path)
+        return pa.table(
+            {
+                "src_type": pa.array(et[:-1][same], pa.string()),
+                "dst_type": pa.array(et[1:][same], pa.string()),
+            }
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
-        .map_groups(transitions, batch_format="pandas")
+        # pyarrow end-to-end: pandas-format output would put pandas
+        # blocks into the native Aggregate (slow path, BASELINE.md #11)
+        .map_groups(transitions, batch_format="pyarrow")
         .groupby(["src_type", "dst_type"])
         .aggregate(Count(alias_name="n"))
     )
