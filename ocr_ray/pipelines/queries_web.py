@@ -1002,19 +1002,28 @@ def q_event_transitions(sf_dir: str):
         )
         uid = g.column("user_id").to_numpy(zero_copy_only=False)[order]
         et = np.asarray(g.column("event_type").to_pandas())[order]
-        if len(uid) < 2:  # explicit string schema so empty blocks unify
+        if len(uid) < 2:  # explicit schema so empty blocks unify
             return pa.table(
                 {
                     "src_type": pa.array([], pa.string()),
                     "dst_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
                 }
             )
         same = uid[1:] == uid[:-1]
-        # Arrow out: feeds a native Aggregate (BASELINE.md #11 slow path)
+        src = et[:-1][same]
+        dst = et[1:][same]
+        # pre-count inside the task (BASELINE.md #15: never feed a
+        # data-proportional row stream into the native aggregate) —
+        # transition rows collapse to <= (#types^2) partials per bucket
+        pair = np.char.add(np.char.add(src.astype(str), "\x1f"), dst.astype(str))
+        upair, cnt = np.unique(pair, return_counts=True)
+        halves = np.char.partition(upair, "\x1f")
         return pa.table(
             {
-                "src_type": pa.array(et[:-1][same], pa.string()),
-                "dst_type": pa.array(et[1:][same], pa.string()),
+                "src_type": pa.array(halves[:, 0], pa.string()),
+                "dst_type": pa.array(halves[:, 2], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
@@ -1025,7 +1034,7 @@ def q_event_transitions(sf_dir: str):
         # blocks into the native Aggregate (slow path, BASELINE.md #11)
         .map_groups(transitions, batch_format="pyarrow")
         .groupby(["src_type", "dst_type"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 
