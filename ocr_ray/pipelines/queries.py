@@ -244,8 +244,11 @@ SQL_TOP_TOKENS = (
 # ---------------------------------------------------------------------------
 
 def q_lineitem_agg(sf_dir: str):
-    """TPC-H Q1-style pricing summary: vectorized derived columns +
-    grouped aggregate (Ray's hash aggregate combines per block)."""
+    """TPC-H Q1-style pricing summary: vectorized derived columns + an
+    EXPLICIT map-side partial per batch (Ray's native aggregate pays a
+    per-input-row overhead — BASELINE.md #15 — so the fact-table row
+    stream collapses to <= 6 partial rows per batch before the shuffle;
+    Mean decomposes to Sum/Count across partials)."""
     ds = read_table(
         sf_dir,
         "lineitem",
@@ -255,27 +258,39 @@ def q_lineitem_agg(sf_dir: str):
         ],
     )
 
-    def derive(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         disc = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return batch.append_column("disc_price", disc)
+        df = batch.append_column("disc_price", disc).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("l_discount", "count"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     df = out.to_pandas()
+    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(4)
+    df = df.drop(columns=["sum_disc"])
     df["sum_qty"] = df["sum_qty"].round(2)
     df["sum_disc_price"] = df["sum_disc_price"].round(2)
-    df["avg_disc"] = df["avg_disc"].round(4)
     return df
 
 
@@ -348,19 +363,28 @@ def q_events_window(sf_dir: str):
     )
 
     def trunc(batch: pa.Table) -> pa.Table:
+        # map-side partial (BASELINE.md #15): the native aggregate's
+        # per-input-row cost wants <= (#types x #hours) partial rows per
+        # batch, not the raw event stream
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table(
+        df = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "hour": hour,
                 "value": batch.column("value"),
             }
+        ).to_pandas()
+        g = (
+            df.groupby(["event_type", "hour"], sort=False)
+            .agg(n=("value", "count"), total=("value", "sum"))
+            .reset_index()
         )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         ds.map_batches(trunc, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
     )
     df = out.to_pandas()
     df["total"] = df["total"].round(2)
