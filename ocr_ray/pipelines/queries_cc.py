@@ -892,15 +892,14 @@ def q_substring_dedup(sf_dir: str):
     is the signal a filter thresholds on.
 
     Scale shape: vectorized hash explode -> one groupby(window HASH)
-    count -> size-planned join back -> one groupby(doc) with native
-    Sum/Count.  The shuffle key is a 128-bit window content hash
+    count -> size-planned join back -> one bucketed per-doc Sum/Count
+    (groupagg: doc_id is data-cardinality and the input is the window
+    stream — BASELINE.md #15).  The shuffle key is a 128-bit window content hash
     (functions/strhash.py) — fixed 24 bytes per exploded row instead of
     the ~70-byte window text — so the two all-to-alls move ~1x corpus
     bytes, not ~8x.  The SQL oracle stays text-keyed: equality of the
     outputs only breaks on a two-lane 64-bit collision between DISTINCT
     windows (~n^2/2^129, never at physical corpus sizes)."""
-    from ray.data.aggregate import Count
-
     # wide read: the hash explode is the CPU-heavy stage; the groupby
     # shuffles coalesce to a hash-row-sized width instead
     docs = read_table(
@@ -938,28 +937,20 @@ def q_substring_dedup(sf_dir: str):
         dup = pc.greater_equal(batch.column("c"), pa.scalar(2)).cast(pa.int64())
         return pa.table({"doc_id": batch.column("doc_id"), "dup": dup})
 
-    return (
-        auto_join(
-            exploded.map_batches(pack_key, batch_format="pyarrow"),
-            counts.map_batches(pack_key, batch_format="pyarrow"),
-            on="wk",
-        )
-        .map_batches(flag, batch_format="pyarrow")
-        .repartition(shuffle_blocks, shuffle=False)
-        .groupby("doc_id")
-        .aggregate(
-            Count(alias_name="n_windows"), Sum("dup", alias_name="n_dup_windows")
-        )
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": b.column("doc_id"),
-                    "n_windows": b.column("n_windows").cast(pa.int64()),
-                    "n_dup_windows": b.column("n_dup_windows").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    flagged = auto_join(
+        exploded.map_batches(pack_key, batch_format="pyarrow"),
+        counts.map_batches(pack_key, batch_format="pyarrow"),
+        on="wk",
+    ).map_batches(flag, batch_format="pyarrow")
+    # doc_id is data-cardinality and the input is the window stream:
+    # bucketed lexsort/reduceat aggregate instead of the native one
+    # (per-input-row overhead, BASELINE.md #15)
+    from ..stages.groupagg import bucketed_group_agg
+
+    return bucketed_group_agg(
+        flagged,
+        ["doc_id"],
+        {"n_windows": ("count", None), "n_dup_windows": ("sum", "dup")},
     )
 
 
