@@ -199,6 +199,104 @@ def _clean_debris(output_dir: str, *, committed=frozenset()) -> int:
     return removed
 
 
+def compact_partitioned(
+    output_dir: str,
+    *,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Small-files compaction over a committed ``write_partitioned``
+    output: every partition whose parquet files are smaller than
+    ``target_bytes`` in aggregate-per-file terms is rewritten into
+    ~``ceil(total/target)`` right-sized files.  The lakehouse maintenance
+    pass — streaming writers land one file per (task, partition) and a
+    100 TB run leaves millions of KB-sized files that throttle every
+    later scan.
+
+    Guarantees:
+
+    - manifest rows stay authoritative: each partition's row count and
+      key digest are UNCHANGED (compaction re-groups bytes, never rows),
+      so committed lineage remains valid and resume semantics survive;
+    - crash-safe: compacted files build in a hidden ``.compact-N.tmp``
+      sibling (invisible to read_partitioned/_clean_debris), row counts
+      are validated, then the swap is two renames — a crash leaves either
+      the old files or the new ones, never both visible;
+    - distributed: one Ray task per partition via ``map_batches`` over
+      the partition-id list (file-level work, no data shuffle).
+    """
+    import glob
+
+    done = mf.completed_partitions(output_dir)
+    # sweep orphaned temp dirs of a previous compaction crash
+    for tmp in glob.glob(os.path.join(output_dir, ".compact-*.tmp")) + glob.glob(
+        os.path.join(output_dir, ".old-*.tmp")
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not done:
+        return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        out_pid, out_before, out_after = [], [], []
+        for pid in batch.column("pid").to_pylist():
+            pdir = os.path.join(output_dir, "partition_id={}".format(pid))
+            files = sorted(
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            paths = [os.path.join(pdir, f) for f in files]
+            total = sum(os.path.getsize(p) for p in paths)
+            n_out = max(1, -(-total // target_bytes))  # ceil
+            if len(files) <= n_out:  # already right-sized
+                out_pid.append(pid)
+                out_before.append(len(files))
+                out_after.append(len(files))
+                continue
+            tbl = pa.concat_tables(pq.read_table(p) for p in paths)
+            tmp = os.path.join(output_dir, ".compact-{}.tmp".format(pid))
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            rows_per = -(-tbl.num_rows // n_out)
+            written_rows = 0
+            k = 0
+            for k in range(int(n_out)):
+                part = tbl.slice(k * rows_per, rows_per)
+                if part.num_rows == 0:
+                    break
+                pq.write_table(
+                    part,
+                    os.path.join(
+                        tmp, "compact-{}-{}.parquet".format(_content_digest(part), k)
+                    ),
+                )
+                written_rows += part.num_rows
+            if written_rows != tbl.num_rows:  # defensive; cannot happen
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError("compaction row mismatch on partition %d" % pid)
+            old = os.path.join(output_dir, ".old-{}.tmp".format(pid))
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old, ignore_errors=True)
+            out_pid.append(pid)
+            out_before.append(len(files))
+            out_after.append(len(os.listdir(pdir)))
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int64()),
+                "before": pa.array(out_before, pa.int64()),
+                "after": pa.array(out_after, pa.int64()),
+            }
+        )
+
+    pids = ray.data.from_arrow(
+        pa.table({"pid": pa.array(sorted(done), pa.int64())})
+    )
+    stats = pids.map_batches(compact_one, batch_format="pyarrow").to_pandas()
+    return {
+        "compacted_partitions": int((stats["after"] < stats["before"]).sum()),
+        "files_before": int(stats["before"].sum()),
+        "files_after": int(stats["after"].sum()),
+    }
+
+
 def read_partitioned(output_dir: str) -> pa.Table:
     """All committed partitions back as one Arrow table (test-scale
     helper; at scale, ``ray.data.read_parquet(output_dir)`` streams it).

@@ -133,3 +133,52 @@ def test_read_partitioned_raises_on_duplicated_debris(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="debris"):
         writer.read_partitioned(out)
+
+
+def test_compaction_merges_small_files_preserving_rows(ray_session, tmp_path):
+    out = str(tmp_path / "o")
+    # many input blocks -> many (task, partition) files per partition
+    ds = _docs(400).repartition(16)
+    writer.write_partitioned(ds, out, key="doc_id", n_partitions=4)
+    before = writer.read_partitioned(out)
+    n_files_before = sum(
+        len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+        for d in os.listdir(out)
+        if d.startswith("partition_id=")
+    )
+    assert n_files_before > 4  # the small-files problem exists
+
+    r = writer.compact_partitioned(out, target_bytes=1 << 30)
+    assert r["compacted_partitions"] == 4
+    assert r["files_before"] == n_files_before
+    assert r["files_after"] == 4  # one right-sized file per partition
+
+    # rows + content + manifests all unchanged (read validates counts)
+    after = writer.read_partitioned(out)
+    assert sorted(after.column("doc_id").to_pylist()) == sorted(
+        before.column("doc_id").to_pylist()
+    )
+    assert len(mf.completed_partitions(out, n_partitions=4)) == 4
+
+    # idempotent: a second pass finds nothing to do
+    r2 = writer.compact_partitioned(out, target_bytes=1 << 30)
+    assert r2["compacted_partitions"] == 0
+    assert r2["files_after"] == 4
+
+
+def test_compaction_sweeps_crashed_temp_dirs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "o")
+    writer.write_partitioned(_docs(100), out, key="doc_id", n_partitions=4)
+    # simulate a compaction that died between build and swap
+    junk = os.path.join(out, ".compact-2.tmp")
+    os.makedirs(junk)
+    pq.write_table(pa.table({"doc_id": pa.array([999])}), junk + "/x.parquet")
+    old = os.path.join(out, ".old-1.tmp")
+    os.makedirs(old)
+
+    writer.compact_partitioned(out, target_bytes=1 << 30)
+    assert not os.path.exists(junk) and not os.path.exists(old)
+    back = writer.read_partitioned(out)
+    assert back.num_rows == 100  # the junk row never leaks into reads
