@@ -727,29 +727,35 @@ def q_zorder_layout(sf_dir: str):
     )
 
     def add_file(df: pd.DataFrame) -> pa.Table:
-        # emit ARROW: a pandas block feeding the native aggregate was
-        # measured at 18 s/task vs ~1 s on the same rows as Arrow
-        return pa.table(
-            {
-                "file_id": pa.array(
-                    (df["__rank"].to_numpy() - 1) // ZORDER_FILE_ROWS, pa.int64()
-                ),
-                "o_custkey": pa.array(df["o_custkey"].to_numpy()),
-                "o_totalprice": pa.array(df["o_totalprice"].to_numpy()),
-            }
+        # per-batch PARTIAL manifest (emit ARROW): the native aggregate
+        # pays per-input-row overhead (BASELINE.md #15; a pandas block on
+        # the same rows was 18 s/task), so only <= (#files in batch)
+        # partial rows leave each task
+        df = df.assign(file_id=(df["__rank"].to_numpy() - 1) // ZORDER_FILE_ROWS)
+        g = (
+            df.groupby("file_id", sort=False)
+            .agg(
+                n=("o_custkey", "count"),
+                min_cust=("o_custkey", "min"),
+                max_cust=("o_custkey", "max"),
+                min_price=("o_totalprice", "min"),
+                max_price=("o_totalprice", "max"),
+            )
+            .reset_index()
         )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     return (
         ranked.map_batches(add_file, batch_format="pandas")
         .groupby("file_id")
         .aggregate(
-            Count(alias_name="n"),
-            Min("o_custkey", alias_name="min_cust"),
-            Max("o_custkey", alias_name="max_cust"),
-            Min("o_totalprice", alias_name="min_price"),
-            Max("o_totalprice", alias_name="max_price"),
+            Sum("n", alias_name="n"),
+            Min("min_cust", alias_name="min_cust"),
+            Max("max_cust", alias_name="max_cust"),
+            Min("min_price", alias_name="min_price"),
+            Max("max_price", alias_name="max_price"),
         )
     )
 
