@@ -139,6 +139,92 @@ def read_auto(path: str, *, columns=None) -> ray.data.Dataset:
     return reader(path, columns)
 
 
+def _unify_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Widening unification for evolved column types (the cases crawl
+    segments actually produce); anything else is a real conflict."""
+    if a.equals(b):
+        return a
+    order = [pa.int8(), pa.int16(), pa.int32(), pa.int64()]
+    if a in order and b in order:
+        return order[max(order.index(a), order.index(b))]
+    floats = [pa.float32(), pa.float64()]
+    if (a in floats or a in order) and (b in floats or b in order):
+        return pa.float64()
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    raise ValueError(f"cannot unify evolved column types {a} vs {b}")
+
+
+def read_evolved(
+    path: str, *, columns=None, min_blocks: int = 1
+) -> ray.data.Dataset:
+    """Read a DIRECTORY of parquet files whose schemas evolved across
+    crawl segments — added/dropped columns and integer widening are the
+    norm over a multi-year Common-Crawl-style store, and a naive
+    multi-file read either errors or silently drops fields.
+
+    Driver work is footer-only: the union schema unifies every file's
+    schema (missing column -> nulls, numeric widening via
+    :func:`_unify_types`); each file then reads with its OWN available
+    column subset (pruning still pushes down) and a per-batch conform
+    step adds null columns / casts / reorders so every block carries the
+    same schema.  One Dataset.union over the per-file streams keeps it
+    lazy and streaming."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    schemas = {f: pq.read_schema(f) for f in files}
+    union: dict = {}
+    for sch in schemas.values():
+        for field in sch:
+            if field.name in union:
+                union[field.name] = _unify_types(union[field.name], field.type)
+            else:
+                union[field.name] = field.type
+    if columns:
+        missing = set(columns) - set(union)
+        if missing:
+            raise ValueError(f"columns {sorted(missing)} in no input file")
+        union = {c: union[c] for c in columns}
+    target = pa.schema(list(union.items()))
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for field in target:
+            if field.name in batch.column_names:
+                col = batch.column(field.name)
+                if not col.type.equals(field.type):
+                    col = col.cast(field.type)
+            else:
+                col = pa.nulls(batch.num_rows, field.type)
+            cols.append(col)
+        return pa.table(cols, schema=target)
+
+    parts = []
+    for f in files:
+        avail = [c for c in union if c in schemas[f].names]
+        try:
+            nblocks = sized_num_blocks(
+                parquet_uncompressed_bytes(f), min_blocks=min_blocks
+            )
+        except OSError:
+            nblocks = None
+        ds = ray.data.read_parquet(
+            f, columns=avail or None, override_num_blocks=nblocks
+        )
+        parts.append(ds.map_batches(conform, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def read_table(
     sf_dir: str, name: str, *, columns=None, min_blocks: int = 1
 ) -> ray.data.Dataset:

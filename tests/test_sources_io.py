@@ -119,3 +119,67 @@ def test_read_auto_txt_and_registry(ray_session, tmp_path):
         assert calls
     finally:
         del sio.READERS["xyz"]
+
+
+def test_read_evolved_unifies_schemas(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.io import read_evolved
+
+    # three crawl segments with evolved schemas: added column, widened int
+    pq.write_table(
+        pa.table({"url": ["a", "b"], "n": pa.array([1, 2], pa.int32())}),
+        str(tmp_path / "seg1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["c"],
+                "n": pa.array([3], pa.int64()),
+                "lang": ["en"],
+            }
+        ),
+        str(tmp_path / "seg2.parquet"),
+    )
+    pq.write_table(pa.table({"url": ["d", "e"]}), str(tmp_path / "seg3.parquet"))
+
+    tbl = read_evolved(str(tmp_path)).take_all()
+    by_url = {r["url"]: r for r in tbl}
+    assert set(by_url) == {"a", "b", "c", "d", "e"}
+    assert by_url["a"]["n"] == 1 and by_url["c"]["n"] == 3
+    assert by_url["d"]["n"] is None  # dropped column -> nulls
+    assert by_url["c"]["lang"] == "en" and by_url["a"]["lang"] is None
+    # schema is the unified one everywhere (int widened)
+    ds = read_evolved(str(tmp_path))
+    sch = ds.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types]))["n"] == "int64"
+
+
+def test_read_evolved_column_pruning_and_errors(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ocr_ray.sources.io import read_evolved
+
+    pq.write_table(pa.table({"url": ["a"], "n": [1]}), str(tmp_path / "s1.parquet"))
+    pq.write_table(pa.table({"url": ["b"]}), str(tmp_path / "s2.parquet"))
+    rows = read_evolved(str(tmp_path), columns=["url"]).take_all()
+    assert sorted(r["url"] for r in rows) == ["a", "b"]
+    assert all(set(r) == {"url"} for r in rows)
+    with _pytest.raises(ValueError):
+        read_evolved(str(tmp_path), columns=["nope"])
+
+
+def test_read_evolved_type_conflict_raises(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ocr_ray.sources.io import read_evolved
+
+    pq.write_table(pa.table({"x": ["s"]}), str(tmp_path / "a.parquet"))
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "b.parquet"))
+    with _pytest.raises(ValueError):
+        read_evolved(str(tmp_path))
