@@ -811,7 +811,7 @@ _WIN_MULT_A = 0xC2B2AE3D27D4EB4F
 _WIN_MULT_B = 0x9E3779B97F4A7C15
 
 
-def _explode_window_hashes(batch: pa.Table) -> pa.Table:
+def _explode_window_hashes(batch: pa.Table, win: int = _WIN_WORDS) -> pa.Table:
     """(doc_id, h1, h2) rows: one 128-bit content hash (two int64 lanes) per OVERLAPPING
     10-word window, zero Python loops.  Tokens are hashed once per batch
     VOCABULARY (dictionary-encode + flat-buffer polynomial hash), window
@@ -835,17 +835,17 @@ def _explode_window_hashes(batch: pa.Table) -> pa.Table:
         }
     )
     total = codes.size
-    if total < _WIN_WORDS:
+    if total < win:
         return empty
     ta = strhash.hash_strings_u64(enc.dictionary, strhash.SEED_A)[codes]
     tb = strhash.hash_strings_u64(enc.dictionary, strhash.SEED_B)[codes]
-    ha = strhash.window_hashes_u64(ta, _WIN_WORDS, _WIN_MULT_A)
-    hb = strhash.window_hashes_u64(tb, _WIN_WORDS, _WIN_MULT_B)
+    ha = strhash.window_hashes_u64(ta, win, _WIN_MULT_A)
+    hb = strhash.window_hashes_u64(tb, win, _WIN_MULT_B)
     nw = ha.size
     row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
     starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(sizes)])[:-1]
     pos_in_row = np.arange(total, dtype=np.int64) - starts[row_of]
-    valid = pos_in_row[:nw] + _WIN_WORDS <= sizes[row_of[:nw]]
+    valid = pos_in_row[:nw] + win <= sizes[row_of[:nw]]
     if not valid.any():
         return empty
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1128,7 +1128,120 @@ SQL_COHORT_RETENTION = (
 ).format(w0=WEEK0_US, wk=WEEK_US)
 
 
+# ---------------------------------------------------------------------------
+# INTERSECT set operation via digest semi-join (cross-source overlap)
+# ---------------------------------------------------------------------------
+
+
+_INTERSECT_WIN = 3  # words per shingle — whole-text equality is degenerate
+
+
+def q_source_intersect(sf_dir: str):
+    """INTERSECT-style set-membership between sources: documents of src0
+    that share at least one 3-word shingle with some src1 document (SQL
+    ``EXISTS`` on shingle equality) — the overlap probe an incremental
+    crawl runs before deciding what to re-extract.  Complement of
+    :func:`q_source_except` with content equality relaxed to shingle
+    granularity: each side explodes to 128-bit window hashes with the
+    zero-Python-loop Horner kernel (`queries_cc._explode_window_hashes`
+    — dictionary-encoded token hashing, windows masked at row bounds),
+    the semi-join moves 16-byte digests + ids (never the text), and
+    ``semi_anti_join`` size-plans broadcast vs partitioned membership.
+    Reference analog: the map.json presence check
+    (`models/detection/base_detector.py:171-174`) generalized to a
+    distributed set-membership operator."""
+    from ..functions.strhash import pack_u64_pair
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import semi_anti_join
+    from .queries_cc import _explode_window_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def shingles(which: str):
+        def add(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.equal(batch.column("source"), which))
+            win = _explode_window_hashes(
+                sub.select(["doc_id", "text"]), win=_INTERSECT_WIN
+            )
+            h = pack_u64_pair(
+                win.column("h1").to_numpy(zero_copy_only=False).view(np.uint64),
+                win.column("h2").to_numpy(zero_copy_only=False).view(np.uint64),
+            )
+            return pa.table({"doc_id": win.column("doc_id"), "h": h})
+
+        return add
+
+    left = docs.map_batches(shingles("src0"), batch_format="pyarrow")
+    right = docs.map_batches(shingles("src1"), batch_format="pyarrow")
+    out = semi_anti_join(left, right.select_columns(["h"]), on="h", anti=False)
+    return distinct_rows(out, ["doc_id"]).select_columns(["doc_id"])
+
+
+SQL_SOURCE_INTERSECT = (
+    "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t"
+    " FROM documents WHERE source IN ('src0', 'src1')),"
+    " sh AS (SELECT doc_id, source,"
+    " array_to_string(t[g.i:g.i+{wm1}], ' ') AS shingle"
+    " FROM toks CROSS JOIN LATERAL"
+    " (SELECT unnest(range(1, len(t) - {wm1} + 1)) AS i) g)"
+    " SELECT DISTINCT a.doc_id FROM sh a WHERE a.source = 'src0'"
+    " AND EXISTS (SELECT 1 FROM sh b"
+    " WHERE b.source = 'src1' AND b.shingle = a.shingle)"
+).format(wm1=_INTERSECT_WIN - 1)
+
+
+# ---------------------------------------------------------------------------
+# wide -> long UNPIVOT (melt) over the per-user pivot
+# ---------------------------------------------------------------------------
+
+
+def q_events_unpivot(sf_dir: str):
+    """Wide -> long melt: take the per-user pivot (one ``n_<type>`` count
+    column per event type, :func:`queries_rel.q_events_pivot`) back to
+    tidy (user_id, event_type, n) rows, dropping absent combinations —
+    the UNPIVOT relational operator.  The melt is a pure per-batch
+    reshape (np.repeat keys / tile labels / column-stack counts — zero
+    Python per row) so it parallelizes embarrassingly; only the upstream
+    pivot shuffles, and that shuffle moves already-widened partials."""
+    from .queries_rel import _EVENT_TYPES, q_events_pivot
+
+    wide = q_events_pivot(sf_dir)
+    types = np.array(list(_EVENT_TYPES))
+    k = len(types)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        r = batch.num_rows
+        uid = np.repeat(
+            batch.column("user_id").to_numpy(zero_copy_only=False), k
+        )
+        etype = np.tile(types, r)
+        n = np.column_stack(
+            [
+                batch.column("n_%s" % t).to_numpy(zero_copy_only=False)
+                for t in _EVENT_TYPES
+            ]
+        ).ravel()
+        keep = n > 0
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_type": pa.array(etype[keep].tolist(), pa.string()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_EVENTS_UNPIVOT = (
+    "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n"
+    " FROM events GROUP BY user_id, event_type"
+)
+
+
 WEB_QUERIES = {
+    "source_intersect": q_source_intersect,
+    "events_unpivot": q_events_unpivot,
     "host_stats": q_host_stats,
     "pages_scd": q_pages_scd,
     "reciprocal_links": q_reciprocal_links,
@@ -1147,6 +1260,8 @@ WEB_QUERIES = {
 }
 
 WEB_ORACLE_SQL = {
+    "source_intersect": SQL_SOURCE_INTERSECT,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
     "host_stats": SQL_HOST_STATS,
     "pages_scd": SQL_PAGES_SCD,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
