@@ -1239,7 +1239,221 @@ SQL_EVENTS_UNPIVOT = (
 )
 
 
+# ---------------------------------------------------------------------------
+# FULL OUTER join (native hash-shuffle path)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_full(sf_dir: str):
+    """FULL OUTER join of two fact slices with only partial key overlap:
+    per-customer order stats (custkeys that placed orders) against the
+    BUILDING-segment customer dimension — left-only rows are buyers outside
+    the segment, right-only rows are segment customers who never ordered.
+    Exercises Ray's native ``full_outer`` hash join through the size-aware
+    planner (a full outer can NEVER broadcast — both sides contribute
+    unmatched rows, so ``auto_join`` must fall through to the partitioned
+    path regardless of side size; this query pins that planning rule).
+    The orders side pre-aggregates map-side (Count + Max — Max is float
+    order-independent, so no quantization dance), so the shuffle moves one
+    row per distinct custkey, not one per order.  Reference analog: the
+    prediction-map reconciliation in `models/detection/base_detector.py:
+    171-186` (entries on either side of the on-disk map survive)."""
+    from ..stages.joins import auto_join
+
+    stats = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+    )
+    segment = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    ).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).select_columns(["c_custkey", "c_acctbal"])
+    joined = auto_join(
+        stats, segment, on="o_custkey", right_on="c_custkey", join_type="full_outer"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the key into the LEFT name already
+        return pa.table(
+            {
+                "custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "n_orders": pc.fill_null(
+                    pc.cast(batch.column("n_orders"), pa.int64()), 0
+                ),
+                "max_price": pc.fill_null(batch.column("max_price"), -1.0),
+                "acctbal": pc.fill_null(batch.column("c_acctbal"), -1.0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_FULL = (
+    "SELECT COALESCE(o.k, c.c_custkey) AS custkey,"
+    " COALESCE(o.n_orders, 0) AS n_orders,"
+    " COALESCE(o.max_price, -1.0) AS max_price,"
+    " COALESCE(c.c_acctbal, -1.0) AS acctbal"
+    " FROM (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,"
+    " max(o_totalprice) AS max_price FROM orders GROUP BY 1) o"
+    " FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer"
+    " WHERE c_mktsegment = 'BUILDING') c ON o.k = c.c_custkey"
+)
+
+
+# ---------------------------------------------------------------------------
+# time-series resample with gap fill (dense per-key hourly grid)
+# ---------------------------------------------------------------------------
+
+
+HOUR_US = 3_600_000_000
+
+
+def _resample_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Dense per-user hour grids for one bucket of (user_id, hr, n)
+    partials — one vectorized pass, zero Python per user.  Duplicate
+    (user, hr) cells (partials from different batches) scatter-ADD."""
+    g = g.sort_values(["user_id", "hr"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    hr = g["hr"].to_numpy()
+    n = g["n"].to_numpy()
+    first = np.empty(len(g), dtype=bool)
+    first[0] = True
+    first[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(first)
+    ends = np.concatenate([starts[1:], [len(g)]]) - 1
+    h0 = hr[starts]
+    h1 = hr[ends]
+    sizes = h1 - h0 + 1
+    total = int(sizes.sum())
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    seg_of = np.repeat(np.arange(len(starts)), sizes)
+    grid_hr = np.arange(total, dtype=np.int64) - offs[seg_of] + h0[seg_of]
+    grid_uid = np.repeat(uid[starts], sizes)
+    grid_n = np.zeros(total, dtype=np.int64)
+    seg_idx = np.cumsum(first) - 1
+    np.add.at(grid_n, offs[seg_idx] + (hr - h0[seg_idx]), n)
+    return pd.DataFrame({"user_id": grid_uid, "hr": grid_hr, "n": grid_n})
+
+
+def q_events_resample(sf_dir: str):
+    """Per-user hourly resample with gap fill: for every user, a DENSE
+    hour grid from their first to their last event with the event count in
+    each hour (0 for silent hours) — the reshape every time-series
+    model-prep pipeline runs before windowing.  Map-side partial: each
+    batch reduces to distinct (user, hour, partial-count) rows via one
+    packed-int64 np.unique, so the shuffle is bounded by active
+    (user, hour) cells, never raw events.  One user-hash-bucket groupby;
+    inside each bucket a single vectorized kernel builds every user's grid
+    at once (segment min/max via sorted firsts/lasts, np.repeat +
+    offset-arange for the dense grid, scatter-add for the observed cells —
+    zero Python per user).  Grid mass is bounded by each user's own time
+    span; a pathological span would inflate only its own bucket, and the
+    docstringed contract (dense grid per key) makes that cost explicit."""
+    n_buckets = _default_buckets()
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hr = ts // HOUR_US
+        # 2-column unique (no bit packing — epoch-scale hour ids need >40 bits)
+        pair = np.stack([uid, hr], axis=1)
+        u, counts = np.unique(pair, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u[:, 0], pa.int64()),
+                "hr": pa.array(u[:, 1], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (u[:, 0].astype(np.uint64) * 0x9E3779B97F4A7C15 >> 32).astype(
+                        np.int64
+                    )
+                    % n_buckets,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_resample_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_RESAMPLE = (
+    "WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),"
+    " spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM b GROUP BY 1),"
+    " grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM spans),"
+    " cnt AS (SELECT user_id, hr, count(*) AS n FROM b GROUP BY 1, 2)"
+    " SELECT g.user_id, g.hr, CAST(COALESCE(c.n, 0) AS BIGINT) AS n"
+    " FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.hr = c.hr"
+)
+
+
+# ---------------------------------------------------------------------------
+# global stable row numbering (ROW_NUMBER without a global sort)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_row_number(sf_dir: str):
+    """Assign every document a GLOBAL stable sequence number — ROW_NUMBER()
+    OVER (ORDER BY n_chars DESC, doc_id) — without a global sort: pass 1
+    aggregates the n_chars value histogram (bounded by distinct lengths,
+    not rows) and the driver turns it into per-value base offsets broadcast
+    via ``ray.put``; pass 2 groups by the BOUNDED value key and each group
+    kernel argsorts its doc_ids once, emitting base + arange.  The shuffle
+    is keyed on an integer of bounded cardinality, the driver holds one
+    int per distinct value, and no stage sees a globally sorted stream —
+    the standard two-pass rank-assignment plan for stable-id minting at
+    corpus scale (shard offsets + within-shard positions)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    hist = ds.groupby("n_chars").aggregate(Count(alias_name="n")).to_pandas()
+    hist = hist.sort_values("n_chars", ascending=False)
+    base = dict(
+        zip(
+            hist["n_chars"].to_numpy(),
+            np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]]),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def per_value(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(base_ref)
+        ids = np.sort(g["doc_id"].to_numpy())
+        start = int(offsets[int(g["n_chars"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "rn": start + np.arange(1, len(ids) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("n_chars").map_groups(per_value, batch_format="pandas")
+
+
+SQL_DOC_ROW_NUMBER = (
+    "SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn"
+    " FROM documents"
+)
+
+
 WEB_QUERIES = {
+    "customer_order_full": q_customer_order_full,
+    "events_resample": q_events_resample,
+    "doc_row_number": q_doc_row_number,
     "source_intersect": q_source_intersect,
     "events_unpivot": q_events_unpivot,
     "host_stats": q_host_stats,
@@ -1260,6 +1474,9 @@ WEB_QUERIES = {
 }
 
 WEB_ORACLE_SQL = {
+    "customer_order_full": SQL_CUSTOMER_ORDER_FULL,
+    "events_resample": SQL_EVENTS_RESAMPLE,
+    "doc_row_number": SQL_DOC_ROW_NUMBER,
     "source_intersect": SQL_SOURCE_INTERSECT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "host_stats": SQL_HOST_STATS,

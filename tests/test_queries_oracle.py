@@ -52,6 +52,11 @@ PICKS = [
     "item_cooccurrence",
     "event_transitions",
     "cohort_retention",
+    "source_intersect",
+    "events_unpivot",
+    "customer_order_full",
+    "events_resample",
+    "doc_row_number",
 ]
 
 

@@ -217,3 +217,76 @@ def test_decayed_value_is_integer_exact_vs_recompute(ray_session):
         .sort_index()
     )
     assert (got.to_numpy() == expect.to_numpy()).all()
+
+
+def test_resample_bucket_kernel_dense_grid_and_partial_merge():
+    """_resample_bucket: dense per-user hour grid, zero-filled gaps, and
+    scatter-ADD of duplicate (user, hr) partial cells from different
+    upstream batches."""
+    from ocr_ray.pipelines.queries_web import _resample_bucket
+
+    g = pd.DataFrame(
+        {
+            # user 7: hours 100..104 observed at 100 (x2 partials), 102;
+            # user 9: single hour (grid of size 1)
+            "user_id": [7, 7, 7, 9],
+            "hr": [100, 102, 100, 555],
+            "n": [2, 5, 3, 1],
+        }
+    )
+    out = (
+        _resample_bucket(g)
+        .sort_values(["user_id", "hr"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [7, 7, 7, 9]
+    assert out["hr"].tolist() == [100, 101, 102, 555]
+    assert out["n"].tolist() == [5, 0, 5, 1]  # 2+3 merged, gap zero-filled
+
+
+def test_customer_order_full_has_all_three_row_classes(ray_session):
+    """The full-outer join must surface left-only (buyer outside the
+    BUILDING segment: acctbal sentinel), right-only (segment customer with
+    no orders: n_orders == 0) and matched rows — the semantics a left or
+    inner join would silently lose."""
+    from ocr_ray.pipelines.queries_web import q_customer_order_full
+
+    df = q_customer_order_full("/root/testdata/sf0.001").to_pandas()
+    left_only = (df["acctbal"] == -1.0) & (df["n_orders"] > 0)
+    both = (df["n_orders"] > 0) & (df["acctbal"] != -1.0)
+    # sf0.001 is dense enough that every segment customer ordered, so the
+    # right-only class is pinned on a synthetic full outer below instead
+    assert left_only.any() and both.any()
+    assert df["custkey"].is_unique
+
+    import ray.data
+
+    from ocr_ray.stages.joins import auto_join
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "a": [10, 20]}))
+    r = ray.data.from_pandas(pd.DataFrame({"ck": [2, 3], "b": [200, 300]}))
+    out = (
+        auto_join(l, r, on="k", right_on="ck", join_type="full_outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]  # key coalesced across sides
+    assert out["a"].isna().tolist() == [False, False, True]
+    assert out["b"].isna().tolist() == [True, False, False]
+
+
+def test_doc_row_number_is_a_permutation_respecting_order(ray_session):
+    from ocr_ray.pipelines.queries_web import q_doc_row_number
+
+    df = q_doc_row_number("/root/testdata/sf0.001").to_pandas()
+    n = len(df)
+    assert sorted(df["rn"].tolist()) == list(range(1, n + 1))
+    import pyarrow.parquet as pq
+
+    lens = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    merged = df.merge(lens, on="doc_id").sort_values("rn")
+    key = list(zip(-merged["n_chars"].to_numpy(), merged["doc_id"].to_numpy()))
+    assert key == sorted(key)
