@@ -90,15 +90,58 @@ def _key_sum(col) -> int:
     return acc
 
 
+def _write_jsonl(tbl: pa.Table, path: str) -> None:
+    # pandas' C json writer — vectorized, no Python loop over rows
+    tbl.to_pandas().to_json(
+        path, orient="records", lines=True, force_ascii=False,
+        date_format="iso", date_unit="us",
+    )
+
+
+def _read_jsonl(path: str) -> pa.Table:
+    from pyarrow import json as pj
+
+    return pj.read_json(path)
+
+
+def _write_csv(tbl: pa.Table, path: str) -> None:
+    from pyarrow import csv as pcsv
+
+    pcsv.write_csv(tbl, path)
+
+
+def _read_csv(path: str) -> pa.Table:
+    from pyarrow import csv as pcsv
+
+    return pcsv.read_csv(path)
+
+
+#: Sink format registry: extension, vectorized writer, reader.  Parquet is
+#: the canonical store; jsonl/csv are interchange sinks (the reference's
+#: JSONSaver / FileSaver shapes, `utils/databases/json_dir.py` /
+#: `models/saving.py`) with the usual interchange caveats (csv erases the
+#: null-vs-empty-string distinction; jsonl renders timestamps as ISO text).
+FORMATS = {
+    "parquet": (".parquet", pq.write_table, pq.read_table),
+    "jsonl": (".jsonl", _write_jsonl, _read_jsonl),
+    "csv": (".csv", _write_csv, _read_csv),
+}
+
+
 def write_partitioned(
     ds: ray.data.Dataset,
     output_dir: str,
     *,
     key: str,
     n_partitions: int = 64,
+    format: str = "parquet",
 ) -> dict:
-    """Write ``ds`` as resumable key-partitioned parquet.  Returns
-    ``{"written": rows_written_this_run, "skipped_partitions": N}``."""
+    """Write ``ds`` as resumable key-partitioned files in ``format``
+    (``parquet`` | ``jsonl`` | ``csv`` — see ``FORMATS``).  Returns
+    ``{"written": rows_written_this_run, "skipped_partitions": N}``.
+    All resume / debris / manifest guarantees hold for every format; the
+    file body serializer is the only thing that changes."""
+    ext, write_fn, _ = FORMATS[format]
     mf.purge_mismatched(output_dir, n_partitions)
     done = set(mf.completed_partitions(output_dir, n_partitions=n_partitions))
     _clean_debris(output_dir, committed=done)
@@ -137,10 +180,10 @@ def write_partitioned(
                 if old.startswith(prefix) and "-{}-".format(salt) not in old:
                     os.remove(os.path.join(pdir, old))
             content = _content_digest(part)
-            fname = "part-{}-{}-{}-{}-{}.parquet".format(
-                task_id[:12], salt, seq, content, part.num_rows
+            fname = "part-{}-{}-{}-{}-{}{}".format(
+                task_id[:12], salt, seq, content, part.num_rows, ext
             )
-            pq.write_table(part, os.path.join(pdir, fname))
+            write_fn(part, os.path.join(pdir, fname))
             out_pid.append(int(pid))
             out_rows.append(part.num_rows)
             out_sum.append(ks)
@@ -223,6 +266,9 @@ def compact_partitioned(
       the old files or the new ones, never both visible;
     - distributed: one Ray task per partition via ``map_batches`` over
       the partition-id list (file-level work, no data shuffle).
+
+    Parquet-only by design: jsonl/csv are interchange sinks, not scan
+    stores — partitions holding non-parquet files are left untouched.
     """
     import glob
 
@@ -305,13 +351,14 @@ def read_partitioned(output_dir: str) -> pa.Table:
     entry — any residual write duplication (e.g. a retried task whose
     debris escaped the salt sweep) raises loudly instead of returning
     silently duplicated rows."""
+    readers = {ext: read_fn for ext, _, read_fn in FORMATS.values()}
     parts = []
     for pid, entry in sorted(mf.completed_partitions(output_dir).items()):
         pdir = os.path.join(output_dir, "partition_id={}".format(pid))
         ptables = [
-            pq.read_table(os.path.join(pdir, f))
+            readers[os.path.splitext(f)[1]](os.path.join(pdir, f))
             for f in sorted(os.listdir(pdir))
-            if f.endswith(".parquet")
+            if os.path.splitext(f)[1] in readers
         ]
         n = sum(t.num_rows for t in ptables)
         expected = entry.get("n_docs")
