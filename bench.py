@@ -198,6 +198,13 @@ def run_queries(sf_dir: str) -> dict:
         "pages_asof",
         "props_stats",
         "source_except",
+        # round-4 session-5 relational tail
+        "item_cooccurrence",
+        "cohort_retention",
+        "customer_order_full",
+        "events_resample",
+        "doc_row_number",
+        "source_intersect",
     ]
     import ray.data
 

@@ -1253,26 +1253,33 @@ def q_customer_order_full(sf_dir: str):
     planner (a full outer can NEVER broadcast — both sides contribute
     unmatched rows, so ``auto_join`` must fall through to the partitioned
     path regardless of side size; this query pins that planning rule).
-    The orders side pre-aggregates map-side (Count + Max — Max is float
-    order-independent, so no quantization dance), so the shuffle moves one
-    row per distinct custkey, not one per order.  Reference analog: the
+    The orders side pre-aggregates (Count + Max — Max is float
+    order-independent, so no quantization dance) through
+    ``bucketed_group_agg``: custkey is a DATA-cardinality key (~#customers
+    groups), exactly the shape where Ray's native aggregate pays ~30 us
+    per group (BASELINE r4 #4), so the reduce is one lexsort/reduceat
+    kernel per hash bucket instead.  The join then moves one row per
+    distinct custkey, not one per order.  Reference analog: the
     prediction-map reconciliation in `models/detection/base_detector.py:
     171-186` (entries on either side of the on-disk map survive)."""
+    from ..stages.groupagg import bucketed_group_agg
     from ..stages.joins import auto_join
 
-    stats = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Max("o_totalprice", alias_name="max_price"),
+    stats = bucketed_group_agg(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        {"n_orders": ("count", None), "max_price": ("max", "o_totalprice")},
+    ).materialize()  # dimension-sized (one row per custkey) by construction:
+    # materializing gives the join planner KNOWN sizes, so num_partitions
+    # scales with actual bytes instead of defaulting to cluster width
+    segment = (
+        read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
         )
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey", "c_acctbal"])
+        .materialize()
     )
-    segment = read_table(
-        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
-    ).filter(
-        expr="c_mktsegment == 'BUILDING'"
-    ).select_columns(["c_custkey", "c_acctbal"])
     joined = auto_join(
         stats, segment, on="o_custkey", right_on="c_custkey", join_type="full_outer"
     )

@@ -88,7 +88,12 @@ def bucketed_group_agg(
                     "sum": np.add.reduceat,
                 }[op]
                 v = fn(col, starts)
-            out[name] = pa.array(v.astype(np.int64), pa.int64())
+            if op != "count" and np.issubdtype(v.dtype, np.floating):
+                # min/max over floats are exact and order-independent;
+                # keep the dtype instead of silently truncating to int
+                out[name] = pa.array(v.astype(np.float64), pa.float64())
+            else:
+                out[name] = pa.array(v.astype(np.int64), pa.int64())
         return pa.table(out)
 
     return (

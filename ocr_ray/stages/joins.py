@@ -36,6 +36,7 @@ def default_num_partitions(*datasets: ray.data.Dataset) -> int:
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     cpus = max(2, cpus)
     size = 0
+    all_known = True
     for ds in datasets:
         try:
             sb = ds.size_bytes()
@@ -43,8 +44,18 @@ def default_num_partitions(*datasets: ray.data.Dataset) -> int:
             sb = None
         if sb:
             size += sb
+        else:
+            all_known = False
     by_bytes = -(-size // _JOIN_PARTITION_BYTES) if size else 0
-    return min(4096, max(cpus, by_bytes))
+    wide = min(4096, max(cpus, by_bytes))
+    if not all_known:
+        return wide
+    # Every side's size is KNOWN (parquet metadata / materialized blocks):
+    # the join's per-partition fixed cost (~0.1 s of aggregator-actor setup
+    # per partition, measured) dominates small joins, so clamp fan-out to
+    # ~8 MiB per partition — a 15k-row dimension join plans 2 partitions
+    # instead of #CPUs, while anything over cpus*8MiB keeps `wide`.
+    return max(2, min(wide, -(-size // (8 * 1024 * 1024))))
 
 
 def hash_join(
