@@ -205,6 +205,11 @@ def run_queries(sf_dir: str) -> dict:
         "events_resample",
         "doc_row_number",
         "source_intersect",
+        # round-4 session-6 lakehouse/statistics family
+        "changelog_apply",
+        "tier_lookup",
+        "corr_by_nation",
+        "entropy_by_source",
     ]
     import ray.data
 

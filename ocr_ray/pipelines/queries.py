@@ -515,12 +515,14 @@ from .queries_cur import CUR_ORACLE_SQL, CUR_QUERIES  # noqa: E402
 from .queries_cc import CC_ORACLE_SQL, CC_QUERIES  # noqa: E402
 from .queries_graph import GRAPH_ORACLE_SQL, GRAPH_QUERIES  # noqa: E402
 from .queries_web import WEB_ORACLE_SQL, WEB_QUERIES  # noqa: E402
+from .queries_lake import LAKE_ORACLE_SQL, LAKE_QUERIES  # noqa: E402
 
 # Registry order = driver sampling order: the external correctness driver
 # checks the FIRST ~50 entries, so the newest / most-recently-changed
 # families go first and the long-stable round-1 basics go last (they have
 # green rows in CORRECTNESS_r01..r03 already).
 QUERIES = {}
+QUERIES.update(LAKE_QUERIES)
 QUERIES.update(WEB_QUERIES)
 QUERIES.update(TRAIN_QUERIES)
 QUERIES.update(CC_QUERIES)
@@ -552,6 +554,7 @@ ORACLE_SQL.update(CC_ORACLE_SQL)
 ORACLE_SQL.update(GRAPH_ORACLE_SQL)
 ORACLE_SQL.update(TRAIN_ORACLE_SQL)
 ORACLE_SQL.update(WEB_ORACLE_SQL)
+ORACLE_SQL.update(LAKE_ORACLE_SQL)
 # exploded reassembly reproduces the same identity contract as the fused
 # path (registered here because queries_cur cannot import queries at load)
 ORACLE_SQL["extract_exploded"] = SQL_EXTRACT_IDENTITY

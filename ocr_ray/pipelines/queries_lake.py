@@ -1,0 +1,567 @@
+"""Lakehouse / statistics operators (round 4, session 4): CDC MERGE
+(changelog apply), broadcast interval-lookup join, shifted-moment
+per-group correlation/regression, per-group mode (argmax), token-entropy
+profiling, and a referential-integrity audit.
+
+These close the "table maintenance + statistics" tail a production data
+engine needs around the curation families (queries_cc / queries_web):
+a crawl store is maintained by MERGE-shaped changelog applies (the
+reference's JSONSaver map.json overwrite cycle, `utils/databases/
+json_dir.py`, is a degenerate single-writer MERGE); boundary/tier
+lookups are the IP-geo / price-band shape every reporting pass needs;
+corr/slope/mode/entropy are the dataset-summary statistics the
+reference's `summary()` analogs print; FK audits are how a multi-table
+lake validates itself after every load.
+
+Scale rules (same contract as queries_cc / queries_web):
+
+- partial aggregation inside ``map_batches`` before every groupby —
+  fact-table rows NEVER reach a native aggregate (BASELINE.md #15);
+- shuffles keyed on integers / dictionary codes, never raw text;
+- per-batch kernels vectorized (np.unique / bincount / searchsorted over
+  dictionary codes); Python loops only over batch VOCABULARY;
+- small sides broadcast (interval table via ``ray.put``; supplier /
+  nation dimension maps as numpy arrays), never shuffled;
+- moment statistics use SHIFTED sums (fixed public pivot constants) so
+  the n*sxy - sx*sy cancellation stays in double-exact territory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# changelog apply (CDC MERGE): latest-wins upsert/delete onto a snapshot
+# ---------------------------------------------------------------------------
+
+#: MERGE cutoff: events before this instant form the base snapshot, events
+#: at/after it are the changelog batch being applied (2024-01-16T00:00Z —
+#: the events table spans January 2024 at every sf).
+MERGE_CUTOFF_US = 1_705_363_200_000_000
+_DELETE_TYPE = "error"  # event_type carrying DELETE semantics
+
+
+def _latest_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch latest-event partial per (user, regime): regime 0 = base
+    (ts < cutoff), regime 1 = changelog.  Latest = max (ts, event_id).
+    Output <= 2 rows per user per batch — the map-side combine that keeps
+    the shuffle cardinality-bounded."""
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    is_del = pc.equal(batch.column("event_type"), _DELETE_TYPE).to_numpy(
+        zero_copy_only=False
+    )
+    if len(ts) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "regime": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "is_delete": pa.array([], pa.bool_()),
+            }
+        )
+    regime = (ts >= MERGE_CUTOFF_US).astype(np.int64)
+    # lexsort ascending by (uid, regime, ts, eid); the LAST row of each
+    # (uid, regime) run is its latest event
+    order = np.lexsort((eid, ts, regime, uid))
+    u, r = uid[order], regime[order]
+    ends = np.r_[(np.diff(u * 2 + r) != 0).nonzero()[0], len(u) - 1]
+    pick = order[ends]
+    return pa.table(
+        {
+            "user_id": pa.array(uid[pick], pa.int64()),
+            "regime": pa.array(regime[pick], pa.int64()),
+            "ts_us": pa.array(ts[pick], pa.int64()),
+            "event_id": pa.array(eid[pick], pa.int64()),
+            "value": pa.array(val[pick], pa.float64()),
+            "is_delete": pa.array(is_del[pick], pa.bool_()),
+        }
+    )
+
+
+def _merge_group(group: pa.Table) -> pa.Table:
+    """Final MERGE per user over its <= 2 x n_blocks partial rows: pick the
+    true latest per regime, then apply changelog-over-base semantics.
+    Vectorized over every user in the group block (map_groups feeds one
+    group per call but the kernel handles many)."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    regime = group.column("regime").to_numpy(zero_copy_only=False)
+    ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    val = group.column("value").to_numpy(zero_copy_only=False)
+    is_del = group.column("is_delete").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, regime, uid))
+    u, r = uid[order], regime[order]
+    ends = np.r_[(np.diff(u * 2 + r) != 0).nonzero()[0], len(u) - 1]
+    pick = order[ends]
+    out_uid, out_val, out_src = [], [], []
+    # <= 2 picked rows per user: walk the picked runs (bounded by users in
+    # this group — map_groups gives 1 — not by events)
+    i = 0
+    while i < len(pick):
+        j = i + 1 if i + 1 < len(pick) and uid[pick[i + 1]] == uid[pick[i]] else i
+        base = pick[i] if regime[pick[i]] == 0 else None
+        post = pick[j] if regime[pick[j]] == 1 else None
+        has_base = base is not None and not is_del[base]
+        if post is None:
+            if has_base:
+                out_uid.append(uid[base])
+                out_val.append(val[base])
+                out_src.append("base")
+        elif not is_del[post]:
+            out_uid.append(uid[post])
+            out_val.append(val[post])
+            out_src.append("updated" if has_base else "inserted")
+        i = j + 1
+    return pa.table(
+        {
+            "user_id": pa.array(out_uid, pa.int64()),
+            "value": pa.array(np.round(np.array(out_val, np.float64), 4)),
+            "src": pa.array(out_src, pa.string()),
+        }
+    )
+
+
+def q_changelog_apply(sf_dir: str):
+    """CDC MERGE: the latest pre-cutoff event per user is the base
+    snapshot row (unless it is a delete), post-cutoff events are the
+    changelog; latest changelog op wins — delete removes the row, upsert
+    rewrites it (tagged ``updated`` / ``inserted`` by base existence).
+
+    Scale shape: ONE pass over events emits <= 2 tiny argmax partials per
+    (user, batch); the only shuffle is the user-keyed groupby over those
+    partials.  No join — base and changelog are two regimes of the same
+    keyed stream, merged in one kernel.  (Reference analog: the map.json
+    skip-if-done overwrite cycle, `utils/databases/json_dir.py`.)"""
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return (
+        ev.map_batches(_latest_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_merge_group, batch_format="pyarrow")
+    )
+
+
+SQL_CHANGELOG_APPLY = (
+    "WITH base AS ("
+    " SELECT user_id, value, event_type FROM ("
+    "  SELECT user_id, value, event_type,"
+    "   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
+    "  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1"
+    "   AND event_type <> 'error'),"
+    " post AS ("
+    " SELECT user_id, value, event_type FROM ("
+    "  SELECT user_id, value, event_type,"
+    "   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
+    "  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1) "
+    "SELECT COALESCE(post.user_id, base.user_id) AS user_id,"
+    " round(COALESCE(post.value, base.value), 4) AS value,"
+    " CASE WHEN post.user_id IS NULL THEN 'base'"
+    "      WHEN base.user_id IS NULL THEN 'inserted'"
+    "      ELSE 'updated' END AS src "
+    "FROM base FULL OUTER JOIN post ON base.user_id = post.user_id "
+    "WHERE post.user_id IS NULL OR post.event_type <> 'error'"
+)
+
+
+# ---------------------------------------------------------------------------
+# broadcast interval-lookup join (price tiers — the IP-geo shape)
+# ---------------------------------------------------------------------------
+
+#: sorted tier lower bounds and names — at scale this interval table is a
+#: real Dataset collapsed once on the driver and ``ray.put``-broadcast;
+#: every map task binary-searches it instead of shuffling the fact table.
+TIER_BOUNDS = np.array([0.0, 1_000.0, 5_000.0, 20_000.0, 100_000.0])
+TIER_NAMES = ["T0", "T1", "T2", "T3", "T4"]
+
+
+def q_tier_lookup(sf_dir: str):
+    """Per (price tier, order status) counts and mass: each order's
+    ``o_totalprice`` is mapped to its tier by binary search against a
+    broadcast sorted boundary table — the interval-lookup join (IP-geo /
+    price-band shape) that replaces a range join when one side is small.
+
+    Scale shape: boundaries travel once via ``ray.put``; the per-batch
+    kernel is one ``np.searchsorted`` + bincount partial (<= tiers x
+    statuses rows per batch), so the groupby input is cardinality-bounded,
+    never fact-proportional."""
+    bounds_ref = ray.put((TIER_BOUNDS, TIER_NAMES))
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bounds, names = ray.get(bounds_ref)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        tier = np.searchsorted(bounds, price, side="right") - 1
+        status_enc = pc.dictionary_encode(
+            batch.column("o_orderstatus").combine_chunks()
+        )
+        scode = np.asarray(status_enc.indices, dtype=np.int64)
+        sdict = status_enc.dictionary
+        key = tier * len(sdict) + scode
+        n_key = len(bounds) * len(sdict)
+        n = np.bincount(key, minlength=n_key)
+        s = np.bincount(key, weights=price, minlength=n_key)
+        nz = n.nonzero()[0]
+        return pa.table(
+            {
+                "tier": pa.array([names[k // len(sdict)] for k in nz], pa.string()),
+                "o_orderstatus": sdict.take(pa.array(nz % len(sdict), pa.int32())),
+                "n": pa.array(n[nz], pa.int64()),
+                "sum_price": pa.array(s[nz], pa.float64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_price"),
+            "sum_price",
+            pc.round(batch.column("sum_price"), ndigits=2),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tier", "o_orderstatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_TIER_LOOKUP = (
+    "SELECT CASE WHEN o_totalprice < 1000 THEN 'T0'"
+    " WHEN o_totalprice < 5000 THEN 'T1'"
+    " WHEN o_totalprice < 20000 THEN 'T2'"
+    " WHEN o_totalprice < 100000 THEN 'T3'"
+    " ELSE 'T4' END AS tier, o_orderstatus,"
+    " count(*) AS n, round(sum(o_totalprice), 2) AS sum_price "
+    "FROM orders GROUP BY tier, o_orderstatus"
+)
+
+
+# ---------------------------------------------------------------------------
+# per-nation correlation / regression (shifted-moment partials)
+# ---------------------------------------------------------------------------
+
+#: fixed public pivots near the column means — shifting x/y by a constant
+#: leaves corr and slope invariant but kills the n*sxy - sx*sy cancellation
+#: that would otherwise eat float precision at 100-TB row counts.
+_PIVOT_QTY = 25.0
+_PIVOT_PRICE = 35_000.0
+
+
+def q_corr_by_nation(sf_dir: str):
+    """Pearson correlation and OLS slope of (l_quantity -> l_extendedprice)
+    per supplier nation — the dataset-summary statistics pass.
+
+    Scale shape: supplier (s_suppkey -> s_nationkey) and nation names are
+    dimension tables broadcast as numpy arrays (searchsorted lookup, no
+    shuffle); each batch folds to <= 25 shifted-moment rows
+    (n, sx, sy, sxx, syy, sxy) via bincount; the native aggregate then
+    sums <= 25 x n_blocks tiny rows and one driver-sized map computes the
+    statistics."""
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    sup_keys = ray.put(sup["s_suppkey"].to_numpy(np.int64))
+    sup_nat = ray.put(sup["s_nationkey"].to_numpy(np.int64))
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        keys = ray.get(sup_keys)
+        nats = ray.get(sup_nat)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        g = nats[np.searchsorted(keys, sk)]
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False) - _PIVOT_QTY
+        y = (
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            - _PIVOT_PRICE
+        )
+        m = int(g.max()) + 1 if len(g) else 1
+        n = np.bincount(g, minlength=m).astype(np.float64)
+        cols = {
+            "nationkey": np.arange(m, dtype=np.int64),
+            "n": n,
+            "sx": np.bincount(g, weights=x, minlength=m),
+            "sy": np.bincount(g, weights=y, minlength=m),
+            "sxx": np.bincount(g, weights=x * x, minlength=m),
+            "syy": np.bincount(g, weights=y * y, minlength=m),
+            "sxy": np.bincount(g, weights=x * y, minlength=m),
+        }
+        keep = n > 0
+        return pa.table({k: pa.array(v[keep]) for k, v in cols.items()})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        syy = batch.column("syy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        cov_n = n * sxy - sx * sy
+        vx_n = n * sxx - sx * sx
+        vy_n = n * syy - sy * sy
+        corr = cov_n / np.sqrt(vx_n * vy_n)
+        slope = cov_n / vx_n
+        names = [name_of[int(k)] for k in batch.column("nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+                "corr_qty_price": pa.array(np.round(corr, 4)),
+                "slope_qty_price": pa.array(np.round(slope, 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_CORR_BY_NATION = (
+    "SELECT n_name, count(*) AS n,"
+    " round(corr(l_extendedprice, l_quantity), 4) AS corr_qty_price,"
+    " round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_qty_price "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey "
+    "GROUP BY n_name"
+)
+
+
+# ---------------------------------------------------------------------------
+# token-count partial shared by mode / entropy (dictionary-coded bincount)
+# ---------------------------------------------------------------------------
+
+
+def _token_count_partial(group_col: str):
+    """Per-batch (group, token, n) partial counts: tokens dictionary-encoded
+    once per batch, groups dictionary-encoded, combined code bincount —
+    the map-side combine that bounds the shuffle by (groups x batch vocab),
+    never by corpus tokens."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        tenc = pc.dictionary_encode(flat)
+        tcode = np.asarray(tenc.indices, dtype=np.int64)
+        genc = pc.dictionary_encode(batch.column(group_col).combine_chunks())
+        gcode = np.repeat(np.asarray(genc.indices, dtype=np.int64), lens)
+        nvocab = len(tenc.dictionary)
+        key = gcode * nvocab + tcode
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                group_col: genc.dictionary.take(
+                    pa.array(uniq // nvocab, pa.int32())
+                ),
+                "token": tenc.dictionary.take(pa.array(uniq % nvocab, pa.int32())),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return partial
+
+
+# ---------------------------------------------------------------------------
+# per-language mode token (argmax aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_mode_token_by_lang(sf_dir: str):
+    """Most frequent token per language (ties -> lexically smallest token)
+    — the mode / argmax aggregate, the categorical summary statistic.
+
+    Scale shape: per-batch (lang, token) bincount partials, ONE
+    cardinality-bounded groupby sum, then a per-language vectorized argmax
+    inside ``map_groups`` (each group holds vocab-sized rows, never
+    corpus-sized)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def argmax_group(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        toks = group.column("token").to_pandas()
+        order = np.lexsort((toks.to_numpy(), -n))
+        i = order[0]
+        return pa.table(
+            {
+                "lang": group.column("lang").slice(i, 1),
+                "token": group.column("token").slice(i, 1),
+                "n": pa.array([int(n[i])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_token_count_partial("lang"), batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(argmax_group, batch_format="pyarrow")
+    )
+
+
+SQL_MODE_TOKEN_BY_LANG = (
+    "SELECT lang, token, n FROM ("
+    " SELECT lang, token, count(*) AS n,"
+    "  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token ASC) rn"
+    " FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)"
+    " GROUP BY lang, token) WHERE rn = 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# per-source token entropy (distribution profiling)
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_by_source(sf_dir: str):
+    """Shannon entropy (bits) of each source's token distribution plus its
+    token mass — the distribution-skew profile a curation pass reads to
+    spot TEMPLATED sources (low entropy = boilerplate mill).
+
+    Scale shape: the (source, token) counts come from the same
+    dictionary-coded bincount partial as the mode aggregate; entropy
+    folds as H = log2(N) - (sum n*log2 n)/N, so after the
+    cardinality-bounded count shuffle only (source, sum_n, sum_nlogn)
+    partials move — one tiny groupby, driver holds n_sources rows."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "sum_n": pa.array(n),
+                "sum_nlog": pa.array(n * np.log2(n)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        N = batch.column("sum_n").to_numpy(zero_copy_only=False)
+        nl = batch.column("sum_nlog").to_numpy(zero_copy_only=False)
+        h = np.log2(N) - nl / N
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(N.astype(np.int64)),
+                "entropy_bits": pa.array(np.round(h, 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(_token_count_partial("source"), batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("sum_n", alias_name="sum_n"), Sum("sum_nlog", alias_name="sum_nlog")
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_ENTROPY_BY_SOURCE = (
+    "WITH c AS (SELECT source, token, count(*) AS n FROM"
+    " (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)"
+    " GROUP BY source, token) "
+    "SELECT source, sum(n)::BIGINT AS n_tokens,"
+    " round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) AS entropy_bits "
+    "FROM c GROUP BY source"
+)
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (multi-table anti-join counts)
+# ---------------------------------------------------------------------------
+
+#: (relation label, child table, child FK column, parent table, parent PK)
+FK_RELATIONS = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across every FK edge of the star schema:
+    one row per relation with child row count and orphan count (children
+    whose key has no parent) — the post-load validation pass a lake runs
+    before exposing a snapshot.
+
+    Scale shape: each relation reads ONLY its two key columns; orphan
+    detection is the size-planned ``semi_anti_join`` (broadcast key set
+    under the limit, marker join above it), and only per-relation COUNTS
+    reach the driver — 5 numbers, never rows."""
+    from ..stages.joins import semi_anti_join
+
+    labels, n_child, n_orphan = [], [], []
+    for label, child, fk, parent, pk in FK_RELATIONS:
+        c = read_table(sf_dir, child, columns=[fk])
+        p = read_table(sf_dir, parent, columns=[pk])
+        labels.append(label)
+        n_child.append(c.count())
+        n_orphan.append(semi_anti_join(c, p, on=fk, right_on=pk, anti=True).count())
+    return pa.table(
+        {
+            "relation": pa.array(labels, pa.string()),
+            "n_child": pa.array(n_child, pa.int64()),
+            "n_orphan": pa.array(n_orphan, pa.int64()),
+        }
+    )
+
+
+SQL_FK_INTEGRITY = " UNION ALL ".join(
+    "SELECT '{label}' AS relation,"
+    " (SELECT count(*) FROM {child}) AS n_child,"
+    " (SELECT count(*) FROM {child} LEFT JOIN {parent} ON {fk} = {pk}"
+    "  WHERE {pk} IS NULL) AS n_orphan".format(
+        label=label, child=child, fk=fk, parent=parent, pk=pk
+    )
+    for label, child, fk, parent, pk in FK_RELATIONS
+)
+
+
+LAKE_QUERIES = {
+    "changelog_apply": q_changelog_apply,
+    "tier_lookup": q_tier_lookup,
+    "corr_by_nation": q_corr_by_nation,
+    "mode_token_by_lang": q_mode_token_by_lang,
+    "entropy_by_source": q_entropy_by_source,
+    "fk_integrity": q_fk_integrity,
+}
+
+LAKE_ORACLE_SQL = {
+    "changelog_apply": SQL_CHANGELOG_APPLY,
+    "tier_lookup": SQL_TIER_LOOKUP,
+    "corr_by_nation": SQL_CORR_BY_NATION,
+    "mode_token_by_lang": SQL_MODE_TOKEN_BY_LANG,
+    "entropy_by_source": SQL_ENTROPY_BY_SOURCE,
+    "fk_integrity": SQL_FK_INTEGRITY,
+}

@@ -57,6 +57,12 @@ PICKS = [
     "customer_order_full",
     "events_resample",
     "doc_row_number",
+    "changelog_apply",
+    "tier_lookup",
+    "corr_by_nation",
+    "mode_token_by_lang",
+    "entropy_by_source",
+    "fk_integrity",
 ]
 
 
