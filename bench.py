@@ -210,6 +210,8 @@ def run_queries(sf_dir: str) -> dict:
         "tier_lookup",
         "corr_by_nation",
         "entropy_by_source",
+        "user_day_join",
+        "price_percentiles",
     ]
     import ray.data
 

@@ -224,10 +224,16 @@ def q_tier_lookup(sf_dir: str):
         )
 
     def finish(batch: pa.Table) -> pa.Table:
+        # np.round, not pc.round: pc.round's scaled rounding can land on a
+        # different double than DuckDB/numpy round (house float policy)
         return batch.set_column(
             batch.schema.get_field_index("sum_price"),
             "sum_price",
-            pc.round(batch.column("sum_price"), ndigits=2),
+            pa.array(
+                np.round(
+                    batch.column("sum_price").to_numpy(zero_copy_only=False), 2
+                )
+            ),
         )
 
     return (
@@ -548,6 +554,237 @@ SQL_FK_INTEGRITY = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# composite-key join (user-day enrichment)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_user_day_join(sf_dir: str):
+    """Enrich every purchase event with its user-DAY activity totals — a
+    composite-key ((user_id, day)) dimension join, the canonical
+    sessionless per-entity-per-period enrichment.
+
+    Scale shape: the (user, day) dimension is built from the same event
+    stream with packed-key ``np.unique`` partials (<= users x days rows per
+    batch) and one cardinality-bounded groupby; the enrichment join is the
+    size-planned ``auto_join`` on the COMPOSITE key — broadcast while the
+    dimension is provably small, hash-partitioned ``Dataset.join`` on both
+    key columns above the limit."""
+    from ..stages.joins import auto_join
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        # pack (user, day): epoch days stay < 2^20 for centuries, so the
+        # pack is collision-free for user_id < 2^43
+        key = uid * (1 << 20) + day
+        uniq, inv, n = np.unique(key, return_inverse=True, return_counts=True)
+        s = np.bincount(inv, weights=val)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq >> 20, pa.int64()),
+                "day": pa.array(uniq & ((1 << 20) - 1), pa.int64()),
+                "n_day": pa.array(n.astype(np.int64)),
+                "sum_day": pa.array(s, pa.float64()),
+            }
+        )
+
+    dim = (
+        ev.map_batches(dim_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n_day", alias_name="n_day"), Sum("sum_day", alias_name="sum_day"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("sum_day"),
+                "sum_day",
+                pa.array(
+                    np.round(b.column("sum_day").to_numpy(zero_copy_only=False), 4)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # dimension-sized; gives auto_join a free size probe
+    )
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        day = pc.divide(batch.column("ts").cast(pa.int64()), _DAY_US)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "day": day,
+                "value": batch.column("value"),
+            }
+        )
+
+    fact = ev.map_batches(purchases, batch_format="pyarrow")
+    return auto_join(fact, dim, on=["user_id", "day"])
+
+
+SQL_USER_DAY_JOIN = (
+    "WITH d AS (SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,"
+    " count(*) AS n_day, round(sum(value), 4) AS sum_day"
+    " FROM events GROUP BY 1, 2) "
+    "SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)/86400) AS BIGINT) AS day,"
+    " e.value, d.n_day, d.sum_day "
+    "FROM events e JOIN d ON e.user_id = d.user_id"
+    " AND CAST(floor(epoch(e.ts)/86400) AS BIGINT) = d.day "
+    "WHERE e.event_type = 'purchase'"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact distributed percentile selection (iterative histogram refinement)
+# ---------------------------------------------------------------------------
+
+PCTS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+_SEL_BINS = 4096
+#: candidate ranges holding at most this many rows are collected exactly
+_SEL_COLLECT = 262_144
+
+
+def _sel_hist(ds, lo: float, hi: float, pred) -> np.ndarray:
+    """One distributed pass: histogram of ``pred``-selected values over
+    [lo, hi] in ``_SEL_BINS`` bins.  Per-batch bincount partials emit only
+    NONZERO (bin, n) rows; the groupby input is bounded by bins x blocks,
+    never by data."""
+    width = (hi - lo) / _SEL_BINS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pred(batch)
+        b = np.clip(((x - lo) / width).astype(np.int64), 0, _SEL_BINS - 1)
+        n = np.bincount(b, minlength=_SEL_BINS)
+        nz = n.nonzero()[0]
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "n": pa.array(n[nz], pa.int64())}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # <= _SEL_BINS rows
+    )
+    hist = np.zeros(_SEL_BINS, np.int64)
+    for r in rows:
+        hist[int(r["bin"])] = int(r["n"])
+    return hist
+
+
+def _kth_smallest(ds, column: str, k: int, lo: float, hi: float, n_range: int) -> float:
+    """Exact k-th smallest of ``column`` restricted to [lo, hi] (which
+    holds ``n_range`` rows, of which the k-th is sought) — iterative
+    histogram refinement: each pass narrows to the candidate bin until the
+    range holds <= _SEL_COLLECT rows, then one filtered collect finishes
+    on the driver.  log_{bins}(n) passes, driver state O(bins + collect)."""
+
+    def in_range(batch: pa.Table) -> np.ndarray:
+        x = batch.column(column).to_numpy(zero_copy_only=False)
+        return x[(x >= lo) & (x <= hi)]
+
+    while n_range > _SEL_COLLECT and hi > lo:
+        hist = _sel_hist(ds, lo, hi, in_range)
+        cum = np.cumsum(hist)
+        b = int(np.searchsorted(cum, k))
+        k -= int(cum[b - 1]) if b else 0
+        width = (hi - lo) / _SEL_BINS
+        new_lo, new_hi = lo + b * width, lo + (b + 1) * width
+        if b == _SEL_BINS - 1:
+            new_hi = hi
+        n_new = int(hist[b])
+        if n_new == n_range and new_hi - new_lo >= hi - lo:
+            break  # degenerate (all values equal / width underflow)
+        lo, hi, n_range = new_lo, new_hi, n_new
+
+        def in_range(batch: pa.Table, lo=lo, hi=hi) -> np.ndarray:
+            x = batch.column(column).to_numpy(zero_copy_only=False)
+            return x[(x >= lo) & (x <= hi)]
+
+    def collect(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(in_range(batch), pa.float64())})
+
+    vals = np.sort(
+        np.concatenate(
+            [
+                t.column("v").to_numpy(zero_copy_only=False)
+                for t in ray.get(
+                    ds.map_batches(collect, batch_format="pyarrow").to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            or [np.array([], np.float64)]
+        )
+    )
+    return float(vals[k - 1])
+
+
+def q_price_percentiles(sf_dir: str):
+    """EXACT p50/p90/p99 of ``o_totalprice`` (percentile_disc semantics:
+    the ceil(p*n)-th smallest data value) via distributed selection —
+    iterative histogram refinement, the scale-correct alternative to a
+    global sort when a handful of exact order statistics is the goal.
+    (The KLL sketch, `functions/sketches.py`, is the one-pass approximate
+    path; this is the exact path both bound each other with.)
+
+    Scale shape: the pruned single-column read is materialized ONCE and
+    every pass streams it; per pass only nonzero (bin, count) partials
+    shuffle (<= 4096 rows out) and the driver holds one histogram.  The
+    final exact step collects only the candidate range (<= 262k values).
+    Passes: 1 min/max/count + log_4096(n/262k) histograms — 2 total up to
+    ~10^9 rows, 3 up to ~4x10^12."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"]).materialize()
+
+    def mmc(batch: pa.Table) -> pa.Table:
+        x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "lo": pa.array([float(x.min())] if len(x) else [np.inf]),
+                "hi": pa.array([float(x.max())] if len(x) else [-np.inf]),
+                "n": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    stats = (
+        ds.map_batches(mmc, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            _Min("lo", alias_name="lo"),
+            _Max("hi", alias_name="hi"),
+            Sum("n", alias_name="n"),
+        )
+        .take_all()[0]
+    )
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    out_pct, out_val = [], []
+    for name, p in PCTS:
+        k = max(1, int(np.ceil(p * n)))
+        out_pct.append(name)
+        out_val.append(_kth_smallest(ds, "o_totalprice", k, lo, hi, n))
+    return pa.table(
+        {"pct": pa.array(out_pct, pa.string()), "value": pa.array(out_val, pa.float64())}
+    )
+
+
+SQL_PRICE_PERCENTILES = " UNION ALL ".join(
+    "SELECT '{name}' AS pct, quantile_disc(o_totalprice, {p}) AS value"
+    " FROM orders".format(name=name, p=p)
+    for name, p in PCTS
+)
+
+
 LAKE_QUERIES = {
     "changelog_apply": q_changelog_apply,
     "tier_lookup": q_tier_lookup,
@@ -555,6 +792,8 @@ LAKE_QUERIES = {
     "mode_token_by_lang": q_mode_token_by_lang,
     "entropy_by_source": q_entropy_by_source,
     "fk_integrity": q_fk_integrity,
+    "user_day_join": q_user_day_join,
+    "price_percentiles": q_price_percentiles,
 }
 
 LAKE_ORACLE_SQL = {
@@ -564,4 +803,6 @@ LAKE_ORACLE_SQL = {
     "mode_token_by_lang": SQL_MODE_TOKEN_BY_LANG,
     "entropy_by_source": SQL_ENTROPY_BY_SOURCE,
     "fk_integrity": SQL_FK_INTEGRITY,
+    "user_day_join": SQL_USER_DAY_JOIN,
+    "price_percentiles": SQL_PRICE_PERCENTILES,
 }

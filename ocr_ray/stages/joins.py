@@ -58,12 +58,17 @@ def default_num_partitions(*datasets: ray.data.Dataset) -> int:
     return max(2, min(wide, -(-size // (8 * 1024 * 1024))))
 
 
+def _as_keys(on) -> tuple:
+    """Normalize a join key spec (str | sequence of str) to a tuple."""
+    return (on,) if isinstance(on, str) else tuple(on)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     *,
-    on: str,
-    right_on: str | None = None,
+    on,
+    right_on=None,
     join_type: str = "inner",
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
@@ -73,8 +78,8 @@ def hash_join(
         right,
         join_type=join_type,
         num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,) if right_on else None,
+        on=_as_keys(on),
+        right_on=_as_keys(right_on) if right_on else None,
     )
 
 
@@ -99,34 +104,54 @@ def _collect_small(ds: ray.data.Dataset):
     return pa.concat_tables(tbls).combine_chunks() if tbls else None
 
 
+def _combined_key(tbl, keys: tuple):
+    """One vectorized lookup key per row: the single column for 1-key
+    joins; for composite keys, the unit-separated string fold of the
+    stringified columns (collision-free for sep-free values; entirely
+    Arrow kernels, no Python rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(keys) == 1:
+        col = tbl.column(keys[0])
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    parts = [pc.cast(tbl.column(k), pa.string()) for k in keys]
+    out = pc.binary_join_element_wise(*parts, "\x1f")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def broadcast_lookup_join(
     left: ray.data.Dataset,
     right_tbl,
     *,
-    on: str,
-    right_on: str | None = None,
+    on,
+    right_on=None,
     join_type: str = "inner",
 ) -> ray.data.Dataset:
     """Broadcast-hash-join with a UNIQUE-key right side (dimension join):
     the right table is ray.put once, every left batch resolves matches via
     a vectorized ``pc.index_in`` + ``take`` — no shuffle, no per-row
-    Python."""
+    Python.  Composite keys fold to one lookup lane via
+    :func:`_combined_key`."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    key = right_on or on
+    lkeys = _as_keys(on)
+    rkeys = _as_keys(right_on) if right_on else lkeys
     ref = ray.put(right_tbl.combine_chunks())
 
     def attach(batch: pa.Table) -> pa.Table:
         rt = ray.get(ref)
-        idx = pc.index_in(batch.column(on), value_set=rt.column(key))
+        idx = pc.index_in(
+            _combined_key(batch, lkeys), value_set=_combined_key(rt, rkeys)
+        )
         if join_type == "inner":
             mask = pc.is_valid(idx)
             batch = batch.filter(mask)
             idx = idx.filter(mask)
         taken = rt.take(idx)  # null index -> null row (left_outer fill)
         for name in rt.column_names:
-            if name != key:
+            if name not in rkeys:
                 batch = batch.append_column(name, taken.column(name))
         return batch
 
@@ -170,8 +195,8 @@ def auto_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     *,
-    on: str,
-    right_on: str | None = None,
+    on,
+    right_on=None,
     join_type: str = "inner",
     broadcast_limit: int = BROADCAST_BYTES,
 ) -> ray.data.Dataset:
@@ -179,7 +204,8 @@ def auto_join(
     KNOWN (parquet metadata / materialized blocks) and under the limit;
     hash-partitioned ``Dataset.join`` otherwise.  Right keys must be unique
     (dimension semantics) for the broadcast path — the standard
-    broadcast-vs-shuffle planner rule."""
+    broadcast-vs-shuffle planner rule.  ``on`` / ``right_on`` accept a
+    single column name or a sequence (composite keys) on both paths."""
     rb = _known_size(right)
     if (
         rb is not None

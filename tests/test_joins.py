@@ -320,3 +320,51 @@ def test_docs_rollup_levels(ray_session, tmp_path):
     assert out[("s0", "en")] == 1 and out[("s0", "fr")] == 1
     assert out[("s0", "*")] == 2 and out[("s1", "*")] == 1
     assert out[("*", "*")] == 3
+
+
+def test_composite_key_join_both_paths(ray_session):
+    """auto_join on a composite key: the broadcast path and the forced
+    hash path must agree with the pandas merge oracle, including
+    non-matching left rows dropped (inner)."""
+    import ray.data
+
+    left_rows = [
+        {"a": i % 4, "b": "xy"[i % 2], "lv": i} for i in range(20)
+    ]
+    right_rows = [
+        {"a": 0, "b": "x", "rv": 100},
+        {"a": 1, "b": "y", "rv": 200},
+        {"a": 3, "b": "x", "rv": 300},
+        {"a": 7, "b": "z", "rv": 999},  # matches nothing
+    ]
+    left = ray.data.from_items(left_rows)
+    right = ray.data.from_items(right_rows)
+    exp = (
+        pd.DataFrame(left_rows)
+        .merge(pd.DataFrame(right_rows), on=["a", "b"])
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    for limit in (joins.BROADCAST_BYTES, 0):  # broadcast, then forced hash
+        got = (
+            joins.auto_join(left, right, on=["a", "b"], broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "lv", "rv"]], exp[["a", "b", "lv", "rv"]]
+        )
+
+
+def test_composite_key_join_right_on(ray_session):
+    """Composite right_on with differently-named key columns resolves and
+    does not leak the right key columns into the output."""
+    import ray.data
+
+    left = ray.data.from_items([{"a": 1, "b": "x", "lv": 7}])
+    right = ray.data.from_items([{"ra": 1, "rb": "x", "rv": 5}])
+    got = joins.auto_join(
+        left, right, on=["a", "b"], right_on=["ra", "rb"]
+    ).to_pandas()
+    assert got.to_dict("records") == [{"a": 1, "b": "x", "lv": 7, "rv": 5}]

@@ -63,6 +63,8 @@ PICKS = [
     "mode_token_by_lang",
     "entropy_by_source",
     "fk_integrity",
+    "user_day_join",
+    "price_percentiles",
 ]
 
 

@@ -615,3 +615,33 @@ def test_lm_score_matches_brute_force(ray_session):
     np.testing.assert_allclose(
         got["lm_nll"], np.round(exp, 4), atol=2e-4
     )
+
+
+def test_kth_smallest_refinement_loop(ray_session, monkeypatch):
+    """The histogram-refinement loop (collect threshold forced tiny) finds
+    the exact k-th smallest on an adversarial heavy-tie distribution."""
+    import numpy as np
+    import ray.data
+
+    from ocr_ray.pipelines import queries_lake as QL
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(0, 1e6, 5000),
+            np.full(3000, 123456.789),  # heavy tie spike in one bin
+            rng.uniform(123456.0, 123457.0, 2000),  # crowd the spike's bin
+        ]
+    )
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"o_totalprice": vals})
+    ).repartition(8)
+    monkeypatch.setattr(QL, "_SEL_COLLECT", 64)
+    srt = np.sort(vals)
+    n = len(vals)
+    for p in (0.5, 0.9, 0.99, 0.001):
+        k = max(1, int(np.ceil(p * n)))
+        got = QL._kth_smallest(
+            ds, "o_totalprice", k, float(vals.min()), float(vals.max()), n
+        )
+        assert got == float(srt[k - 1]), p
