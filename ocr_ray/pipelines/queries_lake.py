@@ -35,7 +35,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..sources.io import read_table
+from ..sources.io import cpu_count, read_table
 
 # ---------------------------------------------------------------------------
 # changelog apply (CDC MERGE): latest-wins upsert/delete onto a snapshot
@@ -91,10 +91,10 @@ def _latest_partial(batch: pa.Table) -> pa.Table:
 
 
 def _merge_group(group: pa.Table) -> pa.Table:
-    """Final MERGE per user over its <= 2 x n_blocks partial rows: pick the
-    true latest per regime, then apply changelog-over-base semantics.
-    Vectorized over every user in the group block (map_groups feeds one
-    group per call but the kernel handles many)."""
+    """Final MERGE over a BUCKET of users' <= 2 x n_blocks partial rows
+    each: pick the true latest per (user, regime), then apply
+    changelog-over-base semantics — fully vectorized (searchsorted match
+    of base users against changelog users, no per-user Python)."""
     uid = group.column("user_id").to_numpy(zero_copy_only=False)
     regime = group.column("regime").to_numpy(zero_copy_only=False)
     ts = group.column("ts_us").to_numpy(zero_copy_only=False)
@@ -104,33 +104,45 @@ def _merge_group(group: pa.Table) -> pa.Table:
     order = np.lexsort((eid, ts, regime, uid))
     u, r = uid[order], regime[order]
     ends = np.r_[(np.diff(u * 2 + r) != 0).nonzero()[0], len(u) - 1]
-    pick = order[ends]
-    out_uid, out_val, out_src = [], [], []
-    # <= 2 picked rows per user: walk the picked runs (bounded by users in
-    # this group — map_groups gives 1 — not by events)
-    i = 0
-    while i < len(pick):
-        j = i + 1 if i + 1 < len(pick) and uid[pick[i + 1]] == uid[pick[i]] else i
-        base = pick[i] if regime[pick[i]] == 0 else None
-        post = pick[j] if regime[pick[j]] == 1 else None
-        has_base = base is not None and not is_del[base]
-        if post is None:
-            if has_base:
-                out_uid.append(uid[base])
-                out_val.append(val[base])
-                out_src.append("base")
-        elif not is_del[post]:
-            out_uid.append(uid[post])
-            out_val.append(val[post])
-            out_src.append("updated" if has_base else "inserted")
-        i = j + 1
+    pick = order[ends]  # sorted by (user, regime); <= 2 rows per user
+    u_p, r_p = uid[pick], regime[pick]
+    v_p, d_p = val[pick], is_del[pick]
+    base_m, post_m = r_p == 0, r_p == 1
+    bu, bv, blive = u_p[base_m], v_p[base_m], ~d_p[base_m]
+    pu, pv, pdel = u_p[post_m], v_p[post_m], d_p[post_m]
+    # changelog rows: live unless the latest op is a delete; src by
+    # whether a LIVE base row exists for the same user (bu is sorted)
+    idx = np.searchsorted(bu, pu)
+    has_base = np.zeros(len(pu), bool)
+    inb = idx < len(bu)
+    has_base[inb] = (bu[idx[inb]] == pu[inb]) & blive[idx[inb]]
+    keep_post = ~pdel
+    # base rows: live and NOT superseded by any changelog row (pu sorted)
+    jdx = np.searchsorted(pu, bu)
+    superseded = np.zeros(len(bu), bool)
+    inp = jdx < len(pu)
+    superseded[inp] = pu[jdx[inp]] == bu[inp]
+    keep_base = blive & ~superseded
+    out_uid = np.concatenate([pu[keep_post], bu[keep_base]])
+    out_val = np.concatenate([pv[keep_post], bv[keep_base]])
+    src_post = np.where(has_base[keep_post], "updated", "inserted")
+    out_src = np.concatenate([src_post, np.full(int(keep_base.sum()), "base")])
     return pa.table(
         {
             "user_id": pa.array(out_uid, pa.int64()),
-            "value": pa.array(np.round(np.array(out_val, np.float64), 4)),
+            "value": pa.array(np.round(out_val.astype(np.float64), 4)),
             "src": pa.array(out_src, pa.string()),
         }
     )
+
+
+_EMPTY_MERGE = pa.table(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64()),
+        "src": pa.array([], pa.string()),
+    }
+)
 
 
 def q_changelog_apply(sf_dir: str):
@@ -140,17 +152,24 @@ def q_changelog_apply(sf_dir: str):
     rewrites it (tagged ``updated`` / ``inserted`` by base existence).
 
     Scale shape: ONE pass over events emits <= 2 tiny argmax partials per
-    (user, batch); the only shuffle is the user-keyed groupby over those
-    partials.  No join — base and changelog are two regimes of the same
-    keyed stream, merged in one kernel.  (Reference analog: the map.json
-    skip-if-done overwrite cycle, `utils/databases/json_dir.py`.)"""
+    (user, batch); the only shuffle is the user-bucket groupby over those
+    partials (one vectorized task per BUCKET, not per user).  No join —
+    base and changelog are two regimes of the same keyed stream, merged in
+    one kernel.  (Reference analog: the map.json skip-if-done overwrite
+    cycle, `utils/databases/json_dir.py`.)"""
+    from ..stages.dedup import bucketed_group_apply
+
     ev = read_table(
-        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        min_blocks=cpu_count(),
     )
-    return (
-        ev.map_batches(_latest_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_merge_group, batch_format="pyarrow")
+    return bucketed_group_apply(
+        ev.map_batches(_latest_partial, batch_format="pyarrow"),
+        ("user_id",),
+        _merge_group,
+        empty_result=_EMPTY_MERGE,
     )
 
 
@@ -521,24 +540,100 @@ def q_fk_integrity(sf_dir: str):
     whose key has no parent) — the post-load validation pass a lake runs
     before exposing a snapshot.
 
-    Scale shape: each relation reads ONLY its two key columns; orphan
-    detection is the size-planned ``semi_anti_join`` (broadcast key set
-    under the limit, marker join above it), and only per-relation COUNTS
-    reach the driver — 5 numbers, never rows."""
-    from ..stages.joins import semi_anti_join
+    Scale shape: ONE pipeline, one shuffle.  Each relation reads only its
+    two key columns; child batches fold to per-batch (relation, key,
+    count) partials and parents to (relation, key, present) markers; the
+    tagged UNION goes through one bucketed 2-key aggregate (its input is
+    distinct-key-proportional, so the native aggregate's per-row cost is
+    avoided — BASELINE.md #15), and per-relation counts fold map-side
+    after it.  The driver holds 5 rows.  (Assumes non-null FK columns —
+    true of this star schema; a null FK would need a null-partition lane.)
+    """
+    from ..stages.groupagg import bucketed_group_agg
 
-    labels, n_child, n_orphan = [], [], []
-    for label, child, fk, parent, pk in FK_RELATIONS:
-        c = read_table(sf_dir, child, columns=[fk])
-        p = read_table(sf_dir, parent, columns=[pk])
-        labels.append(label)
-        n_child.append(c.count())
-        n_orphan.append(semi_anti_join(c, p, on=fk, right_on=pk, anti=True).count())
+    streams = []
+    for rid, (label, child, fk, parent, pk) in enumerate(FK_RELATIONS):
+
+        def c_part(batch: pa.Table, _fk=fk, _rid=rid) -> pa.Table:
+            k = batch.column(_fk).to_numpy(zero_copy_only=False).astype(np.int64)
+            u, n = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "rel": pa.array(np.full(len(u), _rid, np.int64)),
+                    "key": pa.array(u),
+                    "n_c": pa.array(n.astype(np.int64)),
+                    "n_p": pa.array(np.zeros(len(u), np.int64)),
+                }
+            )
+
+        def p_part(batch: pa.Table, _pk=pk, _rid=rid) -> pa.Table:
+            u = np.unique(
+                batch.column(_pk).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "rel": pa.array(np.full(len(u), _rid, np.int64)),
+                    "key": pa.array(u),
+                    "n_c": pa.array(np.zeros(len(u), np.int64)),
+                    "n_p": pa.array(np.ones(len(u), np.int64)),
+                }
+            )
+
+        streams.append(
+            read_table(sf_dir, child, columns=[fk]).map_batches(
+                c_part, batch_format="pyarrow"
+            )
+        )
+        streams.append(
+            read_table(sf_dir, parent, columns=[pk]).map_batches(
+                p_part, batch_format="pyarrow"
+            )
+        )
+
+    tagged = streams[0].union(*streams[1:])
+    per_key = bucketed_group_agg(
+        tagged,
+        ["rel", "key"],
+        {"n_c": ("sum", "n_c"), "n_p": ("sum", "n_p")},
+    )
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        rel = batch.column("rel").to_numpy(zero_copy_only=False)
+        n_c = batch.column("n_c").to_numpy(zero_copy_only=False)
+        n_p = batch.column("n_p").to_numpy(zero_copy_only=False)
+        m = len(FK_RELATIONS)
+        child = np.bincount(rel, weights=n_c, minlength=m)
+        orphan = np.bincount(rel, weights=n_c * (n_p == 0), minlength=m)
+        return pa.table(
+            {
+                "rel": pa.array(np.arange(m, dtype=np.int64)),
+                "n_child": pa.array(child.astype(np.int64)),
+                "n_orphan": pa.array(orphan.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        per_key.map_batches(rel_partial, batch_format="pyarrow")
+        .groupby("rel")
+        .aggregate(
+            Sum("n_child", alias_name="n_child"),
+            Sum("n_orphan", alias_name="n_orphan"),
+        )
+        .take_all()  # 5 rows
+    )
+    by_rel = {int(r["rel"]): r for r in rows}
+    labels = [lbl for lbl, *_ in FK_RELATIONS]
     return pa.table(
         {
             "relation": pa.array(labels, pa.string()),
-            "n_child": pa.array(n_child, pa.int64()),
-            "n_orphan": pa.array(n_orphan, pa.int64()),
+            "n_child": pa.array(
+                [int(by_rel[i]["n_child"]) if i in by_rel else 0 for i in range(len(labels))],
+                pa.int64(),
+            ),
+            "n_orphan": pa.array(
+                [int(by_rel[i]["n_orphan"]) if i in by_rel else 0 for i in range(len(labels))],
+                pa.int64(),
+            ),
         }
     )
 
@@ -572,10 +667,14 @@ def q_user_day_join(sf_dir: str):
     size-planned ``auto_join`` on the COMPOSITE key — broadcast while the
     dimension is provably small, hash-partitioned ``Dataset.join`` on both
     key columns above the limit."""
+    from ..stages.groupagg import bucketed_group_agg
     from ..stages.joins import auto_join
 
     ev = read_table(
-        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        min_blocks=cpu_count(),
     )
 
     def dim_partial(batch: pa.Table) -> pa.Table:
@@ -598,9 +697,11 @@ def q_user_day_join(sf_dir: str):
         )
 
     dim = (
-        ev.map_batches(dim_partial, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("n_day", alias_name="n_day"), Sum("sum_day", alias_name="sum_day"))
+        bucketed_group_agg(
+            ev.map_batches(dim_partial, batch_format="pyarrow"),
+            ["user_id", "day"],
+            {"n_day": ("sum", "n_day"), "sum_day": ("sum", "sum_day")},
+        )
         .map_batches(
             lambda b: b.set_column(
                 b.schema.get_field_index("sum_day"),

@@ -318,18 +318,23 @@ def verify_pairs_against_corpus(
     metric=None,
     metric_col: str = "jaccard",
     pre_shuffle_blocks: int | None = None,
+    batch_metric=None,
 ) -> ray.data.Dataset:
     """Distributed exact-metric verify of candidate ``(a, b)`` pairs —
     the 10^12-doc shape: the corpus is NEVER materialized on the driver.
     ``metric(val_a, val_b) -> float`` defaults to word-3gram Jaccard over
     ``text_col``; pass a cosine kernel + an embedding column for vectors.
+    ``batch_metric(vals_a, vals_b) -> np.ndarray`` (two equal-length Arrow
+    arrays) replaces the per-pair ``metric`` loop with one vectorized call
+    per bucket when provided.
 
     1. explode each pair to two ``(a, b, side, doc_id)`` rows,
     2. hash-join the rows back against ``docs`` on ``doc_id`` (both sides
        large; left_outer so a missing doc_id surfaces as a null text),
-    3. regroup by a crc32 pair-bucket (one ``map_groups`` call per BUCKET,
-       not per pair — per-key calls were measured 10x slower on the
-       extraction path) and score ``jaccard`` per pair inside the task.
+    3. regroup by an integer-hash pair-bucket (one ``map_groups`` call per
+       BUCKET, not per pair — per-key calls were measured 10x slower on
+       the extraction path), pair rows via ONE lexsort + strided reshape,
+       and score each pair inside the task.
 
     Raises inside the verify task if any candidate doc_id has no value in
     ``docs`` (silently treating it as "" would score every such pair 1.0).
@@ -343,14 +348,22 @@ def verify_pairs_against_corpus(
         a = batch.column("a")
         b = batch.column("b")
         n = len(a)
-        buckets = pa.array(
-            [
-                zlib.crc32(f"{x},{y}".encode()) % n_buckets
-                for x, y in zip(a.to_pylist(), b.to_pylist())
-            ]
-            * 2,
-            pa.int64(),
-        )
+        if pa.types.is_integer(a.type) and pa.types.is_integer(b.type):
+            av = a.to_numpy(zero_copy_only=False).astype(np.uint64)
+            bv = b.to_numpy(zero_copy_only=False).astype(np.uint64)
+            bk = (
+                (av * np.uint64(2654435761) + bv * np.uint64(40503))
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+        else:  # non-integer ids: crc over the stringified pair (cold path)
+            bk = np.array(
+                [
+                    zlib.crc32(f"{x},{y}".encode()) % n_buckets
+                    for x, y in zip(a.to_pylist(), b.to_pylist())
+                ],
+                dtype=np.int64,
+            )
+        buckets = pa.array(np.concatenate([bk, bk]), pa.int64())
         return pa.table(
             {
                 "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
@@ -395,30 +408,48 @@ def verify_pairs_against_corpus(
         )
 
     def verify_bucket(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.select(["a", "b", "side", text_col]).to_pandas()
-        if df[text_col].isna().any():
-            missing = df.loc[df[text_col].isna(), ["a", "b"]].iloc[0]
+        g = g.select(["a", "b", "side", text_col]).combine_chunks()
+        vals = g.column(text_col)
+        if pc.any(pc.is_null(vals)).as_py():
+            i = pc.index(pc.is_null(vals), True).as_py()
             raise ValueError(
-                f"candidate pair ({missing['a']}, {missing['b']}) references a "
-                f"doc_id with no text in the corpus"
+                f"candidate pair ({g.column('a')[i]}, {g.column('b')[i]}) "
+                f"references a doc_id with no text in the corpus"
             )
-        a_out, b_out, j_out = [], [], []
-        for (pa_id, pb_id), sub in df.groupby(["a", "b"], sort=True):
-            if len(sub) != 2:
-                raise ValueError(f"candidate pair ({pa_id}, {pb_id}) has {len(sub)} sides")
-            t0, t1 = sub.sort_values("side")[text_col].tolist()
-            jv = metric(t0, t1)
-            if jv >= threshold:
-                a_out.append(pa_id)
-                b_out.append(pb_id)
-                j_out.append(jv)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        # ONE lexsort, then strided views: row 2k is side 0 of pair k,
+        # row 2k+1 its side 1 — no pandas groupby, no per-pair Python
+        order = np.lexsort((side, b, a))
+        if len(order) % 2:
+            raise ValueError("candidate pair with missing or duplicated sides")
+        ev, od = order[0::2], order[1::2]
+        ok = (
+            (a[ev] == a[od]).all()
+            and (b[ev] == b[od]).all()
+            and (side[ev] == 0).all()
+            and (side[od] == 1).all()
+        )
+        if not ok:
+            raise ValueError("candidate pair with missing or duplicated sides")
+        arr = vals if isinstance(vals, pa.Array) else vals.combine_chunks()
+        v0 = arr.take(pa.array(ev, pa.int64()))
+        v1 = arr.take(pa.array(od, pa.int64()))
+        if batch_metric is not None:
+            scores = np.asarray(batch_metric(v0, v1), dtype=np.float64)
+        else:
+            scores = np.fromiter(
+                (metric(x, y) for x, y in zip(v0.to_pylist(), v1.to_pylist())),
+                dtype=np.float64,
+                count=len(ev),
+            )
+        keep = scores >= threshold
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                metric_col: pa.array(j_out, pa.float64()),
+                "a": pa.array(a[ev][keep], pa.int64()),
+                "b": pa.array(b[ev][keep], pa.int64()),
+                metric_col: pa.array(scores[keep], pa.float64()),
             }
         )
 
@@ -434,8 +465,13 @@ def verify_pairs_against_corpus(
             return out_schema.empty_table()
         return batch
 
-    if pre_shuffle_blocks:
-        joined = joined.repartition(pre_shuffle_blocks, shuffle=False)
+    # verify parallelism follows the BLOCK count entering the bucket sort,
+    # not the bucket count: the broadcast-fetch path inherits the corpus's
+    # (often tiny) block count, which serialized the whole verify into one
+    # task — split to ~CPU blocks so every core scores a slice of buckets
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_blocks = max(pre_shuffle_blocks or 1, min(n_buckets, cpus))
+    joined = joined.repartition(n_blocks, shuffle=False)
     return (
         joined.groupby("pair_bucket")
         .map_groups(verify_bucket, batch_format="pyarrow")
@@ -870,24 +906,28 @@ def embedding_neardup_pairs(
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        by_val: dict[int, list[int]] = {}
-        for i, h in sorted(
-            {(i, h) for i, h in zip(group.column("vec_id").to_pylist(),
-                                    group.column("vhash").to_pylist())}
-        ):
-            by_val.setdefault(h, []).append(i)
-        a_out, b_out = [], []
-        for ids in by_val.values():
-            ids.sort()
-            for other in ids[1:]:  # identical content: star to min id
-                a_out.append(ids[0])
-                b_out.append(other)
-        reps = sorted(min(v) for v in by_val.values())[:max_distinct_per_bucket]
-        for i in range(len(reps)):
-            for j in range(i + 1, len(reps)):
-                a_out.append(reps[i])
-                b_out.append(reps[j])
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        h = group.column("vhash").to_numpy(zero_copy_only=False)
+        # distinct (hash, id), sorted — dedupe via lexsort + shift compare
+        order = np.lexsort((ids, h))
+        ids, h = ids[order], h[order]
+        keep = np.r_[True, (ids[1:] != ids[:-1]) | (h[1:] != h[:-1])]
+        ids, h = ids[keep], h[keep]
+        # identical content: star every id to its hash-run's min id
+        starts = np.r_[True, h[1:] != h[:-1]]
+        run = np.cumsum(starts) - 1
+        mins = ids[starts]
+        star_a = mins[run[~starts]]
+        star_b = ids[~starts]
+        # cross-content: capped rep x rep upper triangle
+        reps = np.sort(mins)[:max_distinct_per_bucket]
+        iu, ju = np.triu_indices(len(reps), k=1)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([star_a, reps[iu]]), pa.int64()),
+                "b": pa.array(np.concatenate([star_b, reps[ju]]), pa.int64()),
+            }
+        )
 
     candidates = distinct_rows(  # distinct across tables/buckets, one call per block
         bucketed_group_apply(
@@ -917,6 +957,15 @@ def embedding_neardup_pairs(
         return cosine_sim(np.frombuffer(a_buf, dtype=np.float64),
                           np.frombuffer(b_buf, dtype=np.float64))
 
+    def cosine_packed_batch(v0: pa.Array, v1: pa.Array) -> np.ndarray:
+        # ONE row-wise cosine over the whole bucket: unpack the binary
+        # column to (n, dims) float64 and einsum — no per-pair Python
+        A = np.stack([np.frombuffer(x, np.float64) for x in v0.to_pylist()])
+        B = np.stack([np.frombuffer(x, np.float64) for x in v1.to_pylist()])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+        return np.where(den > 0, num / np.maximum(den, 1e-300), 0.0)
+
     # returned distributed: verified pairs are corpus-proportional at scale
     return verify_pairs_against_corpus(
         candidates,
@@ -927,4 +976,5 @@ def embedding_neardup_pairs(
         metric=cosine_packed,
         metric_col="cosine",
         pre_shuffle_blocks=shuffle_blocks,
+        batch_metric=cosine_packed_batch,
     )
