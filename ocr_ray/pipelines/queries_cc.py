@@ -145,7 +145,9 @@ def paragraph_dedup(docs: ray.data.Dataset, *, n_buckets: int = 64) -> ray.data.
 
 
 def q_paragraph_dedup(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
     return paragraph_dedup(docs)
 
 

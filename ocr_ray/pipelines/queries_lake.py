@@ -614,7 +614,9 @@ def q_fk_integrity(sf_dir: str):
 
     rows = (
         per_key.map_batches(rel_partial, batch_format="pyarrow")
-        .groupby("rel")
+        # bounded 5-group final after a many-block bucketed stage: clamp
+        # the aggregator fan-out (~0.1 s fixed cost per partition)
+        .groupby("rel", num_partitions=2)
         .aggregate(
             Sum("n_child", alias_name="n_child"),
             Sum("n_orphan", alias_name="n_orphan"),

@@ -1249,20 +1249,31 @@ def q_window_distinct_users(sf_dir: str):
         {"n": ("count", None)},
     )
 
-    def to_hour(batch: pa.Table) -> pa.Table:
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        # the stream is already globally-distinct pairs: counting per hour
+        # INSIDE the batch folds it to <= n_hours rows per block, so the
+        # final native groupby sees bounded input, never pair-cardinality
+        # (the 6us/input-row native-aggregate tax, BASELINE.md #15)
         key = batch.column("key").to_numpy()
+        h, n = np.unique(key >> 32, return_counts=True)
         return pa.table(
             {
-                "hour": pa.array(
-                    (key >> 32) * 3_600_000_000, pa.timestamp("us")
-                ),
+                "hour": pa.array(h * 3_600_000_000, pa.timestamp("us")),
+                "n": pa.array(n.astype(np.int64)),
             }
         )
 
+    from ray.data.aggregate import Sum as _Sum
+
+    # num_partitions=2: the native hash aggregate costs ~0.1 s of
+    # aggregator setup PER PARTITION and defaults to the input block count
+    # (32 here after the bucketed stage) — a bounded hours-sized final
+    # needs 2, not 32 (measured 3.3 s -> ~0.2 s)
     return (
-        distinct.map_batches(to_hour, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(_Count(alias_name="n_users"))
+        distinct.map_batches(hour_partial, batch_format="pyarrow")
+        .repartition(2, shuffle=False)  # sort-based agg fans out per BLOCK
+        .groupby("hour", num_partitions=2)
+        .aggregate(_Sum("n", alias_name="n_users"))
     )
 
 
