@@ -888,6 +888,86 @@ SQL_PRICE_PERCENTILES = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (delta-segment merge, no base rescan)
+# ---------------------------------------------------------------------------
+
+
+def _source_state_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch mergeable aggregate state per source: (n_docs,
+    total_chars, max_doc_id) — every component sum/sum/max, so states
+    combine associatively."""
+    src_enc = pc.dictionary_encode(batch.column("source").combine_chunks())
+    g = np.asarray(src_enc.indices, dtype=np.int64)
+    m = len(src_enc.dictionary)
+    nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n = np.bincount(g, minlength=m)
+    tot = np.bincount(g, weights=nch, minlength=m).astype(np.int64)
+    mx = np.full(m, -1, np.int64)
+    np.maximum.at(mx, g, did)
+    return pa.table(
+        {
+            "source": src_enc.dictionary,
+            "n_docs": pa.array(n.astype(np.int64)),
+            "total_chars": pa.array(tot),
+            "max_doc_id": pa.array(mx),
+        }
+    )
+
+
+def q_incremental_source_stats(sf_dir: str):
+    """Incremental aggregate maintenance — the materialized-view update a
+    lake runs per ingest: per-source stats are kept as a MERGEABLE state
+    table (sum/sum/max components); when a delta segment lands (here: the
+    ``doc_id % 5 == 0`` slice standing in for today's crawl drop), ONLY the
+    delta is aggregated and merged with the stored state — the base corpus
+    is never rescanned.
+
+    Scale shape: the stored state (built once here from the base slice,
+    standing in for the lake's persisted agg table) is source-cardinality,
+    not corpus-cardinality; the maintenance pass costs
+    O(delta) + O(state merge).  The union-then-groupby merge is the same
+    combine the writer's manifest stats use (pipelines/writer.py)."""
+    from ray.data.aggregate import Max
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def base_only(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did % 5 != 0))
+
+    def delta_only(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did % 5 == 0))
+
+    def merge(states: ray.data.Dataset) -> ray.data.Dataset:
+        return states.groupby("source", num_partitions=2).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Max("max_doc_id", alias_name="max_doc_id"),
+        )
+
+    # stored state: built once, persisted in a real lake (materialize()
+    # stands in for the read-back of that persisted table)
+    base_state = merge(
+        docs.map_batches(base_only, batch_format="pyarrow").map_batches(
+            _source_state_partial, batch_format="pyarrow"
+        )
+    ).materialize()
+    # the maintenance pass: delta aggregate + state merge, no base rescan
+    delta_state = docs.map_batches(delta_only, batch_format="pyarrow").map_batches(
+        _source_state_partial, batch_format="pyarrow"
+    )
+    return merge(base_state.union(delta_state))
+
+
+SQL_INCREMENTAL_SOURCE_STATS = (
+    "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,"
+    " max(doc_id) AS max_doc_id FROM documents GROUP BY source"
+)
+
+
 LAKE_QUERIES = {
     "changelog_apply": q_changelog_apply,
     "tier_lookup": q_tier_lookup,
@@ -897,6 +977,7 @@ LAKE_QUERIES = {
     "fk_integrity": q_fk_integrity,
     "user_day_join": q_user_day_join,
     "price_percentiles": q_price_percentiles,
+    "incremental_source_stats": q_incremental_source_stats,
 }
 
 LAKE_ORACLE_SQL = {
@@ -908,4 +989,5 @@ LAKE_ORACLE_SQL = {
     "fk_integrity": SQL_FK_INTEGRITY,
     "user_day_join": SQL_USER_DAY_JOIN,
     "price_percentiles": SQL_PRICE_PERCENTILES,
+    "incremental_source_stats": SQL_INCREMENTAL_SOURCE_STATS,
 }

@@ -65,6 +65,7 @@ PICKS = [
     "fk_integrity",
     "user_day_join",
     "price_percentiles",
+    "incremental_source_stats",
 ]
 
 
