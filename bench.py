@@ -212,6 +212,7 @@ def run_queries(sf_dir: str) -> dict:
         "entropy_by_source",
         "user_day_join",
         "price_percentiles",
+        "pages_to_blocks",
     ]
     import ray.data
 

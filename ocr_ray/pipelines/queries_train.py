@@ -946,6 +946,14 @@ def q_corpus_to_blocks(sf_dir: str):
     training block.  The corpus text never crosses a shuffle: stage 2
     moves (doc_id, 2x int64 digest lanes, n_tokens), stage 3 moves
     (doc_id, n_tokens)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _to_blocks(ds)
+
+
+def _to_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The corpus_to_blocks assembly over ANY (doc_id, text) Dataset —
+    shared by the documents-read flagship and the pages-extraction
+    capstone (q_pages_to_blocks)."""
     import hashlib
 
     from ..stages.groupagg import bucketed_group_agg
@@ -953,7 +961,6 @@ def q_corpus_to_blocks(sf_dir: str):
     from .queries_cc import _EMBED_DIM, _embed_hash_batch
 
     w = _classifier_weights()
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def survivors(batch: pa.Table) -> pa.Table:
         feats = _embed_hash_batch(batch)
@@ -1014,6 +1021,40 @@ def q_corpus_to_blocks(sf_dir: str):
         )
 
     return cum.map_batches(finish, batch_format="pandas")
+
+
+def q_pages_to_blocks(sf_dir: str):
+    """The web-tier capstone: raw crawl PAGES -> main-content extraction ->
+    quality-classifier filter -> exact content dedup -> sequence packing,
+    one streaming composition of the engine's two halves (the extraction
+    pipeline and the training-data assembly).  A user of the reference
+    runs exactly this shape: fetch/store pages, extract text, curate,
+    pack blocks for training.
+
+    Scale shape: extraction is embarrassingly parallel map_batches (html
+    never crosses a shuffle); doc ids come back out of the synth url with
+    one vectorized slice; everything downstream is the _to_blocks
+    assembly (digest-lane dedup + distributed prefix-sum packing — text
+    never shuffles there either).  The SQL oracle is corpus_to_blocks'
+    CTE unchanged: the synthetic pages extract back byte-identically
+    (extract_identity's pinned invariant), so extraction is
+    oracle-invisible by construction."""
+    from ..stages.extract import extract_batch
+    from .queries import documents_pages
+
+    pages = documents_pages(sf_dir)
+    extracted = pages.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=256
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        # synth url layout is fixed-width: doc_id = last 8 codeunits
+        did = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("url"), 27, 35), pa.int64()
+        )
+        return pa.table({"doc_id": did, "text": batch.column("extracted")})
+
+    return _to_blocks(extracted.map_batches(to_docs, batch_format="pyarrow"))
 
 
 def _sql_corpus_to_blocks() -> str:
@@ -1489,6 +1530,7 @@ TRAIN_QUERIES = {
     "events_ffill": q_events_ffill,
     "image_phash_dedup": q_image_phash_dedup,
     "corpus_to_blocks": q_corpus_to_blocks,
+    "pages_to_blocks": q_pages_to_blocks,
     "bm25_search": q_bm25_search,
     "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
     "window_distinct_users": q_window_distinct_users,
@@ -1511,6 +1553,7 @@ TRAIN_ORACLE_SQL = {
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,
     "corpus_to_blocks": _sql_corpus_to_blocks(),
+    "pages_to_blocks": _sql_corpus_to_blocks(),
     "bm25_search": SQL_BM25_SEARCH,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "pq_encode": _sql_pq_encode(),

@@ -66,6 +66,7 @@ PICKS = [
     "user_day_join",
     "price_percentiles",
     "incremental_source_stats",
+    "pages_to_blocks",
 ]
 
 
