@@ -685,7 +685,10 @@ def q_user_day_join(sf_dir: str):
         val = batch.column("value").to_numpy(zero_copy_only=False)
         day = ts // _DAY_US
         # pack (user, day): epoch days stay < 2^20 for centuries, so the
-        # pack is collision-free for user_id < 2^43
+        # pack is collision-free for user_id < 2^43 — enforced loudly (an
+        # out-of-range id would alias another user's day silently)
+        if len(uid) and (uid.min() < 0 or int(uid.max()) >> 43):
+            raise ValueError("user_id outside [0, 2^43) breaks day packing")
         key = uid * (1 << 20) + day
         uniq, inv, n = np.unique(key, return_inverse=True, return_counts=True)
         s = np.bincount(inv, weights=val)
@@ -789,6 +792,9 @@ def _kth_smallest(ds, column: str, k: int, lo: float, hi: float, n_range: int) -
     histogram refinement: each pass narrows to the candidate bin until the
     range holds <= _SEL_COLLECT rows, then one filtered collect finishes
     on the driver.  log_{bins}(n) passes, driver state O(bins + collect)."""
+
+    if hi == lo:  # all values equal: the k-th IS the bound, no collect
+        return float(lo)
 
     def in_range(batch: pa.Table) -> np.ndarray:
         x = batch.column(column).to_numpy(zero_copy_only=False)
@@ -968,6 +974,203 @@ SQL_INCREMENTAL_SOURCE_STATS = (
 )
 
 
+# ---------------------------------------------------------------------------
+# per-user ordered event-sequence assembly (behavioral-model input builder)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 20
+
+
+def q_user_event_seq(sf_dir: str):
+    """Per-user ordered event-type sequence — the first ``SEQ_LEN`` events
+    by (ts, event_id) comma-joined, plus the user's total event count: the
+    input builder for sequence/behavioral models (the training-data
+    analog of the reference's ordered frame streams).
+
+    Scale shape: each batch PRUNES to its local first-SEQ_LEN rows per
+    user before the shuffle (the global first-K is a subset of the union
+    of per-batch first-Ks), count partials ride along on the first kept
+    row per (user, batch); the user-bucketed final kernel is one lexsort +
+    run-offset list assembly + ``pc.binary_join`` — no per-user Python."""
+    from ..stages.dedup import bucketed_group_apply
+
+    ev = read_table(
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        min_blocks=cpu_count(),
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        starts = np.r_[True, u[1:] != u[:-1]]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(len(u)), 0))
+        rank = np.arange(len(u)) - run_start
+        keep = rank < SEQ_LEN
+        counts = np.diff(np.r_[starts.nonzero()[0], len(u)])
+        n_part = np.zeros(len(u), np.int64)
+        n_part[starts] = counts  # batch count rides on the first kept row
+        sel = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "ts_us": pa.array(ts[sel], pa.int64()),
+                "event_id": pa.array(eid[sel], pa.int64()),
+                "event_type": batch.column("event_type").combine_chunks().take(
+                    pa.array(sel, pa.int64())
+                ),
+                "n_part": pa.array(n_part[keep], pa.int64()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        n_part = group.column("n_part").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        starts = np.r_[True, u[1:] != u[:-1]]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(len(u)), 0))
+        rank = np.arange(len(u)) - run_start
+        keep = rank < SEQ_LEN
+        sel = np.asarray(order[keep], np.int64)
+        uk = u[keep]
+        offs_idx = np.r_[np.r_[True, uk[1:] != uk[:-1]].nonzero()[0], len(uk)]
+        etypes = group.column("event_type").combine_chunks().take(pa.array(sel))
+        seqs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs_idx, pa.int32()), etypes), ","
+        )
+        users = uk[offs_idx[:-1]]
+        totals = np.bincount(
+            np.searchsorted(users, uid), weights=n_part, minlength=len(users)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "seq20": seqs,
+                "n_events": pa.array(totals),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "seq20": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    return bucketed_group_apply(
+        ev.map_batches(prune, batch_format="pyarrow"),
+        ("user_id",),
+        assemble,
+        empty_result=empty,
+    )
+
+
+SQL_USER_EVENT_SEQ = (
+    "WITH e AS (SELECT user_id, event_type,"
+    " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,"
+    " count(*) OVER (PARTITION BY user_id) AS n_events FROM events) "
+    "SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS seq20,"
+    " max(n_events) AS n_events FROM e WHERE rn <= 20 GROUP BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# per-group winsorization (exact histogram quantiles, broadcast bounds)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_winsorize(sf_dir: str):
+    """Winsorize ``n_chars`` per language to its exact [p5, p95]
+    (percentile_disc semantics) — the robust feature-scaling pass a
+    quality model wants before training on length features.
+
+    Scale shape: the per-(lang, n_chars) COUNT histogram is
+    value-cardinality-bounded (the len_quantiles / robust_outliers
+    trick), so exact per-group order statistics come from one bounded
+    shuffle + a driver-side cumsum walk over <= |langs| x |distinct
+    lengths| rows; the bounds then broadcast into a map-side clip —
+    the row stream is touched exactly twice, never sorted."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column("lang").combine_chunks())
+        g = np.asarray(enc.indices, dtype=np.int64)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        # packed (lang-code, value) key: lengths stay far under 2^40
+        key = g * (1 << 40) + v
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": enc.dictionary.take(pa.array(uk >> 40, pa.int32())),
+                "v": pa.array((uk & ((1 << 40) - 1)).astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |langs| x |distinct lengths| rows
+    ).sort_values(["lang", "v"])
+
+    bounds = {}
+    for lang, sub in hist.groupby("lang"):
+        cum = sub["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vs = sub["v"].to_numpy()
+        lo = vs[int(np.searchsorted(cum, max(1, int(np.ceil(0.05 * total)))))]
+        hi = vs[int(np.searchsorted(cum, max(1, int(np.ceil(0.95 * total)))))]
+        bounds[str(lang)] = (int(lo), int(hi))
+    bounds_ref = ray.put(bounds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        enc = pc.dictionary_encode(batch.column("lang").combine_chunks())
+        lo = np.array([b[str(s)][0] for s in enc.dictionary.to_pylist()], np.int64)
+        hi = np.array([b[str(s)][1] for s in enc.dictionary.to_pylist()], np.int64)
+        g = np.asarray(enc.indices, dtype=np.int64)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        w = np.clip(v, lo[g], hi[g])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "n_chars_w": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(clip, batch_format="pyarrow")
+
+
+SQL_DOC_WINSORIZE = (
+    "WITH b AS (SELECT lang, quantile_disc(n_chars, 0.05) AS lo,"
+    " quantile_disc(n_chars, 0.95) AS hi FROM documents GROUP BY lang) "
+    "SELECT doc_id, d.lang, n_chars,"
+    " CASE WHEN n_chars < lo THEN lo WHEN n_chars > hi THEN hi"
+    " ELSE n_chars END AS n_chars_w "
+    "FROM documents d JOIN b ON d.lang = b.lang"
+)
+
+
 LAKE_QUERIES = {
     "changelog_apply": q_changelog_apply,
     "tier_lookup": q_tier_lookup,
@@ -978,6 +1181,8 @@ LAKE_QUERIES = {
     "user_day_join": q_user_day_join,
     "price_percentiles": q_price_percentiles,
     "incremental_source_stats": q_incremental_source_stats,
+    "user_event_seq": q_user_event_seq,
+    "doc_winsorize": q_doc_winsorize,
 }
 
 LAKE_ORACLE_SQL = {
@@ -990,4 +1195,6 @@ LAKE_ORACLE_SQL = {
     "user_day_join": SQL_USER_DAY_JOIN,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "incremental_source_stats": SQL_INCREMENTAL_SOURCE_STATS,
+    "user_event_seq": SQL_USER_EVENT_SEQ,
+    "doc_winsorize": SQL_DOC_WINSORIZE,
 }

@@ -67,6 +67,8 @@ PICKS = [
     "price_percentiles",
     "incremental_source_stats",
     "pages_to_blocks",
+    "user_event_seq",
+    "doc_winsorize",
 ]
 
 
