@@ -532,6 +532,24 @@ QUERIES.update(REL_QUERIES)
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(_BASE_QUERIES)
 
+# Entries NEW or CHANGED most recently (session 6): hoisted to the very
+# front so a capped driver sample always re-validates them, whatever
+# family they live in.
+_PRIORITY = [
+    "pages_to_blocks",
+    "embedding_neardup",
+    "paragraph_dedup",
+    "window_distinct_users",
+    "minhash_dedup",
+    "dedup_clusters",
+    "image_phash_dedup",
+    "contamination",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _PRIORITY},
+    **{k: v for k, v in QUERIES.items() if k not in _PRIORITY},
+}
+
 ORACLE_SQL = {  # keyed lookup — order carries no driver meaning here
     "extract_identity": SQL_EXTRACT_IDENTITY,
     "extract_stats": SQL_EXTRACT_STATS,

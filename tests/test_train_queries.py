@@ -645,3 +645,90 @@ def test_kth_smallest_refinement_loop(ray_session, monkeypatch):
             ds, "o_totalprice", k, float(vals.min()), float(vals.max()), n
         )
         assert got == float(srt[k - 1]), p
+
+
+def test_user_event_seq_prune_subset_property(ray_session, monkeypatch):
+    """The map-side first-K prune is lossless: running the pipeline with
+    adversarially tiny blocks (many partial prunes) must equal the
+    single-partition brute force."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    import ocr_ray.pipelines.queries_lake as QL
+    from ocr_ray.pipelines.queries_lake import SEQ_LEN
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n) * 1000, unit="us", origin="2024-01-01"
+            ),
+            "user_id": rng.integers(0, 7, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    exp = (
+        srt.groupby("user_id")
+        .agg(
+            seq20=("event_type", lambda s: ",".join(s.iloc[:SEQ_LEN])),
+            n_events=("event_type", "size"),
+        )
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(13)
+    monkeypatch.setattr(QL, "read_table", lambda *a, **k: ds)
+    got = (
+        QL.q_user_event_seq("/ignored")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "seq20", "n_events"]].astype({"n_events": "int64"}),
+        exp[["user_id", "seq20", "n_events"]].astype({"n_events": "int64"}),
+    )
+
+
+def test_doc_winsorize_bounds_exact(ray_session, tmp_path):
+    """Winsorize bounds equal numpy's exact percentile_disc on a skewed
+    sample, per group."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ocr_ray.pipelines.queries_lake as QL
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    langs = rng.choice(["aa", "bb"], n)
+    vals = np.where(
+        langs == "aa",
+        rng.integers(10, 100, n),
+        (rng.pareto(2.0, n) * 50).astype(np.int64) + 5,
+    ).astype(np.int64)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "lang": langs, "n_chars": vals}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = QL.q_doc_winsorize(str(tmp_path)).to_pandas()
+    for lang, sub in df.groupby("lang"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        k_lo = max(1, int(np.ceil(0.05 * len(v))))
+        k_hi = max(1, int(np.ceil(0.95 * len(v))))
+        lo, hi = v[k_lo - 1], v[k_hi - 1]
+        g = got[got["lang"] == lang]
+        assert g["n_chars_w"].min() >= lo and g["n_chars_w"].max() <= hi
+        clipped = np.clip(sub.sort_values("doc_id")["n_chars"].to_numpy(), lo, hi)
+        assert (g.sort_values("doc_id")["n_chars_w"].to_numpy() == clipped).all()
