@@ -325,8 +325,12 @@ def q_revenue_by_nation(sf_dir: str):
         zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
     )
     df["n_name"] = df["c_nationkey"].map(nation_name)
+    # INNER-join semantics for the nation lookup: a customer whose
+    # nationkey has no nation row drops out (matches the SQL oracle;
+    # keeping it would emit a NaN group — caught by the fuzz harness)
+    df = df[df["n_name"].notna()]
     df["revenue"] = df["revenue"].round(2)
-    return df[["n_name", "n_orders", "revenue"]]
+    return df[["n_name", "n_orders", "revenue"]].reset_index(drop=True)
 
 
 SQL_REVENUE_BY_NATION = (

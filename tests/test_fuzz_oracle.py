@@ -1,0 +1,292 @@
+"""Differential fuzz: run schema-generic queries against their DuckDB
+oracles on a RANDOMIZED table set with planted edge cases the fixed
+testdata cannot contain — timestamp ties, value ties in top-k, empty
+text, single-member groups, duplicated texts across sources, FK orphans,
+delete-as-last CDC chains.  Seeded and deterministic.
+
+Only queries whose semantics are pure functions of the table SCHEMAS are
+fuzzed; page-synthesis / payload-decode / planted-duplicate queries are
+excluded (their oracles legitimately encode the synth layout).
+"""
+
+import hashlib
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SEED = 20260818
+
+#: schema-generic queries safe to run on arbitrary well-typed tables
+FUZZ_QUERIES = [
+    "doc_clean",
+    "doc_tokens",
+    "doc_fingerprint",
+    "exact_dedup",
+    "top_tokens",
+    "top_bigrams",
+    "mode_token_by_lang",
+    "entropy_by_source",
+    "paragraph_dedup",
+    "doc_row_number",
+    "len_quantiles",
+    "robust_outliers",
+    "doc_winsorize",
+    "incremental_source_stats",
+    "source_cap",
+    "hash_sample",
+    "split_counts",
+    "lineitem_agg",
+    "revenue_by_nation",
+    "top_orders",
+    "lineitem_order_join",
+    "orders_left_join",
+    "lineitem_cube",
+    "orders_semi_events",
+    "orders_anti_events",
+    "tier_lookup",
+    "corr_by_nation",
+    "price_percentiles",
+    "fk_integrity",
+    "events_window",
+    "events_sessionize",
+    "events_lead_lag",
+    "event_transitions",
+    "cohort_retention",
+    "events_resample",
+    "events_moving_win",
+    "window_distinct_users",
+    "asof_last_event",
+    "user_day_join",
+    "changelog_apply",
+    "user_event_seq",
+]
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+LANGS = ["en", "de", "fr", "es", "zh", "xx"]  # xx: rare single-doc group
+SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+ETYPES = ["view", "click", "purchase", "signup", "error"]
+EPOCH = pd.Timestamp("2024-01-01")
+
+
+def _synth_tables(rng: np.random.Generator, out_dir: str) -> None:
+    n_docs, n_events, n_orders, n_line = 400, 3000, 1200, 3600
+    n_cust, n_supp = 120, 40
+
+    texts = []
+    for i in range(n_docs):
+        k = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(VOCAB, k)) if k else "")
+    # planted: one text duplicated across 5 docs / 3 sources
+    dup = "alpha beta gamma delta eps zeta eta theta alpha beta gamma delta"
+    for j in range(5):
+        texts[10 + j] = dup
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": np.r_[
+                rng.choice(LANGS[:5], n_docs - 1), ["xx"]
+            ],  # single-doc lang group
+            "source": rng.choice(SOURCES, n_docs, p=[0.4, 0.3, 0.15, 0.1, 0.05]),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+
+    # events: ties in (user, ts), single-event users, heavy user 0
+    uid = rng.choice(
+        np.r_[np.zeros(10, np.int64), rng.integers(0, 60, 50)], n_events
+    ).astype(np.int64)
+    ts_us = rng.integers(0, 30 * 86_400_000_000, n_events)
+    ts_us[:50] = ts_us[0]  # mass tie at one instant
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": EPOCH + pd.to_timedelta(ts_us, unit="us"),
+            "user_id": uid,
+            "event_type": rng.choice(ETYPES, n_events),
+            "value": np.round(rng.uniform(-5, 200, n_events), 2),
+            "props": ['{"k": %d}' % int(v) for v in rng.integers(0, 9, n_events)],
+        }
+    )
+    # planted CDC chains: user 900 only pre-cutoff, 901 only post, 902
+    # delete-as-last in both regimes
+    cutoff = pd.Timestamp("2024-01-16")
+    extra = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, n_events + 6, dtype=np.int64),
+            "ts": [
+                cutoff - pd.Timedelta(days=2),
+                cutoff + pd.Timedelta(days=2),
+                cutoff - pd.Timedelta(days=3),
+                cutoff - pd.Timedelta(days=1),
+                cutoff + pd.Timedelta(days=1),
+                cutoff + pd.Timedelta(days=3),
+            ],
+            "user_id": np.array([900, 901, 902, 902, 902, 902], np.int64),
+            "event_type": ["view", "click", "view", "error", "click", "error"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "props": ['{"k": 1}'] * 6,
+        }
+    )
+    events = pd.concat([events, extra], ignore_index=True)
+
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(10, dtype=np.int32),
+            "n_name": ["NAT%02d" % i for i in range(10)],
+            "n_regionkey": (np.arange(10) % 3).astype(np.int32),
+        }
+    )
+    region = pd.DataFrame(
+        {
+            "r_regionkey": np.arange(3, dtype=np.int32),
+            "r_name": ["R0", "R1", "R2"],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+            "c_name": ["c%d" % i for i in range(n_cust)],
+            "c_nationkey": rng.integers(0, 10, n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-100, 9000, n_cust), 2),
+            "c_mktsegment": rng.choice(["A", "B"], n_cust),
+        }
+    )
+    customer.loc[n_cust - 1, "c_nationkey"] = np.int32(77)  # FK orphan
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, n_supp + 1, dtype=np.int64),
+            "s_name": ["s%d" % i for i in range(n_supp)],
+            "s_nationkey": rng.integers(0, 10, n_supp).astype(np.int32),
+            "s_acctbal": np.round(rng.uniform(0, 5000, n_supp), 2),
+        }
+    )
+    price = np.round(rng.uniform(900, 150_000, n_orders), 2)
+    price[:6] = price[0]  # top-k ties
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_orders + 1, dtype=np.int64),
+            "o_custkey": rng.integers(1, n_cust + 1, n_orders).astype(np.int64),
+            "o_orderstatus": rng.choice(["O", "F", "P"], n_orders),
+            "o_totalprice": price,
+            "o_orderdate": EPOCH + pd.to_timedelta(rng.integers(0, 25, n_orders), unit="D"),
+            "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n_orders),
+        }
+    )
+    orders.loc[0, "o_custkey"] = np.int64(99_999)  # FK orphan
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(1, n_orders + 1, n_line).astype(np.int64),
+            "l_partkey": rng.integers(1, 500, n_line).astype(np.int64),
+            "l_suppkey": rng.integers(1, n_supp + 1, n_line).astype(np.int64),
+            "l_linenumber": rng.integers(1, 5, n_line).astype(np.int32),
+            "l_quantity": rng.integers(1, 50, n_line).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(100, 90_000, n_line), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n_line), 2),
+            "l_tax": np.round(rng.uniform(0, 0.08, n_line), 2),
+            "l_returnflag": rng.choice(["A", "N", "R"], n_line),
+            "l_linestatus": rng.choice(["O", "F"], n_line),
+            "l_shipdate": EPOCH + pd.to_timedelta(rng.integers(0, 25, n_line), unit="D"),
+        }
+    )
+    lineitem.loc[0, "l_orderkey"] = np.int64(999_999)  # FK orphan
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, 500, dtype=np.int64),
+            "p_name": ["p%d" % i for i in range(1, 500)],
+            "p_brand": ["B%d" % (i % 5) for i in range(1, 500)],
+            "p_type": ["T%d" % (i % 7) for i in range(1, 500)],
+            "p_size": (np.arange(1, 500) % 50).astype(np.int32),
+            "p_retailprice": np.round(np.arange(1, 500) * 1.5, 2),
+        }
+    )
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    embeddings = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float32())),
+            "label": pa.array((np.arange(50) % 3).astype(np.int32)),
+        }
+    )
+
+    for name, df in (
+        ("documents", docs),
+        ("events", events),
+        ("nation", nation),
+        ("region", region),
+        ("customer", customer),
+        ("supplier", supplier),
+        ("orders", orders),
+        ("lineitem", lineitem),
+        ("part", part),
+    ):
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        # the table contract is timestamp[us] (the testdata schema);
+        # pandas defaults to ns — conform before writing
+        schema = pa.schema(
+            [
+                pa.field(f.name, pa.timestamp("us"))
+                if pa.types.is_timestamp(f.type)
+                else f
+                for f in tbl.schema
+            ]
+        )
+        pq.write_table(tbl.cast(schema), os.path.join(out_dir, name + ".parquet"))
+    pq.write_table(embeddings, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(df.astype(str).itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode("utf-8", "replace"))
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_sf")
+    _synth_tables(np.random.default_rng(SEED), str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_con(fuzz_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            "CREATE VIEW {} AS SELECT * FROM read_parquet('{}')".format(
+                t, os.path.join(fuzz_dir, t + ".parquet")
+            )
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_fuzz_query_matches_oracle(ray_session, fuzz_dir, fuzz_con, name):
+    import ray.data
+
+    from ocr_ray.pipelines import queries as Q
+
+    res = Q.QUERIES[name](fuzz_dir)
+    if isinstance(res, ray.data.Dataset):
+        got = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        got = res.to_pandas()
+    else:
+        got = res
+    exp = fuzz_con.execute(Q.ORACLE_SQL[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _value_hash(got) == _value_hash(exp), name
