@@ -586,7 +586,17 @@ def q_doc_embed_hash(sf_dir: str):
     model embedding this one is EXACTLY reproducible in SQL, so the whole
     feature-extraction path is oracle-checked."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(_embed_hash_batch, batch_format="pyarrow")
+
+    def embed(batch: pa.Table) -> pa.Table:
+        feats = _embed_hash_batch(batch)
+        # docs with no non-empty word have no feature mass — the oracle's
+        # inner unnest drops them entirely (WHERE w <> ''), so mirror that
+        total = np.zeros(feats.num_rows, np.int64)
+        for d in range(16):
+            total += feats.column("d%d" % d).to_numpy(zero_copy_only=False)
+        return feats.filter(pa.array(total > 0))
+
+    return ds.map_batches(embed, batch_format="pyarrow")
 
 
 SQL_DOC_EMBED_HASH = (

@@ -270,7 +270,8 @@ def q_doc_chunk_explode(sf_dir: str):
     def explode(batch: pa.Table) -> pa.Table:
         ids_out, chunk_ids = [], []
         for i, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            n = len(chunk_text(t, 40))
+            # empty document = one empty chunk (oracle string_split semantics)
+            n = max(1, len(chunk_text(t, 40)))
             ids_out.extend([i] * n)
             chunk_ids.extend(range(n))
         return pa.table(

@@ -304,7 +304,9 @@ def q_doc_quality(sf_dir: str):
         texts = batch.column("text").to_pylist()
         n_words, mean_len, dup_ratio = [], [], []
         for t in texts:
-            ws = t.split()
+            # split(" "), not split(): mirrors SQL string_split exactly —
+            # empty text yields [''] (1 token), the oracle's semantics
+            ws = t.split(" ")
             n = len(ws)
             n_words.append(n)
             mean_len.append(round_half_away(sum(len(w) for w in ws) / n, 4) if n else 0.0)
@@ -403,7 +405,9 @@ def q_doc_chunks(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunks(batch: pa.Table) -> pa.Table:
-        n = [len(chunk_text(t, 40)) for t in batch.column("text").to_pylist()]
+        # max(1, ...): an empty document is one empty chunk (the oracle's
+        # string_split semantics — split('') is [''], 1 <= 48 -> 1 chunk)
+        n = [max(1, len(chunk_text(t, 40))) for t in batch.column("text").to_pylist()]
         return pa.table(
             {"doc_id": batch.column("doc_id"), "n_chunks": pa.array(n, pa.int64())}
         )

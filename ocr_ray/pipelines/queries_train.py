@@ -495,6 +495,9 @@ def q_quality_classifier(sf_dir: str):
         x = np.column_stack(
             [feats.column(f"d{d}").to_numpy() for d in range(_EMBED_DIM)]
         ).astype(np.float64)
+        # featureless docs (no non-empty word) are absent from the
+        # oracle's feature CTE (inner unnest) — no score row for them
+        has_feat = x.sum(axis=1) > 0
         z = (x @ w) / 100.0
         score = np.round(1.0 / (1.0 + np.exp(-z)), 4)
         # keep derives from the ROUNDED score: the raw z>0 boundary is
@@ -505,7 +508,7 @@ def q_quality_classifier(sf_dir: str):
                 "quality": pa.array(score),
                 "keep": pa.array(score > 0.5),
             }
-        )
+        ).filter(pa.array(has_feat))
 
     return ds.map_batches(infer, batch_format="pyarrow")
 
@@ -577,7 +580,20 @@ def q_bloom_semi_join(sf_dir: str):
     exact = semi_anti_join(survivors, hot, on="l_orderkey", right_on="o_orderkey")
     from ray.data.aggregate import Count
 
-    return exact.groupby("l_orderkey").aggregate(Count(alias_name="n_items"))
+    out_schema = pa.schema([("l_orderkey", pa.int64()), ("n_items", pa.int64())])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # an all-empty semi join leaves the aggregate schema-less; pin it
+        return out_schema.empty_table() if batch.num_columns == 0 else batch
+
+    # norm pins any schema-less empty blocks; note Ray's to_pandas() on a
+    # fully-empty Dataset still drops the schema (upstream quirk — an
+    # empty result is 0 rows with no recoverable column set)
+    return (
+        exact.groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_items"))
+        .map_batches(norm, batch_format="pyarrow")
+    )
 
 
 SQL_BLOOM_SEMI_JOIN = (

@@ -564,8 +564,12 @@ def q_decayed_value(sf_dir: str):
         ).view(np.int64)
         v = batch.column("value").to_numpy(zero_copy_only=False)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        units = np.floor(v * 10000.0 + 0.5).astype(np.int64)  # v >= 0 half-away
-        age = np.minimum((DECAY_T_US - ts_us) // DAY_US, 62).astype(np.int64)
+        # sign-aware half-away rounding (SQL ROUND semantics — negatives
+        # round away from zero, caught by the fuzz's negative values)
+        units = np.where(
+            v >= 0, np.floor(v * 10000.0 + 0.5), -np.floor(-v * 10000.0 + 0.5)
+        ).astype(np.int64)
+        age = np.clip((DECAY_T_US - ts_us) // DAY_US, 0, 62).astype(np.int64)
         dec = units >> age
         uu, inv = np.unique(uid, return_inverse=True)
         sums_exact = np.zeros(len(uu), dtype=np.int64)  # int64 scatter-add: exact
@@ -585,10 +589,15 @@ def q_decayed_value(sf_dir: str):
 
 
 SQL_DECAYED_VALUE = (
+    # the decay is an ARITHMETIC RIGHT SHIFT (floor division by 2^age);
+    # DuckDB's // truncates toward zero, so floor is emulated for
+    # negative units with the u % p remainder correction
     "SELECT user_id, CAST(sum("
-    " CAST(ROUND(value * 10000, 0) AS BIGINT)"
-    " // CAST(POW(2, ({t} - epoch_us(ts)) // {day}) AS BIGINT)"
-    ") AS BIGINT) AS decayed_units FROM events GROUP BY user_id"
+    " u // p - CASE WHEN u < 0 AND u % p <> 0 THEN 1 ELSE 0 END"
+    ") AS BIGINT) AS decayed_units FROM ("
+    " SELECT user_id, CAST(ROUND(value * 10000, 0) AS BIGINT) AS u,"
+    " CAST(POW(2, LEAST(GREATEST(({t} - epoch_us(ts)) // {day}, 0), 62))"
+    " AS BIGINT) AS p FROM events) GROUP BY user_id"
 ).format(t=DECAY_T_US, day=DAY_US)
 
 
@@ -1280,9 +1289,21 @@ def q_customer_order_full(sf_dir: str):
         .select_columns(["c_custkey", "c_acctbal"])
         .materialize()
     )
-    joined = auto_join(
-        stats, segment, on="o_custkey", right_on="c_custkey", join_type="full_outer"
-    )
+    if segment.count() == 0:
+        # Ray's hash full_outer KeyErrors when one side is empty (even with
+        # a typed empty block — the shuffle aggregator partition never sees
+        # the right schema; fuzz-harness finding).  The degenerate full
+        # outer IS the left side with null right columns — synthesize it.
+        joined = stats.map_batches(
+            lambda b: b.append_column(
+                "c_acctbal", pa.nulls(b.num_rows, pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = auto_join(
+            stats, segment, on="o_custkey", right_on="c_custkey", join_type="full_outer"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         # Ray's full_outer coalesces the key into the LEFT name already
