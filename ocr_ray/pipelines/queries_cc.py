@@ -930,6 +930,18 @@ def q_substring_dedup(sf_dir: str):
         .repartition(shuffle_blocks, shuffle=False)
         .materialize()
     )
+    if exploded.count() == 0:
+        # no document reaches 10 words: zero windows, zero output rows —
+        # short-circuit before the empty stream cascades schema-less
+        # blocks into the Acero join (fuzz-harness finding); count() on
+        # the materialized stream is free
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "n_dup_windows": pa.array([], pa.int64()),
+            }
+        )
     counts = hash_group_count(exploded.select_columns(["h1", "h2"])).materialize()
 
     def pack_key(batch: pa.Table) -> pa.Table:

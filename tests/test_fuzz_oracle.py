@@ -294,10 +294,60 @@ def _value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-@pytest.fixture(scope="module")
-def fuzz_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_sf")
-    _synth_tables(np.random.default_rng(SEED), str(d))
+SEED_DEGENERATE = SEED + 1
+
+
+def _degenerate_overrides(out_dir: str) -> None:
+    """Second regime: collapse whole dimensions — one source, one lang,
+    one dominant user, every doc the same text, constant prices — the
+    group-of-everything / group-of-one extremes."""
+    docs = pq.read_table(os.path.join(out_dir, "documents.parquet")).to_pandas()
+    docs["source"] = "src0"
+    docs["lang"] = "en"
+    docs["text"] = "alpha beta alpha beta gamma"
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    ev = pq.read_table(os.path.join(out_dir, "events.parquet")).to_pandas()
+    ev.loc[ev.index[: len(ev) // 2], "user_id"] = np.int64(0)  # hot key
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False).cast(
+            pa.schema(
+                [
+                    pa.field(f.name, pa.timestamp("us"))
+                    if pa.types.is_timestamp(f.type)
+                    else f
+                    for f in pa.Table.from_pandas(ev, preserve_index=False).schema
+                ]
+            )
+        ),
+        os.path.join(out_dir, "events.parquet"),
+    )
+    orders = pq.read_table(os.path.join(out_dir, "orders.parquet")).to_pandas()
+    orders["o_totalprice"] = 5000.0  # every price identical: total tie
+    pq.write_table(
+        pa.Table.from_pandas(orders, preserve_index=False).cast(
+            pa.schema(
+                [
+                    pa.field(f.name, pa.timestamp("us"))
+                    if pa.types.is_timestamp(f.type)
+                    else f
+                    for f in pa.Table.from_pandas(orders, preserve_index=False).schema
+                ]
+            )
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+
+
+@pytest.fixture(scope="module", params=[SEED, SEED_DEGENERATE])
+def fuzz_dir(tmp_path_factory, request):
+    d = tmp_path_factory.mktemp("fuzz_sf_%d" % request.param)
+    _synth_tables(np.random.default_rng(request.param), str(d))
+    if request.param == SEED_DEGENERATE:
+        _degenerate_overrides(str(d))
     return str(d)
 
 
