@@ -548,6 +548,17 @@ _PRIORITY = [
     "dedup_clusters",
     "image_phash_dedup",
     "contamination",
+    # fuzz-gate fixes (session 6): edge semantics aligned with the oracles
+    "revenue_by_nation",
+    "doc_quality",
+    "doc_chunks",
+    "doc_chunk_explode",
+    "doc_embed_hash",
+    "quality_classifier",
+    "decayed_value",
+    "customer_order_full",
+    "bloom_semi_join",
+    "substring_dedup",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY},
