@@ -295,6 +295,35 @@ def _value_hash(df: pd.DataFrame) -> str:
 
 
 SEED_DEGENERATE = SEED + 1
+SEED_UNICODE = SEED + 2
+
+UNICODE_VOCAB = [
+    "café",
+    "naïve",
+    "über",
+    "中文",
+    "日本",
+    "élève",
+    "señor",
+    "рус",
+]
+
+
+def _unicode_overrides(out_dir: str, rng: np.random.Generator) -> None:
+    """Third regime: multi-byte text (accents, CJK, Cyrillic) — stresses
+    every byte-vs-codepoint assumption in the text kernels against
+    DuckDB's codepoint semantics (length, split, hashing, entropy)."""
+    docs = pq.read_table(os.path.join(out_dir, "documents.parquet")).to_pandas()
+    texts = [
+        " ".join(rng.choice(UNICODE_VOCAB, int(rng.integers(0, 25))))
+        for _ in range(len(docs))
+    ]
+    docs["text"] = texts
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)  # codepoints
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
 
 
 def _degenerate_overrides(out_dir: str) -> None:
@@ -342,12 +371,15 @@ def _degenerate_overrides(out_dir: str) -> None:
     )
 
 
-@pytest.fixture(scope="module", params=[SEED, SEED_DEGENERATE])
+@pytest.fixture(scope="module", params=[SEED, SEED_DEGENERATE, SEED_UNICODE])
 def fuzz_dir(tmp_path_factory, request):
-    d = tmp_path_factory.mktemp("fuzz_sf_%d" % request.param)
-    _synth_tables(np.random.default_rng(request.param), str(d))
+    d = tmp_path_factory.mktemp("fuzz_sf_%d_" % request.param)
+    rng = np.random.default_rng(request.param)
+    _synth_tables(rng, str(d))
     if request.param == SEED_DEGENERATE:
         _degenerate_overrides(str(d))
+    elif request.param == SEED_UNICODE:
+        _unicode_overrides(str(d), rng)
     return str(d)
 
 
@@ -365,12 +397,26 @@ def fuzz_con(fuzz_dir):
     return con
 
 
+#: exempt per regime: DuckDB's levenshtein() is BYTE-based while the
+#: engine's SymSpell deletion index is CODEPOINT-based (the linguistically
+#: correct unit — len('日本')=2); the two agree on ASCII, so the oracle
+#: contract holds on the other regimes and the codepoint behavior is
+#: pinned by tests/test_queries_web.py instead.
+REGIME_EXEMPT = {"edit1_matches": {SEED_UNICODE}}
+
+
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_fuzz_query_matches_oracle(ray_session, fuzz_dir, fuzz_con, name):
     import ray.data
 
     from ocr_ray.pipelines import queries as Q
 
+    import re
+
+    m = re.search(r"fuzz_sf_(\d+)_", fuzz_dir)  # tmp dir: fuzz_sf_<seed>_<N>
+    seed = int(m.group(1)) if m else -1
+    if seed in REGIME_EXEMPT.get(name, ()):
+        pytest.skip("oracle function is byte-based; engine is codepoint-based")
     res = Q.QUERIES[name](fuzz_dir)
     if isinstance(res, ray.data.Dataset):
         got = res.to_pandas()
