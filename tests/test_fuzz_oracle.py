@@ -106,6 +106,22 @@ FUZZ_QUERIES = [
     "events_value_stats",
     "stratified_sample",
     "events_lead_lag",
+    # tier 3: the extraction flagship (identity contract on ANY text) and
+    # the embedding family (generic SQL over the embeddings table)
+    "extract_identity",
+    "extract_stats",
+    "extract_exploded",
+    "host_stats",
+    "pii_redact",
+    "doc_tokens_bpe",
+    "props_stats",
+    "knn_cosine",
+    "knn_l2",
+    "knn_multi",
+    "embedding_norms",
+    "embedding_centroids",
+    "kmeans_assign",
+    "pq_encode",
 ]
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
