@@ -312,6 +312,28 @@ def _value_hash(df: pd.DataFrame) -> str:
 
 SEED_DEGENERATE = SEED + 1
 SEED_UNICODE = SEED + 2
+SEED_LONGDOC = SEED + 3
+
+
+def _longdoc_overrides(out_dir: str, rng: np.random.Generator) -> None:
+    """Fourth regime: LONG documents (100-600 words) — exercises the
+    multi-chunk path (>48 tokens), deep substring/paragraph window
+    explodes, multi-block packing, and repetition-heavy text the short
+    regimes never reach."""
+    docs = pq.read_table(os.path.join(out_dir, "documents.parquet")).to_pandas()
+    texts = []
+    for _ in range(len(docs)):
+        k = int(rng.integers(100, 600))
+        words = rng.choice(VOCAB, k)
+        if rng.random() < 0.3:  # a third of docs heavily repeat one phrase
+            words[:: max(1, k // 50)] = "alpha"
+        texts.append(" ".join(words))
+    docs["text"] = texts
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
 
 UNICODE_VOCAB = [
     "café",
@@ -387,7 +409,9 @@ def _degenerate_overrides(out_dir: str) -> None:
     )
 
 
-@pytest.fixture(scope="module", params=[SEED, SEED_DEGENERATE, SEED_UNICODE])
+@pytest.fixture(
+    scope="module", params=[SEED, SEED_DEGENERATE, SEED_UNICODE, SEED_LONGDOC]
+)
 def fuzz_dir(tmp_path_factory, request):
     d = tmp_path_factory.mktemp("fuzz_sf_%d_" % request.param)
     rng = np.random.default_rng(request.param)
@@ -396,6 +420,8 @@ def fuzz_dir(tmp_path_factory, request):
         _degenerate_overrides(str(d))
     elif request.param == SEED_UNICODE:
         _unicode_overrides(str(d), rng)
+    elif request.param == SEED_LONGDOC:
+        _longdoc_overrides(str(d), rng)
     return str(d)
 
 
