@@ -522,9 +522,14 @@ from .queries_web import WEB_ORACLE_SQL, WEB_QUERIES  # noqa: E402
 from .queries_lake import LAKE_ORACLE_SQL, LAKE_QUERIES  # noqa: E402
 
 # Registry order = driver sampling order: the external correctness driver
-# checks the FIRST ~50 entries, so the newest / most-recently-changed
-# families go first and the long-stable round-1 basics go last (they have
-# green rows in CORRECTNESS_r01..r03 already).
+# checks the FIRST ~50 entries.  Round-5 rotation policy (VERDICT r4 #5):
+# (1) queries CHANGED this round go first (the driver must re-validate
+# them even if sampled last round), then (2) everything the r4 driver
+# did NOT sample (46 queries had never had a driver row — the judge's
+# check_queries run covered them, but a driver row is stronger), then
+# (3) the 50 queries sampled in CORRECTNESS_r04 go to the BACK — their
+# green rows are at most one round old.  Net: sample overlap between
+# CORRECTNESS_r05 and r04 ~= the changed set only.
 QUERIES = {}
 QUERIES.update(LAKE_QUERIES)
 QUERIES.update(WEB_QUERIES)
@@ -536,34 +541,48 @@ QUERIES.update(REL_QUERIES)
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(_BASE_QUERIES)
 
-# Entries NEW or CHANGED most recently (session 6): hoisted to the very
-# front so a capped driver sample always re-validates them, whatever
-# family they live in.
-_PRIORITY = [
-    "pages_to_blocks",
-    "embedding_neardup",
-    "paragraph_dedup",
-    "window_distinct_users",
-    "minhash_dedup",
+# (1) changed in round 5: oracle-contract / scale-shape / kernel changes
+_CHANGED_R5 = [
+    "simhash_dedup",       # planted-contract reconstruction via hamming-0 CC
+    "minhash_dedup",       # vectorized shingle hashing (new signature values)
     "dedup_clusters",
-    "image_phash_dedup",
-    "contamination",
-    # fuzz-gate fixes (session 6): edge semantics aligned with the oracles
-    "revenue_by_nation",
-    "doc_quality",
-    "doc_chunks",
-    "doc_chunk_explode",
-    "doc_embed_hash",
-    "quality_classifier",
-    "decayed_value",
-    "customer_order_full",
-    "bloom_semi_join",
-    "substring_dedup",
+    "dedup_canonical",
+    "ngram_jaccard",
+    "curation_neardup",
+    "embedding_neardup",   # batch cosine now rounds like the scalar path
+    "cohort_retention",    # bucketed_group_agg swap
+    "corr_by_nation",      # size-planned supplier + null zero-variance
+    "tier_lookup",         # below-range clamp
+    "customer_order_full", # symmetric empty-side guard
+    "bloom_semi_join",     # tree-merged partials
+    "top_tokens_mg",       # tree-merged partials
 ]
-QUERIES = {
-    **{k: QUERIES[k] for k in _PRIORITY},
-    **{k: v for k, v in QUERIES.items() if k not in _PRIORITY},
-}
+# (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
+_SAMPLED_R04 = [
+    "pages_to_blocks", "embedding_neardup", "paragraph_dedup",
+    "window_distinct_users", "minhash_dedup", "dedup_clusters",
+    "image_phash_dedup", "contamination", "revenue_by_nation",
+    "doc_quality", "doc_chunks", "doc_chunk_explode", "doc_embed_hash",
+    "quality_classifier", "decayed_value", "customer_order_full",
+    "bloom_semi_join", "substring_dedup", "changelog_apply", "tier_lookup",
+    "corr_by_nation", "mode_token_by_lang", "entropy_by_source",
+    "fk_integrity", "user_day_join", "price_percentiles",
+    "incremental_source_stats", "user_event_seq", "doc_winsorize",
+    "events_resample", "doc_row_number", "source_intersect",
+    "events_unpivot", "host_stats", "pages_scd", "reciprocal_links",
+    "edit1_matches", "lang_ntile", "robust_outliers", "table_rows",
+    "anchor_stats", "pages_asof", "props_stats", "source_except",
+    "item_cooccurrence", "event_transitions", "cohort_retention",
+    "training_pack", "weighted_sample", "events_moving_win",
+]
+_changed = [k for k in _CHANGED_R5 if k in QUERIES]
+_rotated_back = [
+    k for k in _SAMPLED_R04 if k in QUERIES and k not in _CHANGED_R5
+]
+_middle = [
+    k for k in QUERIES if k not in _CHANGED_R5 and k not in _rotated_back
+]
+QUERIES = {k: QUERIES[k] for k in (*_changed, *_middle, *_rotated_back)}
 
 ORACLE_SQL = {  # keyed lookup — order carries no driver meaning here
     "extract_identity": SQL_EXTRACT_IDENTITY,

@@ -162,14 +162,20 @@ SQL_DEDUP_CLUSTERS = (
 
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup: 64-bit fingerprints, 4x16-bit band blocking,
-    hamming<=3 verify.  Oracle-checked since r3 via PLANTED pairs (the
+    hamming<=3 verify.  Oracle-checked via PLANTED pairs (the
     embedding_neardup pattern, VERDICT r2 #8): each doc is salted with as
-    many per-doc-unique tokens as it has words — that decorrelates every
-    ORGANIC near-dup far past hamming 3 (half of each fingerprint's votes
-    come from tokens no other doc shares) — then byte-identical copies are
-    planted at doc_id+100000 for doc_id%10==0, so the expected pair list
-    is exactly the planted set and therefore SQL.  Organic-near-dup
-    behavior stays pinned by tests/test_dedup_similarity.py."""
+    many per-doc-unique tokens as it has words, then byte-identical copies
+    are planted at doc_id+100000 for doc_id%10==0.  Salting decorrelates
+    MOST organic near-dups, but byte-identical source texts share their
+    whole base vote and can still land within hamming 3 (VERDICT r4 #1:
+    docs 144/161 at sf0.001 are identical and hash to hamming 0), so the
+    pipeline and the SQL both restrict the CONTRACT to the planted
+    (doc_id, doc_id+100000) structure — the restriction is on the output
+    projection only; the full dedup pipeline (banding, bucket groupby,
+    hamming verify) runs over the whole salted corpus and must still FIND
+    every planted pair among the organic candidates.  Organic-near-dup
+    behavior stays pinned by tests/test_dedup_similarity.py and the fuzz
+    regime in tests/test_fuzz_oracle.py (organic-duplicate plants)."""
     from ..stages import dedup
 
     docs = read_table(
@@ -195,7 +201,56 @@ def q_simhash_dedup(sf_dir: str):
     out = dedup.simhash_dedup_pairs(
         salted, max_hamming=3, shuffle_blocks=table_shuffle_blocks(sf_dir, "documents")
     )  # Dataset, distributed
-    return out.select_columns(["a", "b"]).sort(["a", "b"])
+
+    # Project the planted contract out of the pipeline's spanning-set
+    # output.  A planted copy is byte-identical text -> identical
+    # fingerprint -> always a hamming-0 edge to its group, but the
+    # bounded pair emitter stars identical-fingerprint groups to the
+    # group MIN id, so when organic identical texts share a group with a
+    # planted original the literal pair (a, a+100000) may be represented
+    # transitively rather than emitted.  Reconstruct it: connected
+    # components over the hamming-0 edges recover the identical-
+    # fingerprint groups exactly (hamming 0 <=> equal fingerprints), and
+    # (a, a+100000) is a planted duplicate iff both ids land in one
+    # component.
+    zero_edges = out.filter(expr="hamming == 0").select_columns(["a", "b"])
+    cc = dedup.connected_components(zero_edges)
+
+    def orig_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids < 100000) & (ids % 10 == 0)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {"a": t.column("doc_id"), "cluster_id": t.column("cluster_id")}
+        )
+
+    def copy_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids >= 100000))
+        return pa.table(
+            {
+                "a": pc.subtract(t.column("doc_id"), pa.scalar(100000)),
+                "cluster_id": t.column("cluster_id"),
+            }
+        )
+
+    from ..stages.joins import auto_join
+
+    matched = auto_join(
+        cc.map_batches(orig_side, batch_format="pyarrow"),
+        cc.map_batches(copy_side, batch_format="pyarrow"),
+        on=["a", "cluster_id"],
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": pc.add(batch.column("a"), pa.scalar(100000)),
+            }
+        )
+
+    return matched.map_batches(emit, batch_format="pyarrow").sort(["a", "b"])
 
 
 SQL_SIMHASH_DEDUP = (
@@ -624,9 +679,23 @@ def q_distinct_tokens_hll(sf_dir: str):
             sketches.hll_add(regs, t.split())
         return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def merge_regs(tbl: pa.Table) -> pa.Table:
+        bufs = tbl.column("registers").to_pylist()
+        if not bufs:
+            return tbl
+        acc = np.maximum.reduce(
+            np.stack([np.frombuffer(b, dtype=np.uint8) for b in bufs])
+        )
+        return pa.table({"registers": pa.array([acc.tobytes()], pa.binary())})
+
+    # in-cluster tree merge (VERDICT r4 #4): register-max is associative/
+    # commutative, so the driver folds <= n_buckets pre-merged rows
+    from ..stages.groupagg import tree_merge_partials
+
     regs = sketches.hll_empty()
-    for r in parts:
+    for r in tree_merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge_regs
+    ):
         regs = sketches.hll_merge(regs, np.frombuffer(r["registers"], dtype=np.uint8))
     return pa.table(
         {"distinct_tokens_est": pa.array([int(round(sketches.hll_estimate(regs)))],
@@ -668,13 +737,37 @@ def q_top_tokens_mg(sf_dir: str):
             }
         )
 
-    parts = (
-        read_table(sf_dir, "documents", columns=["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .take_all()
-    )
+    def merge_summaries(tbl: pa.Table) -> pa.Table:
+        items_col = tbl.column("items").to_pylist()
+        counts_col = tbl.column("counts").to_pylist()
+        if not items_col:
+            return tbl
+        acc = sketches.mg_empty()
+        for its, cts in zip(items_col, counts_col):
+            acc = sketches.mg_merge(
+                acc, dict(zip(its, (int(c) for c in cts))), k=K
+            )
+        items = sorted(acc)
+        return pa.table(
+            {
+                "items": pa.array([items], pa.list_(pa.string())),
+                "counts": pa.array([[acc[i] for i in items]], pa.list_(pa.int64())),
+            }
+        )
+
+    # in-cluster tree merge (VERDICT r4 #4): MG merges are order-insensitive
+    # in their guarantee (total decrement <= n/(K+1) regardless of merge
+    # tree — Agarwal et al. 2012), so the candidate-superset property the
+    # exact verify pass relies on survives the tree shape
+    from ..stages.groupagg import tree_merge_partials
+
     summ = sketches.mg_empty()
-    for r in parts:
+    for r in tree_merge_partials(
+        read_table(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge_summaries,
+    ):
         summ = sketches.mg_merge(
             summ, dict(zip(r["items"], (int(c) for c in r["counts"]))), k=K
         )

@@ -222,7 +222,9 @@ def q_tier_lookup(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         bounds, names = ray.get(bounds_ref)
         price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-        tier = np.searchsorted(bounds, price, side="right") - 1
+        # clamp below-range prices (e.g. negative) into T0 like the SQL's
+        # "< 1000 THEN 'T0'" branch instead of a -1 bincount key (ADVICE r4)
+        tier = np.maximum(np.searchsorted(bounds, price, side="right") - 1, 0)
         status_enc = pc.dictionary_encode(
             batch.column("o_orderstatus").combine_chunks()
         )
@@ -286,31 +288,70 @@ _PIVOT_PRICE = 35_000.0
 
 
 def q_corr_by_nation(sf_dir: str):
+    return _corr_by_nation(sf_dir)
+
+
+def _corr_by_nation(sf_dir: str, broadcast_limit: int | None = None):
     """Pearson correlation and OLS slope of (l_quantity -> l_extendedprice)
     per supplier nation — the dataset-summary statistics pass.
 
-    Scale shape: supplier (s_suppkey -> s_nationkey) and nation names are
-    dimension tables broadcast as numpy arrays (searchsorted lookup, no
-    shuffle); each batch folds to <= 25 shifted-moment rows
-    (n, sx, sy, sxx, syy, sxy) via bincount; the native aggregate then
-    sums <= 25 x n_blocks tiny rows and one driver-sized map computes the
-    statistics."""
-    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    Scale shape: the supplier dimension is SIZE-PLANNED (VERDICT r4 #3 —
+    supplier grows with sf, so an unconditional ``ray.put`` is a multi-GB
+    broadcast at 100 TB): while its parquet-metadata size is provably
+    under the auto_join broadcast limit it travels once as sorted numpy
+    arrays (validated searchsorted lookup, no shuffle); above the limit
+    the nationkey is attached through the size-planned hash join instead.
+    Nation names (25 rows, constant) stay a driver dict.  Each batch
+    folds to <= 25 shifted-moment rows (n, sx, sy, sxx, syy, sxy) via
+    bincount; the native aggregate sums <= 25 x n_blocks tiny rows and
+    one driver-sized map computes the statistics (zero-variance groups
+    -> NULL, matching DuckDB corr/regr_slope)."""
+    from ..stages.joins import BROADCAST_BYTES, _known_size, auto_join
+
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_BYTES
     nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    sup = sup.sort_values("s_suppkey")
-    sup_keys = ray.put(sup["s_suppkey"].to_numpy(np.int64))
-    sup_nat = ray.put(sup["s_nationkey"].to_numpy(np.int64))
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
     ds = read_table(
         sf_dir, "lineitem", columns=["l_suppkey", "l_quantity", "l_extendedprice"]
     )
+    sup_ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sup_bytes = _known_size(sup_ds)
+
+    if sup_bytes is not None and sup_bytes <= broadcast_limit:
+        sup = sup_ds.to_pandas().sort_values("s_suppkey")
+        sup_keys = ray.put(sup["s_suppkey"].to_numpy(np.int64))
+        sup_nat = ray.put(sup["s_nationkey"].to_numpy(np.int64))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            keys = ray.get(sup_keys)
+            nats = ray.get(sup_nat)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, sk)
+            hit = keys[np.clip(idx, 0, len(keys) - 1)] == sk
+            if not hit.all():  # loud failure, the q_user_day_join policy:
+                # a silent miss would attribute the row to the NEXT
+                # supplier's nation (or IndexError past the end)
+                miss = sk[~hit][:3].tolist()
+                raise ValueError(f"l_suppkey(s) {miss} not present in supplier")
+            return batch.append_column(
+                "nationkey", pa.array(nats[idx], pa.int64())
+            )
+
+        with_nat = ds.map_batches(attach, batch_format="pyarrow")
+    else:  # dimension too large to broadcast: size-planned join
+        with_nat = auto_join(
+            ds, sup_ds, on="l_suppkey", right_on="s_suppkey"
+        ).map_batches(
+            lambda b: b.append_column(
+                "nationkey", pc.cast(b.column("s_nationkey"), pa.int64())
+            ).drop_columns(["s_nationkey"]),
+            batch_format="pyarrow",
+        )
 
     def moments(batch: pa.Table) -> pa.Table:
-        keys = ray.get(sup_keys)
-        nats = ray.get(sup_nat)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        g = nats[np.searchsorted(keys, sk)]
+        g = batch.column("nationkey").to_numpy(zero_copy_only=False)
         x = batch.column("l_quantity").to_numpy(zero_copy_only=False) - _PIVOT_QTY
         y = (
             batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
@@ -340,20 +381,31 @@ def q_corr_by_nation(sf_dir: str):
         cov_n = n * sxy - sx * sy
         vx_n = n * sxx - sx * sx
         vy_n = n * syy - sy * sy
-        corr = cov_n / np.sqrt(vx_n * vy_n)
-        slope = cov_n / vx_n
+        # zero-variance groups (all-equal values, single-row groups):
+        # DuckDB corr/regr_slope return NULL there, not NaN/inf (ADVICE r4)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.round(cov_n / np.sqrt(vx_n * vy_n), 4)
+            slope = np.round(cov_n / vx_n, 4)
         names = [name_of[int(k)] for k in batch.column("nationkey").to_pylist()]
+        corr_ok = (vx_n > 0) & (vy_n > 0)
+        slope_ok = vx_n > 0
         return pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
                 "n": pa.array(n.astype(np.int64)),
-                "corr_qty_price": pa.array(np.round(corr, 4)),
-                "slope_qty_price": pa.array(np.round(slope, 4)),
+                "corr_qty_price": pa.array(
+                    [float(c) if ok else None for c, ok in zip(corr, corr_ok)],
+                    pa.float64(),
+                ),
+                "slope_qty_price": pa.array(
+                    [float(s) if ok else None for s, ok in zip(slope, slope_ok)],
+                    pa.float64(),
+                ),
             }
         )
 
     return (
-        ds.map_batches(moments, batch_format="pyarrow")
+        with_nat.map_batches(moments, batch_format="pyarrow")
         .groupby("nationkey")
         .aggregate(
             Sum("n", alias_name="n"),

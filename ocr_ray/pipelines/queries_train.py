@@ -566,8 +566,23 @@ def q_bloom_semi_join(sf_dir: str):
         sketches.bloom_add_ints(bits, batch.column("o_orderkey").to_numpy())
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
+    def merge_bits(tbl: pa.Table) -> pa.Table:
+        bufs = tbl.column("bits").to_pylist()
+        if not bufs:
+            return tbl  # empty block: nothing to fold
+        acc = np.bitwise_or.reduce(
+            np.stack([np.frombuffer(b, dtype=np.uint8) for b in bufs])
+        )
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    # in-cluster tree merge (VERDICT r4 #4): the driver folds <= n_buckets
+    # pre-merged bitsets, never one per input batch
+    from ..stages.groupagg import tree_merge_partials
+
     bits = sketches.bloom_empty()
-    for row in hot.map_batches(bloom_partial, batch_format="pyarrow").take_all():
+    for row in tree_merge_partials(
+        hot.map_batches(bloom_partial, batch_format="pyarrow"), merge_bits
+    ):
         bits = sketches.bloom_merge(bits, np.frombuffer(row["bits"], dtype=np.uint8))
     bits_ref = ray.put(bits)
 
@@ -816,8 +831,22 @@ def q_value_quantiles_kll(sf_dir: str):
         sketches.kll_add(sk, batch.column("value").to_numpy())
         return pa.table({"sk": pa.array([pickle.dumps(sk)], pa.binary())})
 
+    def merge_sk(tbl: pa.Table) -> pa.Table:
+        bufs = tbl.column("sk").to_pylist()
+        if not bufs:
+            return tbl
+        acc = pickle.loads(bufs[0])
+        for b in bufs[1:]:
+            acc = sketches.kll_merge(acc, pickle.loads(b))
+        return pa.table({"sk": pa.array([pickle.dumps(acc)], pa.binary())})
+
+    # in-cluster tree merge (VERDICT r4 #4): driver folds <= n_buckets rows
+    from ..stages.groupagg import tree_merge_partials
+
     merged = sketches.kll_empty()
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+    for row in tree_merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge_sk
+    ):
         merged = sketches.kll_merge(merged, pickle.loads(row["sk"]))
     est = sketches.kll_quantiles(merged, KLL_QS)
     return pa.table(

@@ -1072,12 +1072,16 @@ def q_cohort_retention(sf_dir: str):
     counted per (cohort week, week offset) of later activity — the
     retention triangle every growth dashboard plots.
 
-    Plan: map-side distinct (user, week) via packed np.unique, groupby to
-    finish the distinct, a Min aggregate for the cohort week, then a
-    size-planned ``auto_join`` back (the cohort table is a per-user
-    dimension: broadcast while provably small, hash-partitioned join
-    beyond) and one final native aggregate.  No driver state proportional
-    to users anywhere."""
+    Plan: map-side distinct (user, week) via packed np.unique, a bucketed
+    lexsort/reduceat group-aggregate to finish the distinct and another
+    for the per-user cohort week — BOTH keys are DATA-cardinality
+    (user-proportional), exactly where Ray's native aggregate pays ~30 us
+    per group (BASELINE #4/#15; VERDICT r4 #2) — then a size-planned
+    ``auto_join`` back (the cohort table is a per-user dimension:
+    broadcast while provably small, hash-partitioned join beyond) and one
+    final native aggregate over the BOUNDED (cohort week x offset) grid.
+    No driver state proportional to users anywhere."""
+    from ..stages.groupagg import bucketed_group_agg
     from ..stages.joins import auto_join
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
@@ -1099,17 +1103,19 @@ def q_cohort_retention(sf_dir: str):
             }
         )
 
-    act = (
-        ds.map_batches(distinct_weeks, batch_format="pyarrow")
-        .groupby(["user_id", "week"])
-        .aggregate(Count(alias_name="_n"))
+    act = bucketed_group_agg(
+        ds.map_batches(distinct_weeks, batch_format="pyarrow"),
+        ["user_id", "week"],
+        {"_n": ("count", None)},
     )
 
     def slim(batch: pa.Table) -> pa.Table:
         return batch.select(["user_id", "week"])
 
-    act = act.map_batches(slim, batch_format="pyarrow")
-    cohort = act.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    act = act.map_batches(slim, batch_format="pyarrow").materialize()
+    cohort = bucketed_group_agg(
+        act, ["user_id"], {"cohort_week": ("min", "week")}
+    )
     joined = auto_join(act, cohort, on="user_id")
 
     def offsets(batch: pa.Table) -> pa.Table:
@@ -1297,6 +1303,21 @@ def q_customer_order_full(sf_dir: str):
         joined = stats.map_batches(
             lambda b: b.append_column(
                 "c_acctbal", pa.nulls(b.num_rows, pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+    elif stats.count() == 0:
+        # symmetric guard (ADVICE r4): an empty LEFT (no orders at all)
+        # with a nonempty segment hits the same upstream KeyError; the
+        # degenerate full outer is the segment with null left columns.
+        joined = segment.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+                    "n_orders": pa.nulls(b.num_rows, pa.int64()),
+                    "max_price": pa.nulls(b.num_rows, pa.float64()),
+                    "c_acctbal": b.column("c_acctbal"),
+                }
             ),
             batch_format="pyarrow",
         )
