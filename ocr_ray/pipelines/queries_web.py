@@ -1499,7 +1499,96 @@ SQL_DOC_ROW_NUMBER = (
 )
 
 
+# ---------------------------------------------------------------------------
+# search expansion (reference S6 search half: query -> ranked urls)
+# ---------------------------------------------------------------------------
+
+#: raw queries deliberately carrying punctuation — format_query's
+#: normalization (non-alnum -> space) is part of the contract under test
+SEARCH_RAW_QUERIES = {
+    0: "hash join, order!",
+    1: "window & merge: stream",
+    2: "filter+scan (group)",
+}
+SEARCH_TOP_N = 5
+
+
+def q_search_corpus(sf_dir: str):
+    """The S6 SEARCH half (reference ``search_engine.py:47-139`` +
+    ``google_engine.py:37-65``): free-text queries -> normalized terms ->
+    distributed term-frequency ranking over the synthesized page corpus,
+    one result per url root (the reference's visited-link-root rule), no
+    ``.pdf``, top-5 per query by (score desc, url asc).
+
+    Scale shape: queries broadcast via ``ray.put``; the corpus streams
+    through one Arrow tokenize + ``is_in`` + bincount kernel per batch;
+    per-batch partials carry <= n host-deduped rows per query (exact
+    pruning — a losing host in its own batch cannot win globally), and
+    the final merge groupby has #queries groups.  Composition with the
+    per-query JSON cache + actor-pool fetch is
+    ``sources.search.SearchEngine`` (pytest-pinned)."""
+    from ..sources import search as S
+    from ..synth import page_url
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([page_url(int(i)) for i in ids], pa.string()),
+                "text": batch.column("text"),
+            }
+        )
+
+    corpus = docs.map_batches(to_pages, batch_format="pyarrow")
+    queries = {
+        qid: S.query_terms(S.format_query(q))
+        for qid, q in SEARCH_RAW_QUERIES.items()
+    }
+    return S.rank_corpus(corpus, queries, n=SEARCH_TOP_N).sort(
+        ["query_id", "rank"]
+    )
+
+
+def _sql_search_corpus() -> str:
+    # terms come from the SAME format_query/query_terms code path as the
+    # engine, so normalization can never fork between the two
+    from ..sources.search import format_query, query_terms
+
+    values = ", ".join(
+        "({}, [{}])".format(
+            qid,
+            ", ".join("'{}'".format(t) for t in query_terms(format_query(q))),
+        )
+        for qid, q in SEARCH_RAW_QUERIES.items()
+    )
+    host_code = (
+        "CASE WHEN (doc_id*48271)%100 < 25 THEN 0"
+        " WHEN (doc_id*48271)%100 < 40 THEN 1"
+        " ELSE 2 + (doc_id*69621)%48 END"
+    )
+    return (
+        "WITH pages AS (SELECT doc_id, " + URL_SQL + " AS url, "
+        + host_code + " AS host, text FROM documents),"
+        " q(query_id, terms) AS (VALUES " + values + "),"
+        " scores AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, p.url,"
+        " p.host, len(list_filter(string_split(p.text, ' '),"
+        " t -> list_contains(q.terms, t))) AS score"
+        " FROM pages p CROSS JOIN q),"
+        " hostbest AS (SELECT *, row_number() OVER (PARTITION BY query_id,"
+        " host ORDER BY score DESC, url) AS hr FROM scores WHERE score > 0"
+        " AND NOT url LIKE '%.pdf'),"
+        " ranked AS (SELECT query_id, url, score, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY score DESC, url) AS rank"
+        " FROM hostbest WHERE hr = 1)"
+        " SELECT query_id, CAST(rank AS BIGINT) AS rank, url,"
+        " CAST(score AS BIGINT) AS score FROM ranked WHERE rank <= {}"
+    ).format(SEARCH_TOP_N)
+
+
 WEB_QUERIES = {
+    "search_corpus": q_search_corpus,
     "customer_order_full": q_customer_order_full,
     "events_resample": q_events_resample,
     "doc_row_number": q_doc_row_number,
@@ -1523,6 +1612,7 @@ WEB_QUERIES = {
 }
 
 WEB_ORACLE_SQL = {
+    "search_corpus": _sql_search_corpus(),
     "customer_order_full": SQL_CUSTOMER_ORDER_FULL,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "doc_row_number": SQL_DOC_ROW_NUMBER,

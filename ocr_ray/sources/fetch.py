@@ -76,6 +76,29 @@ class LocalStoreTransport:
             return f.read()
 
 
+class UrllibTransport:
+    """Real HTTP transport behind the same ``get(url, attempt)`` interface
+    as :class:`LocalStoreTransport` — stdlib ``urllib`` with a browser-ish
+    User-Agent (the reference fetches with a UA-headed ``urlopen``).
+
+    DEFAULT-OFF in this sandbox: there is no network here, so nothing
+    constructs it by default; off-sandbox users pass
+    ``transport=UrllibTransport()`` to :class:`Fetcher`.  Politeness
+    (token bucket) and retry budgets stay in the Fetcher — the transport
+    only moves bytes."""
+
+    def __init__(self, *, timeout: float = 10.0, user_agent: str | None = None):
+        self.timeout = timeout
+        self.user_agent = user_agent or "Mozilla/5.0 (compatible; ocr-ray/1.0)"
+
+    def get(self, url: str, attempt: int) -> bytes:
+        from urllib.request import Request, urlopen
+
+        req = Request(url, headers={"User-Agent": self.user_agent})
+        with urlopen(req, timeout=self.timeout) as resp:  # nosec: caller-supplied url
+            return resp.read()
+
+
 class TokenBucket:
     """Per-actor politeness limiter: ``rate`` requests/sec sustained,
     ``burst`` immediate.  rate=None disables (test/bench mode)."""
@@ -109,8 +132,11 @@ class Fetcher:
         *,
         rate: float | None = None,
         max_attempts: int = 3,
+        transport=None,
     ):
-        self.transport = LocalStoreTransport(store_dir)
+        # pluggable transport: LocalStoreTransport by default (sandbox);
+        # pass UrllibTransport() for the real network path off-sandbox
+        self.transport = transport or LocalStoreTransport(store_dir)
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
         self.limiter = TokenBucket(rate)

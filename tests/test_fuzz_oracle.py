@@ -111,6 +111,12 @@ FUZZ_QUERIES = [
     "extract_identity",
     "extract_stats",
     "extract_exploded",
+    # round 5: simhash's planted-pair contract must survive ORGANIC
+    # duplicates (base regime plants one text across docs 10-14; the
+    # degenerate regime makes EVERY doc identical — the extreme the r4
+    # oracle broke on); search_corpus replays its ranking rule in SQL
+    "simhash_dedup",
+    "search_corpus",
     "host_stats",
     "pii_redact",
     "doc_tokens_bpe",

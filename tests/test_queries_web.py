@@ -290,3 +290,51 @@ def test_doc_row_number_is_a_permutation_respecting_order(ray_session):
     merged = df.merge(lens, on="doc_id").sort_values("rn")
     key = list(zip(-merged["n_chars"].to_numpy(), merged["doc_id"].to_numpy()))
     assert key == sorted(key)
+
+
+def test_corr_by_nation_join_fallback_matches_broadcast(ray_session):
+    """Size-planning (VERDICT r4 #3): with broadcast_limit=0 the supplier
+    dimension must route through the hash join instead of ray.put, and
+    the result must be identical to the broadcast path."""
+    from ocr_ray.pipelines.queries_lake import _corr_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    bcast = (
+        _corr_by_nation(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+    )
+    joined = (
+        _corr_by_nation(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_corr_by_nation_unknown_suppkey_fails_loud(ray_session, tmp_path):
+    """A lineitem suppkey missing from supplier must raise, not silently
+    attribute the row to a neighboring supplier's nation."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ocr_ray.pipelines.queries_lake import q_corr_by_nation
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sf")
+    shutil.copytree(src, d)
+    li = pq.read_table(os.path.join(d, "lineitem.parquet"))
+    sk = li.column("l_suppkey").to_pylist()
+    sk[0] = 10_000_000  # orphan: past every supplier key
+    li = li.set_column(
+        li.schema.get_field_index("l_suppkey"), "l_suppkey",
+        pa.array(sk, li.schema.field("l_suppkey").type),
+    )
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+    with pytest.raises(Exception, match="not present in supplier"):
+        q_corr_by_nation(d).to_pandas()
