@@ -213,6 +213,9 @@ def run_queries(sf_dir: str) -> dict:
         "user_day_join",
         "price_percentiles",
         "pages_to_blocks",
+        # round-5 additions: the S6 search half and the reworked simhash
+        "search_corpus",
+        "simhash_dedup",
     ]
     import ray.data
 

@@ -24,9 +24,32 @@ def hll_empty() -> np.ndarray:
     return np.zeros(M, dtype=np.uint8)
 
 
+#: seed for the vectorized string-hash path (value is arbitrary but FIXED:
+#: estimates must be deterministic across runs and cluster sizes)
+_STR_SEED = 0x243F6A8885A308D3
+
+
 def _hash64(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
+    """Deterministic uint64 content hashes.  Arrow string arrays and str
+    sequences run through the vectorized strhash polynomial kernel (no
+    per-value Python — the per-token sha1 loop was the HLL partial's
+    bottleneck at corpus scale, VERDICT r4 #5 family); non-string values
+    fall back to per-value sha1 (cold path, small inputs only)."""
+    import pyarrow as pa
+
+    from .strhash import hash_strings_u64
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array) and (
+        pa.types.is_string(values.type) or pa.types.is_large_string(values.type)
+    ):
+        return hash_strings_u64(values, _STR_SEED)
+    vals = list(values)
+    if vals and all(type(v) is str for v in vals):
+        return hash_strings_u64(pa.array(vals, pa.string()), _STR_SEED)
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
         h = hashlib.sha1(str(v).encode("utf-8")).digest()
         out[i] = int.from_bytes(h[:8], "little")
     return out

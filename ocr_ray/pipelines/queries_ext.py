@@ -674,9 +674,16 @@ def q_distinct_tokens_hll(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # one flattened Arrow token stream per batch straight into the
+        # vectorized hash kernel — no per-doc loop, no per-token sha1
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(
+                pc.fill_null(batch.column("text"), "").combine_chunks()
+            )
+        )
+        toks = toks.filter(pc.greater(pc.binary_length(toks), 0))
         regs = sketches.hll_empty()
-        for t in batch.column("text").to_pylist():
-            sketches.hll_add(regs, t.split())
+        sketches.hll_add(regs, toks)
         return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
 
     def merge_regs(tbl: pa.Table) -> pa.Table:

@@ -1273,9 +1273,14 @@ def q_distinct_tokens_by_lang(sf_dir: str):
         df = batch.to_pandas()
         rows = []
         for lang, grp in df.groupby("lang", sort=False):
+            # flatten the group's tokens once (vectorized Arrow split +
+            # strhash kernel); the loop is per LANGUAGE, never per doc
+            toks = pc.list_flatten(
+                pc.utf8_split_whitespace(pa.array(grp["text"], pa.string()))
+            )
+            toks = toks.filter(pc.greater(pc.binary_length(toks), 0))
             regs = sketches.hll_empty()
-            for t in grp["text"]:
-                sketches.hll_add(regs, t.split())
+            sketches.hll_add(regs, toks)
             rows.append({"lang": lang, "registers": regs.tobytes()})
         return pa.Table.from_pylist(
             rows,
