@@ -736,11 +736,17 @@ def q_crawl_diff(sf_dir: str):
     differs when doc_id % 3 == 0), so the oracle rebuilds both sides in SQL.
 
     Scale shape: a FULL OUTER JOIN expressed as tagged union + one
-    groupby(url) with native Sum aggregates — membership and content-digest
-    comparison decoded map-side from the sums, no join operator, no
-    map_groups, one shuffle.  (Digest here is n_chars as a stand-in for a
-    content hash; at 100 TB you'd sum a 64-bit text digest the same way.)"""
+    bucketed group-aggregate (r5: the key is url ~ DATA-cardinality, so
+    the fold runs through ``bucketed_group_agg``'s lexsort/reduceat
+    kernel, not Ray's native per-group path — and it shuffles the
+    8-byte doc_id the url is a pure function of, never the ~45-byte url
+    string; urls are synthesized AFTER the fold).  Membership and
+    content-digest comparison decode map-side from the sums — no join
+    operator, no map_groups, one shuffle.  (Digest here is n_chars as a
+    stand-in for a content hash; at 100 TB you'd sum a 64-bit text
+    digest the same way, keyed on a 128-bit url hash.)"""
     from ..sources.io import read_table as _rt
+    from ..stages.groupagg import bucketed_group_agg
 
     def snapshot(mod: int, tag: int):
         ds = _rt(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -752,12 +758,9 @@ def q_crawl_diff(sf_dir: str):
             ids, nc = ids[keep], nc[keep]
             # crawl B rewrites content for docs divisible by 3
             digest = nc + (100_000 if tag == 1 else 0) * (ids % 3 == 0)
-            from .. import synth
-
-            urls = [synth.page_url(int(d)) for d in ids]
             return pa.table(
                 {
-                    "url": pa.array(urls, pa.string()),
+                    "doc_id": pa.array(ids, pa.int64()),
                     "in_a": pa.array((tag == 0) * np.ones_like(ids), pa.int64()),
                     "in_b": pa.array((tag == 1) * np.ones_like(ids), pa.int64()),
                     "dig_a": pa.array(digest * (tag == 0), pa.int64()),
@@ -768,14 +771,21 @@ def q_crawl_diff(sf_dir: str):
         return ds.map_batches(emit, batch_format="pyarrow")
 
     both = snapshot(5, 0).union(snapshot(7, 1))
-    agg = both.groupby("url").aggregate(
-        Sum("in_a", alias_name="in_a"),
-        Sum("in_b", alias_name="in_b"),
-        Sum("dig_a", alias_name="dig_a"),
-        Sum("dig_b", alias_name="dig_b"),
+    agg = bucketed_group_agg(
+        both,
+        ["doc_id"],
+        {
+            "in_a": ("sum", "in_a"),
+            "in_b": ("sum", "in_b"),
+            "dig_a": ("sum", "dig_a"),
+            "dig_b": ("sum", "dig_b"),
+        },
     )
 
     def classify(batch: pa.Table) -> pa.Table:
+        from .. import synth
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         in_a = batch.column("in_a").to_numpy(zero_copy_only=False).astype(np.int64)
         in_b = batch.column("in_b").to_numpy(zero_copy_only=False).astype(np.int64)
         da = batch.column("dig_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -785,8 +795,9 @@ def q_crawl_diff(sf_dir: str):
             "added",
             np.where(in_b == 0, "removed", np.where(da != db, "changed", "unchanged")),
         )
+        urls = [synth.page_url(int(d)) for d in ids]
         return pa.table(
-            {"url": batch.column("url"), "status": pa.array(status, pa.string())}
+            {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.string())}
         )
 
     return agg.map_batches(classify, batch_format="pyarrow")
@@ -1046,12 +1057,14 @@ def q_curation_neardup(sf_dir: str):
             }
         )
 
-    canon = (
-        joined.map_batches(pack, batch_format="pyarrow")
-        .groupby("cluster_id")
-        .aggregate(Max("packed", alias_name="mx"))
-        .map_batches(decode_canon, batch_format="pyarrow")
-    )
+    # cluster_id is data-cardinality: bucketed lexsort/reduceat fold (r5)
+    from ..stages.groupagg import bucketed_group_agg
+
+    canon = bucketed_group_agg(
+        joined.map_batches(pack, batch_format="pyarrow"),
+        ["cluster_id"],
+        {"mx": ("max", "packed")},
+    ).map_batches(decode_canon, batch_format="pyarrow")
 
     corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
         lambda b: pa.table(
@@ -1077,10 +1090,16 @@ def q_curation_neardup(sf_dir: str):
     )
 
     tagged = corpus.union(in_cluster).union(canon)
-    folded = tagged.groupby("doc_id").aggregate(
-        Max("src", alias_name="source"),
-        Max("clustered", alias_name="clustered"),
-        Max("canonical", alias_name="canonical"),
+    # doc_id is data-cardinality; string max runs through the kernel's
+    # dictionary-rank lane (r5)
+    folded = bucketed_group_agg(
+        tagged,
+        ["doc_id"],
+        {
+            "source": ("max", "src"),
+            "clustered": ("max", "clustered"),
+            "canonical": ("max", "canonical"),
+        },
     )
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -142,12 +142,17 @@ def q_corpus_curation(sf_dir: str):
                 continue
             if n and 1.0 - len(set(ws)) / n > 0.6:
                 continue
+            # content digest as two int64 lanes of the sha256 — the
+            # digest key is DATA-cardinality, so downstream folds it
+            # through the bucketed kernel and only 16 bytes shuffle
+            dg = hashlib.sha256(t.encode()).digest()
             rows.append(
                 {
                     "doc_id": i,
                     "lang": lg,
                     "n_words": n,
-                    "digest": hashlib.sha256(t.encode()).hexdigest(),
+                    "h1": int.from_bytes(dg[:8], "big") - (1 << 63),
+                    "h2": int.from_bytes(dg[8:16], "big") - (1 << 63),
                 }
             )
         return pa.Table.from_pylist(
@@ -157,17 +162,28 @@ def q_corpus_curation(sf_dir: str):
                     ("doc_id", pa.int64()),
                     ("lang", pa.string()),
                     ("n_words", pa.int64()),
-                    ("digest", pa.string()),
+                    ("h1", pa.int64()),
+                    ("h2", pa.int64()),
                 ]
             ),
         )
 
     filtered = ds.map_batches(signals_and_filter, batch_format="pyarrow")
-    deduped = filtered.groupby("digest").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Min("lang", alias_name="lang"),
-        Min("n_words", alias_name="n_words"),
+
+    from ..stages.groupagg import bucketed_group_agg
+
+    # exact dedup keyed on the digest lanes (r5: data-cardinality key ->
+    # lexsort/reduceat kernel; string min runs the dictionary-rank lane)
+    deduped = bucketed_group_agg(
+        filtered,
+        ["h1", "h2"],
+        {
+            "doc_id": ("min", "doc_id"),
+            "lang": ("min", "lang"),
+            "n_words": ("min", "n_words"),
+        },
     )
+    # final rollup is lang-bounded: the native aggregate is the right tool
     out = deduped.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
         ray.data.aggregate.Sum("n_words", alias_name="total_words"),

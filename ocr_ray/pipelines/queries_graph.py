@@ -77,8 +77,11 @@ def q_pagerank(sf_dir: str):
     instead of a lineage re-execution)."""
     import pyarrow.compute as pc
 
+    from ..stages.groupagg import bucketed_group_agg
+
     edges = _edges(sf_dir)
-    deg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    # src is node-cardinality: bucketed fold, not the native per-group path
+    deg = bucketed_group_agg(edges, ["src"], {"outdeg": ("count", None)})
     edges_deg = auto_join(edges, deg, on="src").materialize()
 
     nodes = ray.data.range(N_NODES).map_batches(
@@ -110,14 +113,14 @@ def q_pagerank(sf_dir: str):
         )
 
     for _ in range(N_ITERS):
-        inflow = (
-            auto_join(edges_deg, ranks, on="src", right_on="node")
-            .map_batches(shares, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("share", alias_name="inflow"))
-            .materialize()  # <= #nodes rows; keeps auto_join's size probe
-            # from re-executing the round's shuffle
-        )
+        inflow = bucketed_group_agg(
+            auto_join(edges_deg, ranks, on="src", right_on="node").map_batches(
+                shares, batch_format="pyarrow"
+            ),
+            ["dst"],
+            {"inflow": ("sum", "share")},  # dst is node-cardinality (r5)
+        ).materialize()  # <= #nodes rows; keeps auto_join's size probe
+        # from re-executing the round's shuffle
         ranks = (
             auto_join(nodes, inflow, on="node", right_on="dst", join_type="left_outer")
             .map_batches(fold_base, batch_format="pyarrow")
@@ -448,12 +451,15 @@ def q_crawl_frontier(sf_dir: str):
         frontier = distinct_rows(fresh, ["doc_id", "hops"]).materialize()
         levels.append(frontier)
 
-    from ray.data.aggregate import Min
+    from ..stages.groupagg import bucketed_group_agg
 
     all_rows = levels[0]
     for lv in levels[1:]:
         all_rows = all_rows.union(lv)
-    return all_rows.groupby("doc_id").aggregate(Min("hops", alias_name="min_hops"))
+    # doc_id is frontier-cardinality: bucketed fold (r5)
+    return bucketed_group_agg(
+        all_rows, ["doc_id"], {"min_hops": ("min", "hops")}
+    )
 
 
 SQL_CRAWL_FRONTIER = (

@@ -354,20 +354,38 @@ def _pairs_from_groups(
 def distinct_rows(
     ds: ray.data.Dataset, cols, min_cols=(), *, pre_shuffle_blocks: int | None = None
 ) -> ray.data.Dataset:
-    """Distributed DISTINCT over ``cols`` via a groupby AGGREGATE — the
-    vectorized per-block sort-combine, one Python call per BLOCK rather
-    than one ``map_groups`` call per key (per-key calls were measured 10x
-    slower on the extraction path; VERDICT r2 #2).  ``min_cols`` are
+    """Distributed DISTINCT over ``cols`` (int64, <= 2 columns — every
+    dedup/graph call site) via the bucketed lexsort/reduceat kernel
+    (``groupagg.bucketed_group_agg``): distinct keys are DATA-cardinality
+    by definition, exactly where Ray's native aggregate pays its ~30 us
+    per GROUP (BASELINE #4; switched r5 — the native path previously paid
+    that per candidate pair and per node-label round).  ``min_cols`` are
     carried through as their per-key min — used for columns that are
-    constant within a key, e.g. a candidate pair's hamming distance."""
-    from ray.data.aggregate import Count, Min
+    constant within a key, e.g. a candidate pair's hamming distance.
+    Falls back to the native aggregate for >2 or non-integer columns."""
+    from .groupagg import bucketed_group_agg
 
-    aggs = [Min(c, alias_name=c) for c in min_cols] or [Count(alias_name="__n")]
     keep = list(cols) + list(min_cols)
     if pre_shuffle_blocks:
         # the all-to-all pays a FIXED per-input-block cost (~120 ms/block
         # measured); coalesce first when the caller knows the data is small
         ds = ds.repartition(pre_shuffle_blocks, shuffle=False)
+    if len(cols) <= 2:
+        aggs = {c: ("min", c) for c in min_cols} or {"__n": ("count", None)}
+        out_schema = pa.schema([(c, pa.int64()) for c in keep])
+
+        def norm(b: pa.Table) -> pa.Table:
+            # pin groupless partitions' schema-less empty blocks (the
+            # verify_pairs_against_corpus lesson) — downstream joins and
+            # projections need one stable schema
+            return out_schema.empty_table() if b.num_columns == 0 else b.select(keep)
+
+        return bucketed_group_agg(ds, list(cols), aggs).map_batches(
+            norm, batch_format="pyarrow"
+        )
+    from ray.data.aggregate import Count, Min
+
+    aggs = [Min(c, alias_name=c) for c in min_cols] or [Count(alias_name="__n")]
     return (
         ds.groupby(list(cols))
         .aggregate(*aggs)

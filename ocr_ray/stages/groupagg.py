@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _KNUTH = np.uint64(2654435761)
@@ -42,7 +43,18 @@ def bucketed_group_agg(
     """GROUP BY ``keys`` (1-2 int64 columns) computing ``aggs`` — a dict of
     ``out_col -> (op, src_col)`` with op in count/min/max/sum (src_col is
     None for count).  One shuffle over ``n_buckets`` coarse groups, one
-    vectorized kernel per bucket."""
+    vectorized kernel per bucket.
+
+    min/max also work on STRING value columns (r5): the kernel
+    dictionary-encodes the bucket's values, ranks the (small) dictionary
+    once with one Arrow sort, and reduceats over the rank lanes — still
+    no per-group Python.
+
+    Key columns may be STRING too (r5): the shuffle buckets on a
+    vectorized 64-bit content hash (collisions only co-locate extra
+    groups — harmless), and the kernel groups by exact string equality
+    via dictionary codes, so there is NO collision risk in the result.
+    Null string keys group with '' (no call site has null keys)."""
     if not 1 <= len(keys) <= 2:
         raise ValueError("bucketed_group_agg supports 1 or 2 key columns")
     for out, (op, src) in aggs.items():
@@ -52,15 +64,39 @@ def bucketed_group_agg(
             raise ValueError(f"{out!r}: src_col must be None iff op is count")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        k0 = batch.column(keys[0]).to_numpy(zero_copy_only=False)
+        col = batch.column(keys[0])
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from ..functions.strhash import SEED_A, hash_strings_u64
+
+            k0 = hash_strings_u64(pc.fill_null(col, ""), SEED_A)
+        else:
+            k0 = col.to_numpy(zero_copy_only=False)
         return batch.append_column(
             "__bucket", pa.array(_bucket_of(k0, n_buckets), pa.int64())
         )
 
+    def key_lane(tbl: pa.Table, name: str):
+        """(int64 sort lane, dictionary-or-None) for a key column: equal
+        lane values <=> equal keys within this bucket's rows."""
+        col = tbl.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            enc = pc.fill_null(col, "").dictionary_encode()
+            return np.asarray(enc.indices, dtype=np.int64), enc.dictionary
+        return col.to_numpy(zero_copy_only=False), None
+
+    def emit_key(lane_vals: np.ndarray, dictionary) -> pa.Array:
+        if dictionary is not None:
+            return dictionary.take(pa.array(lane_vals, pa.int64()))
+        return pa.array(lane_vals.astype(np.int64), pa.int64())
+
     def kernel(tbl: pa.Table) -> pa.Table:
-        k0 = tbl.column(keys[0]).to_numpy(zero_copy_only=False)
+        k0, d0 = key_lane(tbl, keys[0])
         if len(keys) == 2:
-            k1 = tbl.column(keys[1]).to_numpy(zero_copy_only=False)
+            k1, d1 = key_lane(tbl, keys[1])
             order = np.lexsort((k1, k0))
             a, b = k0[order], k1[order]
             new = np.empty(len(a), bool)
@@ -74,14 +110,39 @@ def bucketed_group_agg(
             new[0] = True
             new[1:] = a[1:] != a[:-1]
         starts = np.flatnonzero(new)
-        out = {keys[0]: pa.array(a[starts], pa.int64())}
+        out = {keys[0]: emit_key(a[starts], d0)}
         if b is not None:
-            out[keys[1]] = pa.array(b[starts], pa.int64())
+            out[keys[1]] = emit_key(b[starts], d1)
         for name, (op, src) in aggs.items():
             if op == "count":
                 v = np.diff(np.append(starts, len(a)))
             else:
-                col = tbl.column(src).to_numpy(zero_copy_only=False)[order]
+                src_col = tbl.column(src)
+                if isinstance(src_col, pa.ChunkedArray):
+                    src_col = src_col.combine_chunks()
+                if pa.types.is_string(src_col.type) or pa.types.is_large_string(
+                    src_col.type
+                ):
+                    if op == "sum":
+                        raise ValueError(f"{name!r}: cannot sum a string column")
+                    # string min/max without per-group Python: dictionary-
+                    # encode, rank the (small) dictionary by one Arrow
+                    # sort, reduceat over the ranks, map back
+                    enc = src_col.dictionary_encode()
+                    d = enc.dictionary
+                    sort_idx = np.asarray(pc.sort_indices(d), dtype=np.int64)
+                    rank = np.empty(len(d), np.int64)
+                    rank[sort_idx] = np.arange(len(d), dtype=np.int64)
+                    codes = rank[np.asarray(enc.indices, dtype=np.int64)][order]
+                    fn = (
+                        np.minimum.reduceat if op == "min" else np.maximum.reduceat
+                    )
+                    won = fn(codes, starts)
+                    out[name] = d.take(
+                        pa.array(sort_idx[won], pa.int64())
+                    )
+                    continue
+                col = src_col.to_numpy(zero_copy_only=False)[order]
                 fn = {
                     "min": np.minimum.reduceat,
                     "max": np.maximum.reduceat,

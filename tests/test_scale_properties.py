@@ -274,3 +274,140 @@ def test_bucketed_group_agg_single_key(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["c"].tolist() == [2, 1, 3]
     assert out["s"].tolist() == [11, 9, 18]
+
+
+def test_bucketed_group_agg_string_key(ray_session):
+    """String GROUP BY keys: bucketing is by content hash, grouping is by
+    exact string equality (dictionary codes) — results must match a pandas
+    groupby bit-for-bit, for one- and two-key (string x int) layouts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.groupagg import bucketed_group_agg
+
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "", "delta-é中"])
+    k = words[rng.integers(0, len(words), 400)]
+    g = rng.integers(0, 3, 400)
+    v = rng.integers(-50, 50, 400)
+    t = pa.table(
+        {
+            "k": pa.array(k, pa.string()),
+            "g": pa.array(g, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    df = t.to_pandas()
+
+    out = (
+        bucketed_group_agg(
+            ray.data.from_arrow(t).repartition(7),
+            ["k"],
+            {"c": ("count", None), "s": ("sum", "v"), "mn": ("min", "v")},
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", sort=True)
+        .agg(c=("v", "size"), s=("v", "sum"), mn=("v", "min"))
+        .reset_index()
+    )
+    assert out["k"].tolist() == want["k"].tolist()
+    for col in ("c", "s", "mn"):
+        assert out[col].astype("int64").tolist() == want[col].astype("int64").tolist()
+
+    out2 = (
+        bucketed_group_agg(
+            ray.data.from_arrow(t).repartition(5),
+            ["k", "g"],
+            {"s": ("sum", "v")},
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "g"])
+        .reset_index(drop=True)
+    )
+    want2 = (
+        df.groupby(["k", "g"], sort=True).agg(s=("v", "sum")).reset_index()
+    )
+    assert out2["k"].tolist() == want2["k"].tolist()
+    assert out2["g"].astype("int64").tolist() == want2["g"].astype("int64").tolist()
+    assert out2["s"].astype("int64").tolist() == want2["s"].astype("int64").tolist()
+
+    # string key AND string value min/max through the dictionary-rank lane
+    t3 = pa.table(
+        {
+            "k": pa.array(k, pa.string()),
+            "w": pa.array(words[rng.integers(0, len(words), 400)], pa.string()),
+        }
+    )
+    out3 = (
+        bucketed_group_agg(
+            ray.data.from_arrow(t3).repartition(4),
+            ["k"],
+            {"wmax": ("max", "w")},
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want3 = (
+        t3.to_pandas().groupby("k", sort=True).agg(wmax=("w", "max")).reset_index()
+    )
+    assert out3["k"].tolist() == want3["k"].tolist()
+    assert out3["wmax"].tolist() == want3["wmax"].tolist()
+
+
+def test_tree_merge_partials_equals_driver_fold(ray_session):
+    """The in-cluster tree merge must produce the same merged sketch as a
+    driver loop over every partial, for an associative/commutative
+    combine (register max), regardless of block structure."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.groupagg import tree_merge_partials
+
+    rng = np.random.default_rng(7)
+    partials = [rng.integers(0, 32, 64, dtype=np.int64) for _ in range(37)]
+    tbl = pa.table(
+        {"regs": pa.array([p.tobytes() for p in partials], pa.binary())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(9)
+
+    def merge_regs(t: pa.Table) -> pa.Table:
+        bufs = t.column("regs").to_pylist()
+        if not bufs:
+            return t
+        acc = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.int64) for b in bufs]
+        )
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    rows = tree_merge_partials(ds, merge_regs, n_buckets=5)
+    assert 1 <= len(rows) <= 5  # bounded by n_buckets, never #partials
+    acc = np.zeros(64, dtype=np.int64)
+    for r in rows:
+        acc = np.maximum(acc, np.frombuffer(r["regs"], dtype=np.int64))
+    expect = np.maximum.reduce(partials)
+    assert (acc == expect).all()
+
+
+def test_tree_merge_partials_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.stages.groupagg import tree_merge_partials
+
+    ds = ray.data.from_arrow(pa.table({"regs": pa.array([], pa.binary())}))
+
+    def merge_regs(t: pa.Table) -> pa.Table:
+        return t  # nothing to fold
+
+    assert tree_merge_partials(ds, merge_regs) == []
