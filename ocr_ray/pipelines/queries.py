@@ -209,7 +209,12 @@ SQL_EXACT_DEDUP = (
 
 def q_top_tokens(sf_dir: str):
     """Global top-20 tokens: per-batch partial counts (map-side combine)
-    before the shuffle, then a small groupby + sort + limit."""
+    before the shuffle, then a VOCAB-cardinality fold through the bucketed
+    lexsort/reduceat kernel (r5: web-scale vocab is ~10^8 unique tokens,
+    where the native aggregate's per-group cost dominates), then a tiny
+    sort + limit."""
+    from ..stages.groupagg import bucketed_group_agg
+
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -223,9 +228,11 @@ def q_top_tokens(sf_dir: str):
         )
 
     out = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        bucketed_group_agg(
+            ds.map_batches(partial_counts, batch_format="pyarrow"),
+            ["token"],
+            {"n": ("sum", "n")},
+        )
         .sort(["n", "token"], descending=[True, False])
         .limit(20)
     )

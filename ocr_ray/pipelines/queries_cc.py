@@ -209,12 +209,13 @@ def q_dedup_canonical(sf_dir: str):
     """Canonical-document selection per duplicate cluster — the retention
     step a curation pipeline runs AFTER near-dup clustering: keep the
     longest member (n_chars, ties -> smallest doc_id) of every MinHash
-    cluster.  The argmax is ONE native Max aggregate over a packed
-    (n_chars, ~doc_id) key plus a Count in the same groupby — no
-    map_groups, no per-cluster Python, one shuffle after the join."""
-    from ray.data.aggregate import Count, Max
-
+    cluster.  The argmax is ONE Max aggregate over a packed
+    (n_chars, ~doc_id) key plus a Count in the same fold — no map_groups,
+    no per-cluster Python, one shuffle after the join; cluster_id is
+    DATA-cardinality so the fold runs through the bucketed
+    lexsort/reduceat kernel (r5)."""
     from ..stages import dedup
+    from ..stages.groupagg import bucketed_group_agg
 
     docs = read_table(
         sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
@@ -239,10 +240,10 @@ def q_dedup_canonical(sf_dir: str):
             }
         )
 
-    agg = (
-        joined.map_batches(pack, batch_format="pyarrow")
-        .groupby("cluster_id")
-        .aggregate(Max("packed", alias_name="mx"), Count(alias_name="n_members"))
+    agg = bucketed_group_agg(
+        joined.map_batches(pack, batch_format="pyarrow"),
+        ["cluster_id"],
+        {"mx": ("max", "packed"), "n_members": ("count", None)},
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -299,11 +300,12 @@ def q_url_dedup(sf_dir: str):
     rebuild the exact crawl set in SQL.
 
     Scale shape: synthesis and canonicalization are map-side (one vectorized
-    regex per batch); the only shuffle is the groupby(canonical url) with
-    native Max/Count aggregates — no map_groups, no driver state."""
-    from ray.data.aggregate import Count, Max
-
+    regex per batch); the only shuffle is the groupby(canonical url) —
+    url is PAGE-cardinality, so the Max/Count fold runs through the
+    bucketed string-key kernel (r5: hash-bucketed shuffle, exact
+    dictionary-code grouping) — no map_groups, no driver state."""
     from .. import synth
+    from ..stages.groupagg import bucketed_group_agg
 
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
@@ -335,19 +337,12 @@ def q_url_dedup(sf_dir: str):
             pc.replace_substring_regex(batch.column("url"), r"[?#].*$", ""),
         )
 
-    return (
-        ds.map_batches(crawls, batch_format="pyarrow")
-        .map_batches(canonicalize, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Max("ts", alias_name="latest_ts"), Count(alias_name="n_crawls"))
-        .map_batches(
-            lambda b: b.set_column(
-                b.schema.get_field_index("n_crawls"),
-                "n_crawls",
-                b.column("n_crawls").cast(pa.int64()),
-            ),
-            batch_format="pyarrow",
-        )
+    return bucketed_group_agg(
+        ds.map_batches(crawls, batch_format="pyarrow").map_batches(
+            canonicalize, batch_format="pyarrow"
+        ),
+        ["url"],
+        {"latest_ts": ("max", "ts"), "n_crawls": ("count", None)},
     )
 
 
@@ -661,12 +656,16 @@ def q_tfidf_by_source(sf_dir: str):
             }
         )
 
-    tf = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["source", "word"])
-        .aggregate(Sum("cnt", alias_name="tf"))
+    # (source, word) and word are VOCAB-cardinality keys: bucketed
+    # string-key folds (r5), not the native per-group path
+    from ..stages.groupagg import bucketed_group_agg
+
+    tf = bucketed_group_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["source", "word"],
+        {"tf": ("sum", "cnt")},
     )
-    df_tbl = tf.groupby("word").aggregate(Count(alias_name="df"))
+    df_tbl = bucketed_group_agg(tf, ["word"], {"df": ("count", None)})
     n_sources = len(ds.unique("source"))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1390,14 +1389,16 @@ def q_inverted_index(sf_dir: str):
 
     Scale shape: phase 1 computes document frequency with per-batch
     DISTINCT (doc, token) partial counts (dictionary-encode + np.unique —
-    no token-level Python) and ONE vocab-sized groupby; the top-K slice is
-    provably tiny (K rows) and broadcasts.  Phase 2 re-tokenizes with the
-    K-token filter pushed INSIDE the explode kernel — the pair stream that
+    no token-level Python) and ONE vocab-cardinality fold through the
+    bucketed string-key kernel (r5); the top-K slice is provably tiny
+    (K rows) and broadcasts.  Phase 2 re-tokenizes with the K-token
+    filter pushed INSIDE the explode kernel — the pair stream that
     shuffles is `<=` K tokens wide, never corpus-vocabulary wide, and the
     per-key map_groups at the end is bounded by K (a query parameter),
     not by data."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.groupagg import bucketed_group_agg
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1406,9 +1407,11 @@ def q_inverted_index(sf_dir: str):
         return tbl
 
     top = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(_Sum("n", alias_name="df"))
+        bucketed_group_agg(
+            ds.map_batches(df_partial, batch_format="pyarrow"),
+            ["token"],
+            {"df": ("sum", "n")},
+        )
         .sort(["df", "token"], descending=[True, False])
         .limit(INVERTED_K)
         .to_pandas()  # K rows by construction
@@ -1615,10 +1618,15 @@ def q_top_bigrams(sf_dir: str):
             }
         )
 
+    from ..stages.groupagg import bucketed_group_agg
+
     top = (
-        ds.map_batches(bigram_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(_Sum("n", alias_name="n_bigram"))
+        # bigram keys are vocab^2-cardinality: bucketed string-key fold (r5)
+        bucketed_group_agg(
+            ds.map_batches(bigram_partial, batch_format="pyarrow"),
+            ["w1", "w2"],
+            {"n_bigram": ("sum", "n")},
+        )
         .sort(["n_bigram", "w1", "w2"], descending=[True, False, False])
         .limit(BIGRAM_K)
         .to_pandas()  # K rows by construction
@@ -1709,10 +1717,16 @@ def q_profile_table(sf_dir: str):
             {"col_name": pa.array(cols, pa.string()), "v": pa.array(vals, pa.string())}
         )
 
+    from ..stages.groupagg import bucketed_group_agg
+
     n_distinct = (
-        ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["col_name", "v"])
-        .aggregate(_Count(alias_name="__n"))
+        # (col_name, v) is VALUE-cardinality: bucketed string-key fold
+        # (r5); the per-column rollup is n_columns-bounded and native
+        bucketed_group_agg(
+            ds.map_batches(distinct_partial, batch_format="pyarrow"),
+            ["col_name", "v"],
+            {"__n": ("count", None)},
+        )
         .groupby("col_name")
         .aggregate(_Count(alias_name="n_distinct"))
         .to_pandas()  # n_columns rows

@@ -911,11 +911,14 @@ def q_orders_left_join(sf_dir: str):
     dimension-sized count table moves."""
     from ..stages.joins import auto_join
 
+    from ..stages.groupagg import bucketed_group_agg
+
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    counts = (
-        read_table(sf_dir, "events", columns=["user_id"])
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_user_events"))
+    # user_id is USER-cardinality: bucketed fold (r5)
+    counts = bucketed_group_agg(
+        read_table(sf_dir, "events", columns=["user_id"]),
+        ["user_id"],
+        {"n_user_events": ("count", None)},
     )
     joined = auto_join(
         orders, counts, on="o_custkey", right_on="user_id", join_type="left_outer"

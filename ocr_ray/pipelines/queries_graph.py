@@ -36,6 +36,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..sources.io import read_table
 from ..stages.dedup import distinct_rows
+from ..stages.groupagg import bucketed_group_agg
 from ..stages.joins import auto_join
 
 N_NODES = 97
@@ -288,10 +289,10 @@ def q_triangle_count(sf_dir: str):
         )
         return pa.table({"node": pa.array(node, pa.int64())})
 
-    deg = (
-        edges.map_batches(explode_endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="deg"))
+    deg = bucketed_group_agg(  # node-cardinality key (r5)
+        edges.map_batches(explode_endpoints, batch_format="pyarrow"),
+        ["node"],
+        {"deg": ("count", None)},
     )
     # orientation rank packs (deg, node) into one int64 — N_NODES < 2^20
     edges_r = auto_join(
@@ -368,9 +369,11 @@ def q_triangle_count(sf_dir: str):
         return pa.table({"node": pa.array(np.concatenate(cols), pa.int64())})
 
     return (
-        tri.map_batches(explode_corners, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="n_tri"))
+        bucketed_group_agg(  # node-cardinality key (r5)
+            tri.map_batches(explode_corners, batch_format="pyarrow"),
+            ["node"],
+            {"n_tri": ("count", None)},
+        )
         .sort("node")
     )
 

@@ -492,10 +492,15 @@ def q_mode_token_by_lang(sf_dir: str):
             }
         )
 
+    from ..stages.groupagg import bucketed_group_agg
+
     return (
-        ds.map_batches(_token_count_partial("lang"), batch_format="pyarrow")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("n", alias_name="n"))
+        # (lang, token) is vocab-cardinality: bucketed string-key fold (r5)
+        bucketed_group_agg(
+            ds.map_batches(_token_count_partial("lang"), batch_format="pyarrow"),
+            ["lang", "token"],
+            {"n": ("sum", "n")},
+        )
         .groupby("lang")
         .map_groups(argmax_group, batch_format="pyarrow")
     )
@@ -549,10 +554,15 @@ def q_entropy_by_source(sf_dir: str):
             }
         )
 
+    from ..stages.groupagg import bucketed_group_agg
+
     return (
-        ds.map_batches(_token_count_partial("source"), batch_format="pyarrow")
-        .groupby(["source", "token"])
-        .aggregate(Sum("n", alias_name="n"))
+        # (source, token) is vocab-cardinality: bucketed string-key fold (r5)
+        bucketed_group_agg(
+            ds.map_batches(_token_count_partial("source"), batch_format="pyarrow"),
+            ["source", "token"],
+            {"n": ("sum", "n")},
+        )
         .map_batches(fold, batch_format="pyarrow")
         .groupby("source")
         .aggregate(

@@ -415,10 +415,13 @@ def q_events_pivot(sf_dir: str):
             wide[c] = wide[c].astype("int64")
         return pa.Table.from_pandas(wide, preserve_index=False)
 
-    aggs = [Sum("n_%s" % t, alias_name="n_%s" % t) for t in _EVENT_TYPES]
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "user_id"
-    ).aggregate(*aggs)
+    from ..stages.groupagg import bucketed_group_agg
+
+    # user_id is USER-cardinality: bucketed fold over the map-side partials (r5)
+    aggs = {"n_%s" % t: ("sum", "n_%s" % t) for t in _EVENT_TYPES}
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], aggs
+    )
 
 
 SQL_EVENTS_PIVOT = (

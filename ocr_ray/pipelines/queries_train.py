@@ -604,11 +604,12 @@ def q_bloom_semi_join(sf_dir: str):
     # norm pins any schema-less empty blocks; note Ray's to_pandas() on a
     # fully-empty Dataset still drops the schema (upstream quirk — an
     # empty result is 0 rows with no recoverable column set)
-    return (
-        exact.groupby("l_orderkey")
-        .aggregate(Count(alias_name="n_items"))
-        .map_batches(norm, batch_format="pyarrow")
-    )
+    from ..stages.groupagg import bucketed_group_agg
+
+    # l_orderkey is ORDER-cardinality: bucketed fold (r5)
+    return bucketed_group_agg(
+        exact, ["l_orderkey"], {"n_items": ("count", None)}
+    ).map_batches(norm, batch_format="pyarrow")
 
 
 SQL_BLOOM_SEMI_JOIN = (
@@ -776,18 +777,19 @@ def q_zorder_layout(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Max, Min, Sum
+    from ..stages.groupagg import bucketed_group_agg
 
-    return (
-        ranked.map_batches(add_file, batch_format="pandas")
-        .groupby("file_id")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Min("min_cust", alias_name="min_cust"),
-            Max("max_cust", alias_name="max_cust"),
-            Min("min_price", alias_name="min_price"),
-            Max("max_price", alias_name="max_price"),
-        )
+    # file_id is OUTPUT-FILE-cardinality (rows / file size): bucketed fold (r5)
+    return bucketed_group_agg(
+        ranked.map_batches(add_file, batch_format="pandas"),
+        ["file_id"],
+        {
+            "n": ("sum", "n"),
+            "min_cust": ("min", "min_cust"),
+            "max_cust": ("max", "max_cust"),
+            "min_price": ("min", "min_price"),
+            "max_price": ("max", "max_price"),
+        },
     )
 
 
@@ -881,12 +883,13 @@ def q_link_graph(sf_dir: str):
                     dsts.append(int(href[6:]))
         return pa.table({"dst": pa.array(dsts, pa.int64())})
 
-    from ray.data.aggregate import Count
+    from ..stages.groupagg import bucketed_group_agg
 
-    return (
-        ds.map_batches(edges, batch_format="pyarrow")
-        .groupby("dst")
-        .aggregate(Count(alias_name="n_in"))
+    # dst is NODE-cardinality: bucketed fold (r5)
+    return bucketed_group_agg(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["dst"],
+        {"n_in": ("count", None)},
     )
 
 
@@ -1175,16 +1178,14 @@ def q_bm25_search(sf_dir: str):
             ),
         )
 
-    stats = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(
-            _Sum("n", alias_name="df"),
-            _Sum("dl_sum", alias_name="dl_sum"),
-            _Sum("nd", alias_name="nd"),
-        )
-        .to_pandas()  # vocab-bounded
-    )
+    from ..stages.groupagg import bucketed_group_agg
+
+    stats = bucketed_group_agg(
+        # token is VOCAB-cardinality: bucketed string-key fold (r5)
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"],
+        {"df": ("sum", "n"), "dl_sum": ("sum", "dl_sum"), "nd": ("sum", "nd")},
+    ).to_pandas()  # vocab-bounded driver slice (query-k tokens used below)
     nd = int(stats["nd"].sum())
     avgdl = float(stats["dl_sum"].sum()) / nd
     top = stats.sort_values(["df", "token"], ascending=[False, True]).head(

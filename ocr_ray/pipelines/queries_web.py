@@ -64,14 +64,17 @@ def q_host_stats(sf_dir: str):
         ts_us = pc.cast(batch.column("warc_ts"), pa.int64())
         return pa.table({"host": host, "n_chars": n_chars, "ts_us": ts_us})
 
-    return (
-        pages.map_batches(host_partial, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(
-            Count(alias_name="n_pages"),
-            Sum("n_chars", alias_name="total_chars"),
-            Max("ts_us", alias_name="last_crawl_us"),
-        )
+    from ..stages.groupagg import bucketed_group_agg
+
+    # host is HOST-cardinality (millions at web scale): bucketed fold (r5)
+    return bucketed_group_agg(
+        pages.map_batches(host_partial, batch_format="pyarrow"),
+        ["host"],
+        {
+            "n_pages": ("count", None),
+            "total_chars": ("sum", "n_chars"),
+            "last_crawl_us": ("max", "ts_us"),
+        },
     )
 
 
@@ -212,10 +215,13 @@ def q_reciprocal_links(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(edges, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Min("dirn", alias_name="dmin"), Max("dirn", alias_name="dmax"))
+    from ..stages.groupagg import bucketed_group_agg
+
+    # (lo, hi) is EDGE-cardinality: bucketed fold (r5)
+    agg = bucketed_group_agg(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["lo", "hi"],
+        {"dmin": ("min", "dirn"), "dmax": ("max", "dirn")},
     )
 
     def mutual(batch: pa.Table) -> pa.Table:
@@ -290,12 +296,14 @@ def q_edit1_matches(sf_dir: str):
         enc = split.flatten().dictionary_encode()
         return pa.table({"w": enc.dictionary})
 
-    vocab_df = (
-        docs.map_batches(toks, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()  # distinct corpus tokens only — vocabulary-bounded
-    )
+    from ..stages.groupagg import bucketed_group_agg
+
+    vocab_df = bucketed_group_agg(
+        # w is VOCAB-cardinality: bucketed string-key fold (r5)
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["w"],
+        {"n": ("count", None)},
+    ).to_pandas()  # distinct corpus tokens only — vocabulary-bounded
     vocab = sorted(w for w in vocab_df["w"].tolist() if w)
     index: dict = {}
     for wi, w in enumerate(vocab):
@@ -581,10 +589,13 @@ def q_decayed_value(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("decayed_units", alias_name="decayed_units"))
+    from ..stages.groupagg import bucketed_group_agg
+
+    # user_id is USER-cardinality: bucketed fold over map-side partials (r5)
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"decayed_units": ("sum", "decayed_units")},
     )
 
 
@@ -684,12 +695,13 @@ def q_anchor_stats(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(anchors, batch_format="pyarrow")
-        .groupby("dst")
-        .aggregate(
-            Count(alias_name="n_in"), Sum("chars", alias_name="anchor_chars")
-        )
+    from ..stages.groupagg import bucketed_group_agg
+
+    # dst is PAGE-cardinality: bucketed fold (r5)
+    return bucketed_group_agg(
+        ds.map_batches(anchors, batch_format="pyarrow"),
+        ["dst"],
+        {"n_in": ("count", None), "anchor_chars": ("sum", "chars")},
     )
 
 

@@ -242,15 +242,33 @@ def semi_anti_join(
     a marker column, filtering on marker presence."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+
+    from .groupagg import bucketed_group_agg
 
     key = right_on or on
-    distinct = (
-        right.groupby(key)
-        .aggregate(Count(alias_name="__n"))
-        .map_batches(lambda b: b.select([key]), batch_format="pyarrow")
-        .materialize()
-    )
+    # the distinct key set is RIGHT-TABLE-cardinality: bucketed fold (r5);
+    # int64 and string keys take the lexsort/reduceat kernel, anything
+    # else falls back to the native aggregate
+    ktype = right.schema().base_schema.field(key).type
+    if (
+        pa.types.is_integer(ktype)
+        or pa.types.is_string(ktype)
+        or pa.types.is_large_string(ktype)
+    ):
+        distinct = (
+            bucketed_group_agg(right, [key], {"__n": ("count", None)})
+            .map_batches(lambda b: b.select([key]), batch_format="pyarrow")
+            .materialize()
+        )
+    else:
+        from ray.data.aggregate import Count
+
+        distinct = (
+            right.groupby(key)
+            .aggregate(Count(alias_name="__n"))
+            .map_batches(lambda b: b.select([key]), batch_format="pyarrow")
+            .materialize()
+        )
     size = distinct.size_bytes()
     if size is not None and size <= broadcast_limit:
         tbl = _collect_small(distinct)

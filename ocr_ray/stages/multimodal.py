@@ -512,7 +512,6 @@ def phash_neardup_pairs(media_ds, *, concurrency=2, batch_size: int = 16):
     the (a, b) pairs.  The corpus never moves: only (media_id, band,
     16-bit value) rows shuffle."""
     import pandas as pd
-    from ray.data.aggregate import Min
 
     hashed = media_ds.map_batches(
         PHashStage, batch_format="pyarrow", batch_size=batch_size,
@@ -551,12 +550,17 @@ def phash_neardup_pairs(media_ds, *, concurrency=2, batch_size: int = 16):
             {"a": mid[ia[keep]], "b": mid[ib[keep]], "hamming": ham[keep]}
         )
 
-    return (
+    from .dedup import distinct_rows
+
+    # (a, b) is CANDIDATE-PAIR-cardinality: the distinct fold runs through
+    # the bucketed lexsort/reduceat kernel (r5), carrying the pair's
+    # constant hamming distance as its per-key min
+    return distinct_rows(
         hashed.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        ["a", "b"],
+        min_cols=["hamming"],
     )
 
 
