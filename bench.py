@@ -216,6 +216,10 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 additions: the S6 search half and the reworked simhash
         "search_corpus",
         "simhash_dedup",
+        # round-5 bucketed-fold conversions (session 2): the iterative-graph
+        # and canonical-selection shapes
+        "pagerank",
+        "dedup_canonical",
     ]
     import ray.data
 

@@ -119,6 +119,26 @@ def test_triangle_count_distributed_path_matches_small(ray_session, tmp_path, mo
     assert small["n_tri"].sum() > 0
 
 
+def test_pagerank_distributed_path_matches_small(ray_session, tmp_path, monkeypatch):
+    """The size-planned split (r5): ranks from the in-driver integer
+    kernel and from the Dataset-resident distributed loop must be
+    IDENTICAL — both implement the same integer-microunit contract."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64), pa.int64())})
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    small = _rank_table(str(tmp_path)).sort_by("node")
+    import ocr_ray.stages.joins as joins
+
+    monkeypatch.setattr(joins, "BROADCAST_BYTES", 0)  # force the shuffle path
+    dist = _rank_table(str(tmp_path)).sort_by("node")
+    assert dist.column("node").to_pylist() == small.column("node").to_pylist()
+    assert dist.column("rank").to_pylist() == small.column("rank").to_pylist()
+    # non-vacuous: inflow actually moved mass
+    assert max(small.column("rank").to_pylist()) > qg._BASE
+
+
 def test_crawl_frontier_matches_brute_force_bfs(ray_session):
     import numpy as np
     import pandas as pd
