@@ -118,6 +118,16 @@ FUZZ_QUERIES = [
     "simhash_dedup",
     "search_corpus",
     "host_stats",
+    # round 5, session 2: the bucketed-fold conversions whose oracles are
+    # closed-form over doc_id/orders (graph, url canonicalization, layout)
+    "url_dedup",
+    "anchor_stats",
+    "pagerank",
+    "link_graph",
+    "triangle_count",
+    "reciprocal_links",
+    "zorder_layout",
+    "crawl_frontier",
     "pii_redact",
     "doc_tokens_bpe",
     "props_stats",
