@@ -7,9 +7,12 @@ to end is MJPEG-in-AVI: each frame is an ordinary baseline JPEG (decoded by
 the from-scratch :mod:`ocr_ray.jpeg`), and the container is the public
 Microsoft 'AVI ' RIFF form (avih / strl / movi / idx1 chunk layout).
 
-Only what MJPEG needs is implemented: one 'vids' stream, '00dc' frame
-chunks, even-byte chunk padding.  Anything else (multiple streams, audio
-interleave, ODML extensions) raises ``NotImplementedError`` honestly.
+Two codecs are implemented: MJPEG ('00dc' chunks of baseline JPEGs) and
+uncompressed DIB ('00db' chunks: BGR bottom-up rows, biCompression=0) —
+one 'vids' stream, even-byte chunk padding.  Anything else (compressed
+non-MJPEG codecs, multiple streams, audio interleave, ODML extensions)
+raises ``NotImplementedError`` honestly.  Matroska lives in
+:mod:`ocr_ray.mkv`.
 """
 
 from __future__ import annotations
@@ -30,10 +33,32 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
 
 def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 92) -> bytes:
     """Encode an iterable of [h, w, 3] uint8 frames as MJPEG-in-AVI."""
+    return _encode_avi(frames, fps=fps, quality=quality, handler=b"MJPG")
+
+
+def encode_avi_raw(frames, fps: int = 10) -> bytes:
+    """Encode [h, w, 3] uint8 frames as uncompressed DIB-in-AVI ('00db'
+    chunks: BGR, bottom-up rows padded to 4 bytes, biCompression=0)."""
+    return _encode_avi(frames, fps=fps, quality=0, handler=b"DIB ")
+
+
+def _dib_frame(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    return b"".join(img[h - 1 - y, :, ::-1].tobytes() + pad for y in range(h))
+
+
+def _encode_avi(frames, fps: int, quality: int, handler: bytes) -> bytes:
     from . import jpeg
 
     frames = [np.asarray(f) for f in frames]  # materialize once: generators ok
-    blobs = [jpeg.encode_jpeg(f, quality=quality) for f in frames]
+    if handler == b"MJPG":
+        blobs = [jpeg.encode_jpeg(f, quality=quality) for f in frames]
+        chunk_cc = b"00dc"
+    else:
+        blobs = [_dib_frame(f) for f in frames]
+        chunk_cc = b"00db"
     if not blobs:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
@@ -52,7 +77,7 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 92) -> bytes:
         0, 0, 0, 0,            # dwReserved
     )
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + handler
         + struct.pack(
             "<IHHIIIIIIII4H",
             0, 0, 0,           # dwFlags, wPriority, wLanguage
@@ -66,7 +91,9 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 92) -> bytes:
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, w, h, 1, 24, b"MJPG", max_bytes, 0, 0, 0, 0
+        40, w, h, 1, 24,
+        b"MJPG" if handler == b"MJPG" else b"\x00\x00\x00\x00",  # biCompression
+        max_bytes, 0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl",
@@ -74,12 +101,12 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 92) -> bytes:
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
 
-    movi_payload = b"".join(_chunk(b"00dc", b) for b in blobs)
+    movi_payload = b"".join(_chunk(chunk_cc, b) for b in blobs)
     movi = _list(b"movi", movi_payload)
 
     idx, off = [], 4  # offsets are relative to the 'movi' fourcc
     for b in blobs:
-        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(b)))
+        idx.append(struct.pack("<4sIII", chunk_cc, 0x10, off, len(b)))
         off += 8 + len(b) + (len(b) % 2)
     idx1 = _chunk(b"idx1", b"".join(idx))
 
@@ -99,12 +126,21 @@ def _walk_chunks(buf: bytes, pos: int, end: int):
         pos = body + size + (size % 2)
 
 
-def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
-    """Decode MJPEG-in-AVI -> [n_frames, h, w, 3] uint8.
+def _decode_dib(blob: bytes, w: int, h: int) -> np.ndarray:
+    """One uncompressed DIB frame (BGR, bottom-up, 4-byte row pad) -> RGB."""
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob[: row_bytes * h], dtype=np.uint8).reshape(h, row_bytes)
+    return rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Decode an AVI video -> [n_frames, h, w, 3] uint8.
 
     Walks the RIFF chunk tree for the 'movi' list and decodes every video
-    frame chunk (``..dc`` / ``..db``) with :func:`ocr_ray.jpeg.decode_jpeg`.
-    Non-MJPEG streams fail fast with the codec named.
+    frame chunk (``..dc`` / ``..db``): MJPEG streams via
+    :func:`ocr_ray.jpeg.decode_jpeg`, uncompressed DIB streams (handler
+    ``DIB `` / zero, biCompression=0) via a vectorized BGR bottom-up
+    unpack.  Compressed non-MJPEG codecs fail fast with the codec named.
     """
     from . import jpeg
 
@@ -112,29 +148,52 @@ def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not an AVI RIFF file")
 
     handler = None
+    strf_w = strf_h = strf_comp = None
     for fourcc, ltype, body, size in _walk_chunks(payload, 12, len(payload)):
         if fourcc == b"LIST" and ltype == b"hdrl":
             for f2, l2, b2, s2 in _walk_chunks(payload, body, body + size):
                 if f2 == b"LIST" and l2 == b"strl":
+                    is_vids = False
                     for f3, _, b3, s3 in _walk_chunks(payload, b2, b2 + s2):
                         if f3 == b"strh" and payload[b3 : b3 + 4] == b"vids":
                             handler = payload[b3 + 4 : b3 + 8]
-    if handler is not None and handler.upper() not in (b"MJPG", b"JPEG"):
+                            is_vids = True
+                        elif f3 == b"strf" and is_vids and s3 >= 40:
+                            strf_w, strf_h = struct.unpack_from("<ii", payload, b3 + 4)
+                            (strf_comp,) = struct.unpack_from("<I", payload, b3 + 16)
+    mjpeg = handler is None or handler.upper() in (b"MJPG", b"JPEG")
+    raw_dib = not mjpeg and (
+        handler in (b"DIB ", b"\x00\x00\x00\x00") or strf_comp == 0
+    )
+    if not mjpeg and not raw_dib:
         raise NotImplementedError(
-            "AVI video handler {!r} not supported (MJPEG only; other codecs "
-            "need ffmpeg, absent in this environment)".format(handler)
+            "AVI video handler {!r} not supported (MJPEG and uncompressed "
+            "DIB only; other codecs need ffmpeg, absent in this "
+            "environment)".format(handler)
         )
+    if raw_dib and (not strf_w or strf_h is None):
+        raise ValueError("DIB AVI stream is missing its strf dimensions")
+
+    def _frame(blob: bytes) -> np.ndarray:
+        if mjpeg:
+            return jpeg.decode_jpeg(blob)
+        return _decode_dib(blob, strf_w, abs(strf_h))
 
     frames = []
     for fourcc, ltype, body, size in _walk_chunks(payload, 12, len(payload)):
         if fourcc == b"LIST" and ltype == b"movi":
             for f2, l2, b2, s2 in _walk_chunks(payload, body, body + size):
                 if f2[2:4] in (b"dc", b"db"):
-                    frames.append(jpeg.decode_jpeg(payload[b2 : b2 + s2]))
+                    frames.append(_frame(payload[b2 : b2 + s2]))
                 elif f2 == b"LIST" and l2 == b"rec ":
                     for f3, _, b3, s3 in _walk_chunks(payload, b2, b2 + s2):
                         if f3[2:4] in (b"dc", b"db"):
-                            frames.append(jpeg.decode_jpeg(payload[b3 : b3 + s3]))
+                            frames.append(_frame(payload[b3 : b3 + s3]))
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return np.stack(frames)
+
+
+# Back-compat name: the original MJPEG-only entry point now dispatches on
+# the stream handler, so both names decode both supported codecs.
+decode_avi_mjpeg = decode_avi

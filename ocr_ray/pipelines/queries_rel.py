@@ -133,7 +133,8 @@ def q_media_features(sf_dir: str):
     from ..stages import multimodal
 
     table = _pa.concat_tables(
-        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+        [multimodal.synth_media(48), multimodal.synth_media_real(20),
+         multimodal.synth_media_exotic(30)]
     )
     media = ray.data.from_arrow(table)
     out = multimodal.media_features(media, concurrency=2, batch_size=16)
@@ -154,7 +155,8 @@ def q_audio_mel(sf_dir: str):
     from ..stages import multimodal
 
     table = _pa.concat_tables(
-        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+        [multimodal.synth_media(48), multimodal.synth_media_real(20),
+         multimodal.synth_media_exotic(30)]
     )
     table = table.filter(_pc.equal(table.column("kind"), "audio"))
     out = multimodal.audio_mel_features(

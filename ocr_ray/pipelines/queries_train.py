@@ -1549,7 +1549,8 @@ def q_video_frames(sf_dir: str):
     from ..stages import multimodal
 
     table = pa.concat_tables(
-        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+        [multimodal.synth_media(48), multimodal.synth_media_real(20),
+         multimodal.synth_media_exotic(30)]
     )
     media = _rd.from_arrow(table)
     return multimodal.video_frames(media, concurrency=2, batch_size=16)

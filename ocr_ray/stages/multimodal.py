@@ -3,13 +3,15 @@ actor-pool ``map_batches`` stages.
 
 The container ships no codec libraries (no PIL/cv2/ffmpeg), so the codecs
 are FROM-SCRATCH implementations of the public formats: PNG (full filter
-matrix incl. palette/interlace/16-bit), BMP, WAV (ocr_ray/codecs.py) and
-baseline-DCT JPEG 4:4:4 / 4:2:0 with restart markers (ocr_ray/jpeg.py),
-and MJPEG-in-AVI video built on that JPEG codec (ocr_ray/avi.py);
+matrix incl. palette/interlace/16-bit), BMP (24/32-bit, palette,
+RLE8), WAV (PCM u8..32 / float / G.711) in ocr_ray/codecs.py,
+baseline+progressive JPEG 4:4:4 / 4:2:0 with restart markers
+(ocr_ray/jpeg.py), MJPEG-or-DIB-in-AVI video (ocr_ray/avi.py) and
+Matroska V_MJPEG / V_UNCOMPRESSED with all lacing modes (ocr_ray/mkv.py);
 :func:`decode_real` dispatches on magic bytes and raises
 ``NotImplementedError`` only for genuinely unimplemented variants
-(arithmetic JPEG, exotic BMP/WAV encodings, non-MJPEG video codecs —
-progressive JPEG decodes since r4), exactly as a production stage fails
+(arithmetic JPEG, compressed non-MJPEG video codecs — those need
+ffmpeg), exactly as a production stage fails
 fast on a missing codec.  Everything
 around the codecs — schema, payload sniffing, actor signature, batch
 sizing, deterministic feature extraction, resize, frame sampling, output
@@ -149,6 +151,76 @@ def synth_media_real(n: int = 16, seed: int = 31) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA)
 
 
+def synth_media_exotic(n: int = 24, seed: int = 57) -> pa.Table:
+    """Deterministic media table covering the LONG-TAIL codec variants
+    (round-5 coverage of the formats the earlier decoders rejected):
+    Matroska video (V_MJPEG and V_UNCOMPRESSED with every lacing mode),
+    uncompressed DIB-in-AVI, WAV in PCM-u8/24/32-bit, IEEE float,
+    WAVE_FORMAT_EXTENSIBLE, ITU G.711 A-law / mu-law, and BMP in 8-bit
+    palette / RLE8 / 32-bit forms."""
+    from .. import avi, codecs, mkv
+
+    fmts = (
+        "mkv_mjpeg", "mkv_raw", "mkv_raw_xiph", "mkv_raw_ebml", "avi_dib",
+        "wav_u8", "wav_24", "wav_32", "wav_f32", "wav_ext", "wav_alaw",
+        "wav_mulaw", "bmp8", "bmp_rle8", "bmp32",
+    )
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        fmt = fmts[i % len(fmts)]
+        if fmt.startswith("wav_"):
+            sr, ns = 8000, int(rng.randint(64, 512))
+            pcm = rng.randint(-32768, 32767, size=ns, dtype=np.int16)
+            wav_fmt = {"wav_u8": "u8", "wav_24": "pcm24", "wav_32": "pcm32",
+                       "wav_f32": "f32", "wav_ext": "ext16", "wav_alaw": "alaw",
+                       "wav_mulaw": "mulaw"}[fmt]
+            payload = codecs.encode_wav_fmt(pcm, sr, wav_fmt)
+            kind, meta = "audio", (0, 0, sr, 0)
+        elif fmt.startswith("mkv") or fmt == "avi_dib":
+            w, h = 8 * int(rng.randint(1, 4)), 8 * int(rng.randint(1, 4))
+            nf = int(rng.randint(2, 6))
+            frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            if fmt == "avi_dib":
+                payload = avi.encode_avi_raw(frames, fps=10)
+            elif fmt == "mkv_mjpeg":
+                payload = mkv.encode_mkv(frames, fps=10, codec="V_MJPEG")
+            else:
+                lacing = {"mkv_raw": None, "mkv_raw_xiph": "xiph",
+                          "mkv_raw_ebml": "ebml"}[fmt]
+                payload = mkv.encode_mkv(
+                    frames, fps=10, codec="V_UNCOMPRESSED", lacing=lacing,
+                    cluster_frames=3,
+                )
+            kind, meta = "video", (w, h, 0, nf)
+        else:
+            w, h = int(rng.randint(9, 33)), int(rng.randint(9, 33))
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if fmt == "bmp32":
+                payload = codecs.encode_bmp32(img)
+            else:
+                pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+                idx = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+                if fmt == "bmp_rle8":
+                    idx = np.repeat(idx[:, : (w + 2) // 3], 3, axis=1)[:, :w]  # runs
+                    payload = codecs.encode_bmp_rle8(idx, pal)
+                else:
+                    payload = codecs.encode_bmp_pal8(idx, pal)
+            kind, meta = "image", (w, h, 0, 0)
+        rows.append(
+            {
+                "media_id": 2000 + i,
+                "kind": kind,
+                "payload": payload,
+                "width": meta[0],
+                "height": meta[1],
+                "sample_rate": meta[2],
+                "n_frames": meta[3],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA)
+
+
 def decode_real(payload: bytes):
     """Decode a real media codec: PNG / BMP / WAV / baseline JPEG /
     MJPEG-in-AVI video are implemented from scratch on stdlib+numpy
@@ -166,15 +238,19 @@ def decode_real(payload: bytes):
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from .. import avi
 
-        return avi.decode_avi_mjpeg(payload)
+        return avi.decode_avi(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        from .. import mkv
+
+        return mkv.decode_mkv(payload)
     if payload[:2] == b"\xff\xd8":
         from .. import jpeg
 
         return jpeg.decode_jpeg(payload)
     raise NotImplementedError(
         "codec not available for this payload (PNG/BMP/WAV/baseline-JPEG/"
-        "MJPEG-AVI are built in; other video codecs need ffmpeg, absent "
-        "in this environment)"
+        "MJPEG-or-DIB-AVI/Matroska are built in; other video codecs need "
+        "ffmpeg, absent in this environment)"
     )
 
 

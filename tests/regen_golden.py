@@ -21,7 +21,8 @@ def compute_audio_mel_rows():
     from ocr_ray.stages import multimodal
 
     table = pa.concat_tables(
-        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+        [multimodal.synth_media(48), multimodal.synth_media_real(20),
+         multimodal.synth_media_exotic(30)]
     )
     table = table.filter(pc.equal(table.column("kind"), "audio"))
     out = multimodal.AudioMelExtractor()(table)
@@ -38,7 +39,8 @@ def compute_media_rows():
     from ocr_ray.stages import multimodal
 
     table = pa.concat_tables(
-        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+        [multimodal.synth_media(48), multimodal.synth_media_real(20),
+         multimodal.synth_media_exotic(30)]
     )
     out = multimodal.MediaFeatureExtractor()(table)
     return [
@@ -89,7 +91,8 @@ def compute_video_frame_rows():
     from ocr_ray.stages import multimodal
 
     table = pa.concat_tables(
-        [multimodal.synth_media(48), multimodal.synth_media_real(20)]
+        [multimodal.synth_media(48), multimodal.synth_media_real(20),
+         multimodal.synth_media_exotic(30)]
     )
     out = multimodal.FrameSampler()(table)
     keys = ("media_id", "frame_index", "mean", "std", "status")
