@@ -15,8 +15,11 @@ so both directions are implemented directly from the public ITU-T T.81
   the whole block grid), restart-marker handling, nearest-neighbor chroma
   upsampling for 4:2:0/4:2:2, JFIF full-range YCbCr -> RGB.  Grayscale
   (1 component) returns ``[h, w]``; color returns ``[h, w, 3]`` uint8.
-  Arithmetic coding and lossless/hierarchical SOFs raise
-  ``NotImplementedError``.
+  Lossless Huffman (SOF3, Annex H) decodes bit-exactly: per-sample
+  category + difference bits over predictors 1-7, mod-2^16
+  reconstruction, restart-reset prediction (:func:`encode_jpeg_lossless`
+  is the matching writer).  Arithmetic coding and hierarchical SOFs
+  raise ``NotImplementedError``.
 - :func:`encode_jpeg` — baseline encoder: 4:4:4 / 4:2:0 (or
   single-component grayscale), Annex-K quantization tables scaled by the
   IJG quality curve, Annex-K Huffman tables, forward DCT, run-length +
@@ -295,6 +298,8 @@ def _parse_jpeg(payload: bytes):
     restart_interval = 0
     frame = None
     progressive = False
+    lossless = False
+    precision = 8
     scans = []
     n = len(payload)
     while pos + 4 <= n:
@@ -345,18 +350,20 @@ def _parse_jpeg(payload: bytes):
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2 prog, SOF3 lossless
+            precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG SOF{:X}: only baseline sequential (SOF0/1) and "
-                "progressive Huffman (SOF2) are supported".format(marker - 0xC0)
+                "JPEG SOF{:X}: only baseline sequential (SOF0/1), "
+                "progressive Huffman (SOF2) and lossless Huffman (SOF3) "
+                "are supported".format(marker - 0xC0)
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -379,7 +386,7 @@ def _parse_jpeg(payload: bytes):
         pos += 2 + seglen
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    return frame, qt, scans, progressive
+    return frame, qt, scans, progressive, lossless, precision
 
 
 def _comp_geometry(frame):
@@ -570,7 +577,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     selection and successive approximation: all scans accumulate into
     per-component coefficient grids, then one vectorized dequantize+IDCT
     pass reconstructs the image."""
-    frame, qt, scans, progressive = _parse_jpeg(payload)
+    frame, qt, scans, progressive, lossless, precision = _parse_jpeg(payload)
+    if lossless:
+        return _decode_lossless(payload, frame, scans, precision)
     h, w, comps = frame
     geom = _comp_geometry(frame)
     _hmax, _vmax, _mcux, _mcuy, dims = geom
@@ -605,6 +614,161 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# --- lossless (SOF3, T.81 Annex H) ------------------------------------------
+
+
+def _lossless_predict(plane, x, y, sel, default_pred):
+    """T.81 H.1.2 sample prediction (first line -> Ra, first column -> Rb)."""
+    if y == 0:
+        return default_pred if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a, b, c = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError("lossless JPEG predictor {} invalid".format(sel))
+
+
+def _decode_lossless(payload, frame, scans, precision):
+    """Decode a lossless-Huffman JPEG (SOF3): per-sample Huffman category +
+    difference bits over predictors 1-7, mod-2^16 reconstruction, restart
+    markers resetting prediction.  Only 1x1 sampling is supported (the
+    universal case for lossless JPEG)."""
+    h, w, comps = frame
+    if any(hs != 1 or vs != 1 for _cid, hs, vs, _tq in comps):
+        raise NotImplementedError("lossless JPEG with subsampled components")
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    decoded = set()
+    for sel_list, ss, _se, _ah, al, dc_tabs, _ac_tabs, ri, start in scans:
+        predictor, pt = ss, al
+        default_pred = 1 << (precision - pt - 1)
+        reader = _BitReader(payload, start)
+        tabs = [dc_tabs[td] for _ci, td, _ta in sel_list]
+        scan_planes = [planes[ci] for ci, _td, _ta in sel_list]
+        mcu = 0
+        reset_pos = (0, 0)  # restart resets prediction as at start of scan
+        for y in range(h):
+            for x in range(w):
+                if ri and mcu == ri:
+                    reader.sync_restart()
+                    mcu = 0
+                    reset_pos = (y, x)
+                for plane, tab in zip(scan_planes, tabs):
+                    t = tab.decode(reader)
+                    if t == 16:
+                        diff = 32768
+                    elif t:
+                        diff = _extend(reader.read_bits(t), t)
+                    else:
+                        diff = 0
+                    if (y, x) == reset_pos:
+                        pred = default_pred
+                    elif y == reset_pos[0]:
+                        pred = int(plane[y, x - 1])  # restart line: Ra
+                    elif x == 0:
+                        pred = int(plane[y - 1, 0])
+                    else:
+                        pred = _lossless_predict(plane, x, y, predictor, default_pred)
+                    plane[y, x] = (pred + diff) & 0xFFFF
+                mcu += 1
+        decoded.update(ci for ci, _td, _ta in sel_list)
+        if pt:
+            for plane in scan_planes:
+                plane <<= pt
+    if decoded != set(range(len(comps))):
+        raise ValueError("lossless JPEG scans cover components {}".format(sorted(decoded)))
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = np.stack([p.astype(dtype) for p in planes], axis=-1)
+    return out[:, :, 0] if len(comps) == 1 else out
+
+
+# canonical table covering every difference category 0..16 (Kraft-valid:
+# three 2-bit codes then one code per length 3..16)
+_LOSSLESS_BITS = [0, 3] + [1] * 14
+_LOSSLESS_VALUES = list(range(17))
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
+                         restart_interval: int = 0) -> bytes:
+    """uint8 [h, w] or [h, w, 3] -> lossless JPEG (SOF3) bytes.
+
+    Components are stored verbatim (no color transform, per Annex H);
+    decoding with :func:`decode_jpeg` is bit-exact."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    arr = img[:, :, None] if gray else img
+    h, w, nc = arr.shape
+    default_pred = 1 << 7
+
+    table = _huff_encode_table(_LOSSLESS_BITS, _LOSSLESS_VALUES)
+    writer = _BitWriter()
+    planes = [arr[:, :, c].astype(np.int32) for c in range(nc)]
+    mcu = 0
+    rst = 0
+    reset_pos = (0, 0)
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu == restart_interval:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                mcu = 0
+                reset_pos = (y, x)
+            for plane in planes:
+                if (y, x) == reset_pos:
+                    pred = default_pred
+                elif y == reset_pos[0]:
+                    pred = int(plane[y, x - 1])  # restart line: Ra
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                else:
+                    pred = _lossless_predict(plane, x, y, predictor, default_pred)
+                diff = (int(plane[y, x]) - pred) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                if diff == -32768:
+                    code, length = table[16]
+                    writer.write(code, length)
+                else:
+                    t, mag = _magnitude(diff)
+                    code, length = table[t]
+                    writer.write(code, length)
+                    if t:
+                        writer.write(mag, t)
+            mcu += 1
+    writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(_LOSSLESS_BITS) + bytes(_LOSSLESS_VALUES)
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+
+    out = b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos) + bytes(writer.out) + b"\xff\xd9"
+    return out
 
 
 # --- encoder ----------------------------------------------------------------

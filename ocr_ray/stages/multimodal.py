@@ -156,14 +156,14 @@ def synth_media_exotic(n: int = 24, seed: int = 57) -> pa.Table:
     (round-5 coverage of the formats the earlier decoders rejected):
     Matroska video (V_MJPEG and V_UNCOMPRESSED with every lacing mode),
     uncompressed DIB-in-AVI, WAV in PCM-u8/24/32-bit, IEEE float,
-    WAVE_FORMAT_EXTENSIBLE, ITU G.711 A-law / mu-law, and BMP in 8-bit
-    palette / RLE8 / 32-bit forms."""
+    WAVE_FORMAT_EXTENSIBLE, ITU G.711 A-law / mu-law, BMP in 8-bit
+    palette / RLE8 / 32-bit forms, and lossless JPEG (SOF3)."""
     from .. import avi, codecs, mkv
 
     fmts = (
         "mkv_mjpeg", "mkv_raw", "mkv_raw_xiph", "mkv_raw_ebml", "avi_dib",
         "wav_u8", "wav_24", "wav_32", "wav_f32", "wav_ext", "wav_alaw",
-        "wav_mulaw", "bmp8", "bmp_rle8", "bmp32",
+        "wav_mulaw", "bmp8", "bmp_rle8", "bmp32", "jpeg_lossless",
     )
     rng = np.random.RandomState(seed)
     rows = []
@@ -196,7 +196,11 @@ def synth_media_exotic(n: int = 24, seed: int = 57) -> pa.Table:
         else:
             w, h = int(rng.randint(9, 33)), int(rng.randint(9, 33))
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if fmt == "bmp32":
+            if fmt == "jpeg_lossless":
+                from .. import jpeg
+
+                payload = jpeg.encode_jpeg_lossless(img, predictor=1 + i % 7)
+            elif fmt == "bmp32":
                 payload = codecs.encode_bmp32(img)
             else:
                 pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)

@@ -139,6 +139,46 @@ def test_avi_dib_exact_roundtrip():
     assert (avi.decode_avi_mjpeg(buf) == frames).all()
 
 
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_jpeg_lossless_bit_exact_every_predictor(predictor):
+    from ocr_ray import jpeg
+
+    img = RNG.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(img, predictor=predictor))
+    assert dec.dtype == np.uint8 and (dec == img).all()
+
+
+def test_jpeg_lossless_gray_and_restarts():
+    from ocr_ray import jpeg
+
+    gray = RNG.randint(0, 256, size=(9, 31), dtype=np.uint8)
+    assert (jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(gray, predictor=4)) == gray).all()
+    img = RNG.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    for ri in (5, 23, 31):  # including mid-row restarts
+        buf = jpeg.encode_jpeg_lossless(img, predictor=7, restart_interval=ri)
+        assert (jpeg.decode_jpeg(buf) == img).all()
+
+
+def test_jpeg_lossless_compresses_smooth_content():
+    from ocr_ray import jpeg
+
+    y, x = np.mgrid[0:64, 0:64]
+    sm = np.clip(x * 2 + y, 0, 255).astype(np.uint8)
+    buf = jpeg.encode_jpeg_lossless(sm, predictor=4)
+    assert len(buf) < 0.5 * sm.size  # predictor residuals must actually code small
+    assert (jpeg.decode_jpeg(buf) == sm).all()
+
+
+def test_jpeg_hierarchical_still_raises():
+    from ocr_ray import jpeg
+
+    buf = bytearray(jpeg.encode_jpeg_lossless(np.zeros((4, 4), dtype=np.uint8)))
+    at = bytes(buf).index(b"\xff\xc3")
+    buf[at + 1] = 0xC5  # forge a differential-sequential SOF
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
 def test_synth_media_exotic_all_decode():
     from ocr_ray.stages import multimodal as mm
 

@@ -85,8 +85,8 @@ def test_unsupported_sof_rejected():
     img = np.zeros((8, 8), dtype=np.uint8)
     enc = bytearray(jpeg.encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless, unsupported)
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    enc[sof + 1] = 0xC5  # rewrite SOF0 -> SOF5 (differential, unsupported)
+    with pytest.raises(NotImplementedError, match="SOF5"):
         jpeg.decode_jpeg(bytes(enc))
     # a forged SOF2 whose scan is a full-band baseline scan is malformed
     # (progressive DC scans must have Se=0) — hard error, not wrong pixels
