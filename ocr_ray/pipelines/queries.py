@@ -563,6 +563,9 @@ _CHANGED_R5 = [
     "customer_order_full", # symmetric empty-side guard
     "bloom_semi_join",     # tree-merged partials
     "top_tokens_mg",       # tree-merged partials
+    "media_features",      # session 3: exotic codec variants added (MKV,
+    "audio_mel",           # DIB-AVI, WAV u8..32/float/G.711, BMP palette/
+    "video_frames",        # RLE8/32-bit, lossless JPEG); goldens regen'd
 ]
 # (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
 _SAMPLED_R04 = [

@@ -120,9 +120,11 @@ SQL_RUNNING_TOTAL = (
 def q_media_features(sf_dir: str):
     """Actor-pool feature extraction over a deterministic synthetic media
     table: the raw dialect payloads (image/audio/video) plus REAL codec
-    payloads (PNG/BMP/WAV/baseline-JPEG 4:4:4 and 4:2:0/MJPEG-AVI video,
-    decoded by the from-scratch decoders in ocr_ray.codecs / ocr_ray.jpeg
-    / ocr_ray.avi).  Oracle-checked since r4: the oracle is a VALUES
+    payloads — PNG / BMP (incl. palette/RLE8/32-bit) / WAV (PCM u8..32,
+    float, G.711, extensible) / JPEG (baseline 4:4:4+4:2:0, progressive,
+    lossless SOF3) / MJPEG-or-DIB-AVI / Matroska video, decoded by the
+    from-scratch decoders in ocr_ray.codecs / jpeg / avi / mkv (exotic
+    variants added r5).  Oracle-checked since r4: the oracle is a VALUES
     literal built from the golden feature rows pinned in
     tests/golden/media_features.json (regenerated only by a conscious
     ``python -m tests.regen_golden`` — the extract_archetypes pattern), so

@@ -179,6 +179,69 @@ def test_jpeg_hierarchical_still_raises():
         jpeg.decode_jpeg(bytes(buf))
 
 
+# --- property tests: random shapes/content through every variant ----------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 200).map(lambda n: n * 7 % 97 + 1),
+    st.sampled_from(["u8", "pcm16", "pcm24", "pcm32", "f32", "f64",
+                     "alaw", "mulaw", "ext16"]),
+    st.integers(0, 2**32 - 1),
+)
+def test_wav_variant_property(n, fmt, seed):
+    rng = np.random.RandomState(seed % 2**31)
+    x = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    dec, sr = codecs.decode_wav(codecs.encode_wav_fmt(x, 22050, fmt))
+    assert sr == 22050 and dec.shape == x.shape
+    tol = {"u8": 256, "alaw": 1024, "mulaw": 1024}.get(fmt, 1)
+    assert np.abs(dec.astype(int) - x.astype(int)).max() <= tol
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1),
+       st.sampled_from(["pal8", "rle8", "bmp32", "bmp24"]))
+def test_bmp_variant_property(w, h, seed, variant):
+    rng = np.random.RandomState(seed)
+    if variant in ("pal8", "rle8"):
+        pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+        idx = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        enc = codecs.encode_bmp_rle8 if variant == "rle8" else codecs.encode_bmp_pal8
+        assert (codecs.decode_bmp(enc(idx, pal)) == pal[idx]).all()
+    else:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        enc = codecs.encode_bmp32 if variant == "bmp32" else codecs.encode_bmp
+        assert (codecs.decode_bmp(enc(img)) == img).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 6), st.integers(4, 24), st.integers(4, 24),
+       st.integers(0, 2**31 - 1), st.sampled_from([None, "xiph", "ebml", "fixed"]),
+       st.integers(1, 4))
+def test_mkv_uncompressed_property(nf, w, h, seed, lacing, cluster_frames):
+    from ocr_ray import mkv
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    buf = mkv.encode_mkv(frames, codec="V_UNCOMPRESSED", lacing=lacing,
+                         cluster_frames=cluster_frames)
+    assert (mkv.decode_mkv(buf) == frames).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(1, 7),
+       st.integers(0, 2**31 - 1), st.integers(0, 40))
+def test_jpeg_lossless_property(w, h, predictor, seed, ri):
+    from ocr_ray import jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    buf = jpeg.encode_jpeg_lossless(img, predictor=predictor, restart_interval=ri)
+    assert (jpeg.decode_jpeg(buf) == img).all()
+
+
 def test_synth_media_exotic_all_decode():
     from ocr_ray.stages import multimodal as mm
 

@@ -103,6 +103,64 @@ def test_rejects_non_mkv_and_foreign_codec():
         mkv.encode_mkv(_smooth_frames(1, 8, 8), codec="V_VP8")
 
 
+def test_multitrack_filters_to_video_and_blockgroup_decodes():
+    # hand-assemble a Segment with an audio TrackEntry FIRST, the video
+    # track second (track number 2), video frames split across a
+    # SimpleBlock and a BlockGroup/Block, plus interleaved audio blocks
+    # that must be ignored
+    rng = np.random.RandomState(13)
+    frames = rng.randint(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    audio_entry = mkv._elem(
+        mkv.TRACK_ENTRY,
+        mkv._uint(mkv.TRACK_NUMBER, 1)
+        + mkv._uint(mkv.TRACK_UID, 1)
+        + mkv._uint(mkv.TRACK_TYPE, 2)  # audio
+        + mkv._string(mkv.CODEC_ID, "A_PCM/INT/LIT"),
+    )
+    video_entry = mkv._elem(
+        mkv.TRACK_ENTRY,
+        mkv._uint(mkv.TRACK_NUMBER, 2)
+        + mkv._uint(mkv.TRACK_UID, 2)
+        + mkv._uint(mkv.TRACK_TYPE, 1)
+        + mkv._string(mkv.CODEC_ID, "V_UNCOMPRESSED")
+        + mkv._elem(
+            mkv.VIDEO,
+            mkv._uint(mkv.PIXEL_WIDTH, 8) + mkv._uint(mkv.PIXEL_HEIGHT, 8)
+            + mkv._elem(mkv.COLOUR_SPACE, b"RGB3"),
+        ),
+    )
+    import struct as _s
+
+    def sb(track, body):
+        return mkv._elem(
+            mkv.SIMPLE_BLOCK,
+            mkv._write_vint(track) + _s.pack(">h", 0) + bytes([0x80]) + body,
+        )
+
+    cluster = mkv._elem(
+        mkv.CLUSTER,
+        mkv._uint(mkv.CLUSTER_TS, 0)
+        + sb(1, b"\x00" * 32)              # audio: must be skipped
+        + sb(2, frames[0].tobytes())        # video SimpleBlock
+        + mkv._elem(                        # video via BlockGroup/Block
+            mkv.BLOCK_GROUP,
+            mkv._elem(
+                mkv.BLOCK,
+                mkv._write_vint(2) + _s.pack(">h", 100) + bytes([0x00])
+                + frames[1].tobytes(),
+            ),
+        )
+        + sb(1, b"\x00" * 32),
+    )
+    buf = mkv._ebml_header() + mkv._elem(
+        mkv.SEGMENT,
+        mkv._elem(mkv.INFO, mkv._uint(mkv.TIMESTAMP_SCALE, 1_000_000))
+        + mkv._elem(mkv.TRACKS, audio_entry + video_entry)
+        + cluster,
+    )
+    assert (mkv.decode_mkv(buf) == frames).all()
+
+
 def test_multimodal_dispatch_decodes_mkv():
     frames = _smooth_frames(3, 16, 16)
     buf = mkv.encode_mkv(frames, codec="V_UNCOMPRESSED", lacing="fixed")
