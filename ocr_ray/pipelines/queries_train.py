@@ -694,6 +694,159 @@ SQL_KMEANS_ASSIGN = (
 ).format(k=KMEANS_K)
 
 
+#: kmeans_train: Lloyd iterations (each = assign + centroid update).
+KMEANS_TRAIN_ITERS = 3
+
+#: kmeans_train: embedding dimensionality (the embeddings-table contract).
+KMEANS_DIM = 64
+
+
+def q_kmeans_train(sf_dir: str):
+    """Distributed k-means TRAINING (Lloyd's algorithm) over the embedding
+    table — the clustering loop behind IVF index builds and corpus
+    bucketing, complementing q_kmeans_assign (one assignment pass) with
+    the full iterative fit.  Integer-exact contract: points quantize to
+    the shared int grid (floor(v*1000+0.5), `_quantized_seed_centroids`
+    rule), centroid updates are floor(1.0*sum/count) — identical IEEE
+    float64 divide+floor in numpy and DuckDB — and assignment ties break
+    to the lowest cluster id on both sides, so KMEANS_TRAIN_ITERS unrolled
+    CTE iterations reproduce the engine bit-for-bit.  Empty clusters carry
+    their previous centroid (coalesce in SQL, copy-on-write here).
+
+    Scale shape (the reference's training loop is a Keras fit; this is the
+    data-parallel analog): the quantized points materialize ONCE as a slim
+    int64 fixed-size-list Dataset (8*D bytes/row, object-store resident,
+    spillable — Lloyd's is multi-pass by definition, so one materialize
+    replaces ITERS re-reads of the raw table); each round broadcasts the
+    K×D centroid matrix via ray.put, computes per-batch partial (sums,
+    counts) with ONE matmul + a K-loop scatter (loop over 8 clusters,
+    never over rows), and reduces through a native groupby on the BOUNDED
+    (cluster, dim) key (K*D = 512 groups — the audited bounded-key rule);
+    the driver only ever holds the K×D centroid matrix.  Output: final
+    centroids exploded to (cluster, dim, centroid_q, n_members) rows."""
+    import ray
+    import ray.data as _rd
+
+    from ..schema import list_column_matrix
+
+    k, d = KMEANS_K, KMEANS_DIM
+    c = _quantized_seed_centroids(sf_dir, k)
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            list_column_matrix(batch.column("embedding"), dtype="float64") * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "e": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.ravel(), pa.int64()), d
+                )
+            }
+        )
+
+    pts = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    n_members = np.zeros(k, dtype=np.int64)
+    for _ in range(KMEANS_TRAIN_ITERS):
+        c_ref = ray.put(c)
+
+        def partial(batch: pa.Table, _cref=c_ref) -> pa.Table:
+            cc = ray.get(_cref)
+            kk, dd = cc.shape
+            col = batch.column("e").combine_chunks()
+            x = np.asarray(col.flatten(), dtype=np.int64).reshape(-1, dd)
+            dist = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2 * (x @ cc.T)
+                + (cc * cc).sum(axis=1)[None, :]
+            )
+            a = np.argmin(dist, axis=1)
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            for j in range(kk):  # loop over K clusters, never over rows
+                m = a == j
+                if m.any():
+                    sums[j] = x[m].sum(axis=0)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dd)),
+                    "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64), kk)),
+                    "psum": pa.array(sums.ravel(), pa.int64()),
+                    "pcnt": pa.array(np.repeat(counts, dd), pa.int64()),
+                }
+            )
+
+        rows = (
+            pts.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("psum", alias_name="s"), Sum("pcnt", alias_name="n"))
+            .take_all()
+        )  # bounded: exactly K*D rows reach the driver
+        new_c = c.copy()
+        n_members = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            j, dd_, n = int(r["cluster"]), int(r["dim"]), int(r["n"])
+            if n > 0:
+                new_c[j, dd_] = int(np.floor(r["s"] / n))
+                n_members[j] = n
+        c = new_c
+
+    out = pa.table(
+        {
+            "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "centroid_q": pa.array(c.ravel(), pa.int64()),
+            "n_members": pa.array(np.repeat(n_members, d), pa.int64()),
+        }
+    )
+    return _rd.from_arrow(out)
+
+
+def _sql_kmeans_train() -> str:
+    """Unrolled-CTE Lloyd's oracle: per iteration, assignment (cross join
+    + row_number tie-break on (dist, cid)), per-dim zipped-unnest update
+    with floor(1.0*sum/count), and coalesce carry for empty clusters."""
+    k, d, iters = KMEANS_K, KMEANS_DIM, KMEANS_TRAIN_ITERS
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding,"
+        " v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS e FROM embeddings),"
+        " c0 AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < {k})".format(k=k)
+    ]
+    for i in range(iters):
+        parts.append(
+            (
+                ", a{i} AS (SELECT vec_id, e, cid FROM ("
+                "SELECT q.vec_id, q.e, c.cid, row_number() OVER ("
+                "PARTITION BY q.vec_id ORDER BY"
+                " list_sum(list_transform(list_zip(q.e, c.ce),"
+                " s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn"
+                " FROM q, c{i} c) WHERE rn = 1)"
+                ", u{i} AS (SELECT cid, unnest(range({d})) AS dim,"
+                " unnest(e) AS val FROM a{i})"
+                ", m{i} AS (SELECT cid, dim,"
+                " CAST(floor(1.0 * sum(val) / count(*)) AS BIGINT) AS cv"
+                " FROM u{i} GROUP BY cid, dim)"
+                ", l{i} AS (SELECT cid, list(cv ORDER BY dim) AS ce"
+                " FROM m{i} GROUP BY cid)"
+                ", c{j} AS (SELECT p.cid, coalesce(l.ce, p.ce) AS ce FROM c{i} p"
+                " LEFT JOIN l{i} l ON p.cid = l.cid)"
+            ).format(i=i, j=i + 1, d=d)
+        )
+    parts.append(
+        (
+            " SELECT f.cid AS cluster, unnest(range({d})) AS dim,"
+            " unnest(f.ce) AS centroid_q,"
+            " coalesce(n.n_members, CAST(0 AS BIGINT)) AS n_members"
+            " FROM c{it} f LEFT JOIN (SELECT cid, count(*) AS n_members"
+            " FROM a{last} GROUP BY cid) n ON f.cid = n.cid"
+        ).format(d=d, it=iters, last=iters - 1)
+    )
+    return "".join(parts)
+
+
 #: zorder_layout: rows per output file and morton bits per dimension.
 ZORDER_FILE_ROWS = 1000
 ZORDER_BITS = 10
@@ -1576,6 +1729,7 @@ TRAIN_QUERIES = {
     "training_blocks": q_training_blocks,
     "quality_classifier": q_quality_classifier,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_train": q_kmeans_train,
     "zorder_layout": q_zorder_layout,
     "value_quantiles_kll": q_value_quantiles_kll,
     "link_graph": q_link_graph,
@@ -1601,6 +1755,7 @@ TRAIN_ORACLE_SQL = {
     "training_blocks": SQL_TRAINING_BLOCKS,
     "quality_classifier": _sql_quality_classifier(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "kmeans_train": _sql_kmeans_train(),
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,

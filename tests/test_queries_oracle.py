@@ -34,6 +34,7 @@ PICKS = [
     "len_quantiles",
     "doc_langid",
     "training_pack",
+    "kmeans_train",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
