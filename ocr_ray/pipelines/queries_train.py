@@ -847,6 +847,147 @@ def _sql_kmeans_train() -> str:
     return "".join(parts)
 
 
+#: linear_probe_train: batch-perceptron iterations (each = margin pass + update).
+PROBE_ITERS = 3
+
+
+def q_linear_probe_train(sf_dir: str):
+    """Distributed linear-probe TRAINING (batch perceptron) over the
+    labeled embedding table — the data-parallel analog of the reference's
+    model-fit engine (reference models/interfaces/base_model.py:533-646
+    drives a tf.data train loop; here the same full-batch scan is a Ray
+    Dataset pass per epoch).  Together with q_kmeans_train this covers the
+    iterative-training shape the registry lacked: broadcast parameters,
+    map-side gradient partials, bounded reduce, driver update.
+
+    Contract (bitwise-exact, no floats anywhere): points quantize to the
+    shared int grid with a constant bias feature 1 appended; y = +1 when
+    label < 5 else -1; epoch t computes margins y*(w.x) against the
+    broadcast int64 weight vector, and w += sum(y*x) over misclassified
+    (margin <= 0) rows — classic batch perceptron with lr=1, pure integer
+    adds/multiplies, so PROBE_ITERS unrolled CTEs reproduce it exactly.
+
+    Scale shape: quantized points materialize once (slim int64
+    fixed-size-list, spillable — multi-epoch by definition); each epoch is
+    one map_batches (a single matvec + masked matvec per batch) emitting
+    D+1 (dim, grad, n_mis) partial rows, reduced by a native groupby on
+    the BOUNDED dim key; the driver holds only the (D+1)-vector.  Output:
+    (dim, weight, n_mis) — final weights plus the last epoch's
+    misclassified count."""
+    import ray
+    import ray.data as _rd
+
+    from ..schema import list_column_matrix
+
+    d = KMEANS_DIM + 1  # bias feature appended
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            list_column_matrix(batch.column("embedding"), dtype="float64") * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        x = np.hstack([x, np.ones((x.shape[0], 1), dtype=np.int64)])
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.where(lab < 5, 1, -1).astype(np.int64)
+        return pa.table(
+            {
+                "e": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.ravel(), pa.int64()), d
+                ),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    pts = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    w = np.zeros(d, dtype=np.int64)
+    n_mis = 0
+    for _ in range(PROBE_ITERS):
+        w_ref = ray.put(w)
+
+        def partial(batch: pa.Table, _wref=w_ref) -> pa.Table:
+            wv = ray.get(_wref)
+            dd = wv.shape[0]
+            x = np.asarray(
+                batch.column("e").combine_chunks().flatten(), dtype=np.int64
+            ).reshape(-1, dd)
+            y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+            mis = y * (x @ wv) <= 0
+            g = (y[mis, None] * x[mis]).sum(axis=0, dtype=np.int64)
+            return pa.table(
+                {
+                    "dim": pa.array(np.arange(dd, dtype=np.int64)),
+                    "g": pa.array(g, pa.int64()),
+                    "nm": pa.array(
+                        np.full(dd, int(mis.sum()), dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        rows = (
+            pts.map_batches(partial, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("g", alias_name="gs"), Sum("nm", alias_name="nms"))
+            .take_all()
+        )  # bounded: exactly D+1 rows reach the driver
+        new_w = w.copy()
+        for r in rows:
+            new_w[int(r["dim"])] += int(r["gs"])
+            n_mis = int(r["nms"])
+        w = new_w
+
+    out = pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "weight": pa.array(w, pa.int64()),
+            "n_mis": pa.array(np.full(d, n_mis, dtype=np.int64), pa.int64()),
+        }
+    )
+    return _rd.from_arrow(out)
+
+
+def _sql_linear_probe_train() -> str:
+    """Unrolled-CTE batch-perceptron oracle: per epoch, per-vector margin
+    (exploded join on dim), misclassified set (margin <= 0), per-dim
+    integer gradient sum, LEFT-JOIN weight update with coalesce 0."""
+    d, iters = KMEANS_DIM + 1, PROBE_ITERS
+    parts = [
+        (
+            "WITH q AS (SELECT vec_id,"
+            " list_concat(list_transform(embedding,"
+            " v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)),"
+            " [CAST(1 AS BIGINT)]) AS e,"
+            " CASE WHEN label < 5 THEN 1 ELSE -1 END AS y FROM embeddings),"
+            " ue AS (SELECT vec_id, y, unnest(range({d})) AS dim,"
+            " unnest(e) AS val FROM q),"
+            " w0 AS (SELECT unnest(range({d})) AS dim, CAST(0 AS BIGINT) AS wv)"
+        ).format(d=d)
+    ]
+    for i in range(iters):
+        parts.append(
+            (
+                ", mis{i} AS (SELECT vec_id, y FROM ("
+                "SELECT u.vec_id, any_value(u.y) AS y,"
+                " CAST(sum(u.val * w.wv) AS BIGINT) AS s"
+                " FROM ue u JOIN w{i} w ON u.dim = w.dim GROUP BY u.vec_id)"
+                " WHERE y * s <= 0)"
+                ", g{i} AS (SELECT u.dim, CAST(sum(u.y * u.val) AS BIGINT) AS g"
+                " FROM ue u JOIN mis{i} m ON u.vec_id = m.vec_id GROUP BY u.dim)"
+                ", w{j} AS (SELECT w.dim, w.wv + coalesce(g.g, 0) AS wv"
+                " FROM w{i} w LEFT JOIN g{i} g ON w.dim = g.dim)"
+            ).format(i=i, j=i + 1)
+        )
+    parts.append(
+        (
+            " SELECT dim, wv AS weight,"
+            " (SELECT count(*) FROM mis{last}) AS n_mis FROM w{it}"
+        ).format(last=iters - 1, it=iters)
+    )
+    return "".join(parts)
+
+
 #: zorder_layout: rows per output file and morton bits per dimension.
 ZORDER_FILE_ROWS = 1000
 ZORDER_BITS = 10
@@ -1730,6 +1871,7 @@ TRAIN_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_train": q_kmeans_train,
+    "linear_probe_train": q_linear_probe_train,
     "zorder_layout": q_zorder_layout,
     "value_quantiles_kll": q_value_quantiles_kll,
     "link_graph": q_link_graph,
@@ -1756,6 +1898,7 @@ TRAIN_ORACLE_SQL = {
     "quality_classifier": _sql_quality_classifier(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_train": _sql_kmeans_train(),
+    "linear_probe_train": _sql_linear_probe_train(),
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,

@@ -35,6 +35,7 @@ PICKS = [
     "doc_langid",
     "training_pack",
     "kmeans_train",
+    "linear_probe_train",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
