@@ -220,6 +220,9 @@ def run_queries(sf_dir: str) -> dict:
         # and canonical-selection shapes
         "pagerank",
         "dedup_canonical",
+        # round-5 session-5: the iterative-training family
+        "kmeans_train",
+        "linear_probe_train",
     ]
     import ray.data
 

@@ -566,6 +566,9 @@ _CHANGED_R5 = [
     "media_features",      # session 3: exotic codec variants added (MKV,
     "audio_mel",           # DIB-AVI, WAV u8..32/float/G.711, BMP palette/
     "video_frames",        # RLE8/32-bit, lossless JPEG); goldens regen'd
+    "kmeans_train",        # NEW r5 session 5: distributed Lloyd's training
+    "linear_probe_train",  # NEW r5 session 5: batch-perceptron training
+    "search_corpus",       # NEW r5: S6 search half (query->URL expansion)
 ]
 # (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
 _SAMPLED_R04 = [
