@@ -569,6 +569,7 @@ _CHANGED_R5 = [
     "kmeans_train",        # NEW r5 session 5: distributed Lloyd's training
     "linear_probe_train",  # NEW r5 session 5: batch-perceptron training
     "search_corpus",       # NEW r5: S6 search half (query->URL expansion)
+    "semantic_dedup",      # NEW r5 session 7: SemDeDup (int-exact contract)
 ]
 # (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
 _SAMPLED_R04 = [

@@ -289,6 +289,141 @@ SQL_EMBEDDING_NEARDUP = (
 )
 
 
+#: semantic_dedup: clusters (centroids = quantized embeddings of vec_id 0..K-1).
+SEMDEDUP_K = 8
+
+#: semantic_dedup: cosine threshold 0.95 as the exact rational 19/20 — the
+#: keep/drop test is dot > 0 AND den*dot^2 >= num*|u|^2|v|^2 with
+#: (num, den) = (19^2, 20^2), all int64 on the x100 grid (headroom: with
+#: |x_i| <= ~10^3 and 64 dims, dot <= ~6.6e7, so den*dot^2 <= ~1.7e18 < 2^63).
+SEMDEDUP_NUM, SEMDEDUP_DEN = 19 * 19, 20 * 20
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every embedding to its nearest of K fixed
+    centroids, then inside each cluster drop every vector that has an
+    EARLIER (lower vec_id) neighbor at cosine >= 0.95, keeping one
+    representative per epsilon-ball.  Exactness contract: vectors are
+    quantized to the int grid floor(v*100+0.5) (x100 — not the kmeans x1000
+    grid — so the squared-cosine comparison 400*dot^2 >= 361*|u|^2*|v|^2
+    stays inside int64 on the numpy side; the DuckDB side widens to
+    HUGEINT), centroids are the K lowest vec_ids (pushdown-filtered read),
+    argmin L2 ties break to the lowest cluster id, and zero vectors are
+    never duplicates (cosine undefined -> kept).  Exact copies are PLANTED
+    (vec_id+100000 for vec_id % 10 == 0) INSIDE map_batches — the planting
+    never materializes the table on the driver — so the drop set is
+    non-empty while cluster assignment is verified for every vector.
+
+    Scale shape: centroids are a constant-size ray.put broadcast;
+    assignment is one int64 matmul per batch; the only shuffle is the
+    groupby(cluster).  Per-cluster work is the O(m^2/K) pairwise pass
+    SemDeDup itself runs — the standing deployment assumption (K grows
+    with the corpus so one cluster fits one worker) is documented here,
+    same bounded-group contract as the other map_groups stages."""
+    from ..schema import list_column_matrix
+
+    seed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", SEMDEDUP_K)],
+    ).sort_by("vec_id")
+    c = np.floor(
+        list_column_matrix(seed.column("embedding"), dtype="float64") * 100.0 + 0.5
+    ).astype(np.int64)
+    c_ref = ray.put(c)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "e": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+
+    def plant_and_assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        cm = ray.get(c_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        x = np.floor(
+            list_column_matrix(batch.column("embedding"), dtype="float64") * 100.0
+            + 0.5
+        ).astype(np.int64)
+        planted = ids % 10 == 0
+        ids = np.concatenate([ids, ids[planted] + 100000])
+        x = np.concatenate([x, x[planted]], axis=0)
+        d = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
+        )
+        dims = x.shape[1]
+        offsets = pa.array(
+            np.arange(0, (len(ids) + 1) * dims, dims, dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+                "e": pa.ListArray.from_arrays(offsets, pa.array(x.ravel())),
+            }
+        )
+
+    def drop_in_cluster(group: pa.Table) -> pa.Table:
+        group = group.sort_by("vec_id")
+        g = list_column_matrix(group.column("e"), dtype="int64")
+        dot = g @ g.T
+        nn = np.diag(dot)
+        dup = (
+            (dot > 0)
+            & (SEMDEDUP_DEN * dot * dot >= SEMDEDUP_NUM * np.outer(nn, nn))
+            & (nn > 0)[None, :]
+            & (nn > 0)[:, None]
+        )
+        keep = ~np.tril(dup, -1).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": group.column("vec_id").filter(pa.array(keep)),
+                "cluster": group.column("cluster").filter(pa.array(keep)),
+            }
+        )
+
+    assigned = ds.map_batches(plant_and_assign, batch_format="pyarrow")
+    kept = assigned.groupby("cluster").map_groups(
+        drop_in_cluster, batch_format="pyarrow"
+    )
+    return kept.sort("vec_id")
+
+
+SQL_SEMANTIC_DEDUP = (
+    "WITH base AS (SELECT vec_id, list_transform(embedding,"
+    " v -> CAST(floor(v * 100 + 0.5) AS BIGINT)) AS e FROM embeddings"
+    " UNION ALL SELECT vec_id + 100000, list_transform(embedding,"
+    " v -> CAST(floor(v * 100 + 0.5) AS BIGINT)) FROM embeddings"
+    " WHERE vec_id % 10 = 0),"
+    " c AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {k}),"
+    " d AS (SELECT b.vec_id, c.cid, list_sum(list_transform(list_zip(b.e, c.ce),"
+    " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist FROM base b, c),"
+    " a AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,"
+    " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)"
+    " WHERE rn = 1),"
+    " av AS (SELECT a.vec_id, a.cluster, b.e,"
+    " list_sum(list_transform(b.e, v -> v * v)) AS nn"
+    " FROM a JOIN base b USING (vec_id)),"
+    " pairs AS (SELECT u.vec_id AS ua, x.vec_id AS xb,"
+    " list_sum(list_transform(list_zip(u.e, x.e), s -> s[1] * s[2])) AS dotp,"
+    " u.nn AS uu, x.nn AS vv FROM av u JOIN av x"
+    " ON u.cluster = x.cluster AND u.vec_id < x.vec_id),"
+    " drops AS (SELECT DISTINCT xb FROM pairs WHERE dotp > 0 AND uu > 0 AND vv > 0"
+    " AND {den} * CAST(dotp AS HUGEINT) * dotp >= {num} * CAST(uu AS HUGEINT) * vv)"
+    " SELECT vec_id, cluster FROM av WHERE vec_id NOT IN (SELECT xb FROM drops)"
+    " ORDER BY vec_id"
+).format(k=SEMDEDUP_K, num=SEMDEDUP_NUM, den=SEMDEDUP_DEN)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (lang-ID, quality, BPE-ish tokens, chunking)
 # ---------------------------------------------------------------------------
@@ -952,6 +1087,7 @@ EXT_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "doc_langid": q_doc_langid,
     "doc_quality": q_doc_quality,
     "doc_tokens_bpe": q_doc_tokens_bpe,
@@ -977,6 +1113,7 @@ EXT_ORACLE_SQL = {
     "simhash_dedup": SQL_SIMHASH_DEDUP,
     "doc_langid": _langid_oracle_sql(),
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_tokens_bpe": SQL_DOC_TOKENS_BPE,
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,

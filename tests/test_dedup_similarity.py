@@ -371,3 +371,43 @@ def test_minhash_pairs_from_groups_bounded():
     b = out.column("b").to_pylist()
     star_pairs = {(x, y) for x, y in zip(a, b) if x == 0 and y < n_same}
     assert star_pairs == {(0, i) for i in range(1, n_same)}
+
+
+def test_semantic_dedup_hand_built(ray_session, tmp_path):
+    """SemDeDup query on a hand-built embeddings table: pins the drop rule
+    (earlier neighbor at quantized cosine >= 0.95 in the same cluster),
+    the argmin-L2 tie-break to the lowest cluster id, the in-batch
+    planting (vec_id%10==0 -> +100000 exact copies, always dropped), and
+    the zero-vector guard (cosine undefined -> kept)."""
+    import pyarrow.parquet as pq_mod
+
+    from ocr_ray.pipelines.queries_ext import q_semantic_dedup
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # 0 (centroid 0)
+        [0.0, 1.0, 0.0, 0.0],   # 1 (centroid 1)
+        [0.0, 0.0, 1.0, 0.0],   # 2
+        [0.0, 0.0, 0.0, 1.0],   # 3
+        [-1.0, 0.0, 0.0, 0.0],  # 4
+        [0.0, -1.0, 0.0, 0.0],  # 5
+        [0.0, 0.0, -1.0, 0.0],  # 6
+        [0.0, 0.0, 0.0, -1.0],  # 7 (centroid 7)
+        [1.0, 1.0, 0.0, 0.0],   # 8 -> tie c0/c1 -> cluster 0; cos .707 kept
+        [0.0, 0.0, 0.0, 1.0],   # 9 exact copy of 3 -> organic drop
+        [0.5, 0.0, 0.5, 0.0],   # 10 -> cluster 0 (tie c0/c2); cos .707/.5
+        [0.0, 0.0, 0.0, 0.0],   # 11 zero vector -> kept (cos undefined)
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(12)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq_mod.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = _collect(q_semantic_dedup(str(tmp_path)))
+    got = dict(zip(out.column("vec_id").to_pylist(), out.column("cluster").to_pylist()))
+    # planted 100000/100010 dropped (exact copies of 0/10); 9 dropped (copy
+    # of 3, 3 < 9); everything else kept with its argmin cluster
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7,
+                   8: 0, 10: 0, 11: 0}

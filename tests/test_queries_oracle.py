@@ -36,6 +36,7 @@ PICKS = [
     "training_pack",
     "kmeans_train",
     "linear_probe_train",
+    "semantic_dedup",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
