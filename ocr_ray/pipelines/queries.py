@@ -570,6 +570,7 @@ _CHANGED_R5 = [
     "linear_probe_train",  # NEW r5 session 5: batch-perceptron training
     "search_corpus",       # NEW r5: S6 search half (query->URL expansion)
     "semantic_dedup",      # NEW r5 session 7: SemDeDup (int-exact contract)
+    "gopher_filter",       # NEW r5 session 7: Gopher quality rules (int-exact)
 ]
 # (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
 _SAMPLED_R04 = [

@@ -203,6 +203,109 @@ SQL_CORPUS_CURATION = (
 )
 
 
+#: gopher_filter: stopword list — a fixed slice of the standard English
+#: stopword set (Gopher's rule is "contains >= 2 of a stopword list"; the
+#: list itself is corpus/language-specific by design — this slice overlaps
+#: the synthetic corpus vocabulary so the rule is non-degenerate here).
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    table A1) as a per-document keep/drop decision with a per-rule fail
+    bitmask — the document-level repetition/symbol/stopword gate every
+    LLM-data pipeline runs before dedup.  The five rules, each restated
+    as EXACT integer arithmetic (no float ratio ever compared):
+
+      bit 1: word count outside [50, 100000]
+      bit 2: mean word length outside [3, 10]  (3*n <= sum_len <= 10*n)
+      bit 4: symbol-to-word ratio > 0.1 for '#'/'...' words (10*nsym > n)
+      bit 8: < 80% of words contain an alphabetic char (5*nalpha < 4*n)
+      bit 16: < 2 distinct stopwords present (Gopher's 'stop word' rule)
+
+    Words are ``split(' ')`` tokens — the same convention as doc_quality
+    and its oracle.  One vectorized Arrow pass per batch (split_pattern +
+    match_substring + bincount segment folds), zero per-doc Python; no
+    shuffle at all (embarrassingly parallel map)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "fail_mask": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }
+    )
+
+    def rules(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return empty
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        split = pc.split_pattern(pc.fill_null(arr, ""), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n = np.asarray(split.value_lengths(), dtype=np.int64)
+        ndocs = n.size
+        flat = split.flatten()
+        row_of = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+        lens = np.asarray(pc.binary_length(flat), dtype=np.int64)
+        sum_len = np.bincount(row_of, weights=lens, minlength=ndocs).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.bincount(row_of[alpha], minlength=ndocs).astype(np.int64)
+        sym = pc.or_(
+            pc.match_substring(flat, "#"), pc.match_substring(flat, "...")
+        ).to_numpy(zero_copy_only=False)
+        n_sym = np.bincount(row_of[sym], minlength=ndocs).astype(np.int64)
+        n_stop = np.zeros(ndocs, dtype=np.int64)
+        for w in _GOPHER_STOPS:
+            hit = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            n_stop += np.bincount(row_of[hit], minlength=ndocs) > 0
+        mask = (
+            np.where((n >= 50) & (n <= 100000), 0, 1)
+            + np.where((3 * n <= sum_len) & (sum_len <= 10 * n), 0, 2)
+            + np.where(10 * n_sym <= n, 0, 4)
+            + np.where(5 * n_alpha >= 4 * n, 0, 8)
+            + np.where(n_stop >= 2, 0, 16)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fail_mask": pa.array(mask),
+                "keep": pa.array(mask == 0),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+SQL_GOPHER_FILTER = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"
+    " s AS (SELECT doc_id, len(ws) AS n,"
+    " CAST(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))"
+    " AS BIGINT) AS sl,"
+    " len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS na,"
+    " len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS nsym,"
+    " len(list_distinct(list_filter(ws, x -> x IN ({stops})))) AS nstop FROM w)"
+    " SELECT doc_id,"
+    " CAST(CASE WHEN n BETWEEN 50 AND 100000 THEN 0 ELSE 1 END"
+    " + CASE WHEN 3 * n <= sl AND sl <= 10 * n THEN 0 ELSE 2 END"
+    " + CASE WHEN 10 * nsym <= n THEN 0 ELSE 4 END"
+    " + CASE WHEN 5 * na >= 4 * n THEN 0 ELSE 8 END"
+    " + CASE WHEN nstop >= 2 THEN 0 ELSE 16 END AS BIGINT) AS fail_mask,"
+    " (CASE WHEN n BETWEEN 50 AND 100000 THEN 0 ELSE 1 END"
+    " + CASE WHEN 3 * n <= sl AND sl <= 10 * n THEN 0 ELSE 2 END"
+    " + CASE WHEN 10 * nsym <= n THEN 0 ELSE 4 END"
+    " + CASE WHEN 5 * na >= 4 * n THEN 0 ELSE 8 END"
+    " + CASE WHEN nstop >= 2 THEN 0 ELSE 16 END) = 0 AS keep FROM s"
+).format(stops=", ".join("'{}'".format(w) for w in _GOPHER_STOPS))
+
+
 def q_extract_archetypes(sf_dir: str):
     """Full archetype extraction through the Ray pipeline (chrome strip,
     sections, tables, link numbering, PDF layout parse, footnotes, error
@@ -530,6 +633,7 @@ CUR_QUERIES = {
     "knn_l2": q_knn_l2,
     "embedding_centroids": q_embedding_centroids,
     "corpus_curation": q_corpus_curation,
+    "gopher_filter": q_gopher_filter,
 }
 
 CUR_ORACLE_SQL = {
@@ -543,6 +647,7 @@ CUR_ORACLE_SQL = {
     "knn_l2": SQL_KNN_L2,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "gopher_filter": SQL_GOPHER_FILTER,
 }
 
 _arch_sql = _archetype_oracle_sql()

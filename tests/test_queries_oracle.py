@@ -37,6 +37,7 @@ PICKS = [
     "kmeans_train",
     "linear_probe_train",
     "semantic_dedup",
+    "gopher_filter",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
