@@ -1572,6 +1572,104 @@ SQL_DOC_SKYLINE = (
 BIGRAM_K = 20
 
 
+#: rare_shingle_pairs: df window for a "rare" shingle (blocking key) and
+#: the minimum number of shared rare shingles for a candidate pair.
+_RARE_DF_MIN, _RARE_DF_MAX, _RARE_MIN_SHARED = 2, 5, 2
+
+
+def q_rare_shingle_pairs(sf_dir: str):
+    """Rare-token blocking for candidate-pair generation (the classic
+    entity-resolution / plagiarism-detection move, e.g. Papadakis et al.'s
+    blocking surveys): two documents become a candidate pair when they
+    share >= 2 word-3gram shingles whose document frequency lies in
+    [2, 5] — rare enough to be discriminative, capped so one hot
+    shingle can never explode quadratically.
+
+    Scale shape: the shingle stream shuffles as 128-bit content-hash
+    lanes (two int64 columns — the substring_dedup/paragraph_dedup
+    pattern; shingle TEXT never crosses a shuffle), per-doc DISTINCT is a
+    vectorized lexsort inside the explode task, the per-shingle pair
+    emission runs through bucketed_group_apply with the df cap enforced
+    BEFORE any pair materializes (a group bigger than 5 docs emits
+    nothing — per-group work is <= C(5,2), a constant), and the
+    (a, b) pair count is a data-cardinality key so it folds through the
+    bucketed lexsort/reduceat kernel.  Three bounded shuffles, zero
+    driver state."""
+    from ..stages.dedup import bucketed_group_apply
+    from ..stages.groupagg import bucketed_group_agg
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+
+    def distinct_doc_shingles(batch: pa.Table) -> pa.Table:
+        t = _explode_window_hashes(batch, win=3)
+        if t.num_rows == 0:
+            return t
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1, d))
+        d, h1, h2 = d[order], h1[order], h2[order]
+        keep = np.ones(d.size, dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "h1": pa.array(h1[keep], pa.int64()),
+                "h2": pa.array(h2[keep], pa.int64()),
+            }
+        )
+
+    _EMPTY_AB = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table | None:
+        m = group.num_rows  # docs sharing this exact 128-bit shingle hash
+        if m < _RARE_DF_MIN or m > _RARE_DF_MAX:
+            return None
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        iu, ju = np.triu_indices(m, 1)
+        return pa.table(
+            {"a": pa.array(ids[iu], pa.int64()), "b": pa.array(ids[ju], pa.int64())}
+        )
+
+    shingles = docs.map_batches(distinct_doc_shingles, batch_format="pyarrow")
+    pairs = bucketed_group_apply(
+        shingles,
+        ("h1", "h2"),
+        emit_pairs,
+        empty_result=_EMPTY_AB,
+        min_group_size=_RARE_DF_MIN,
+        pre_shuffle_blocks=table_shuffle_blocks(sf_dir, "documents"),
+    )
+    counted = bucketed_group_agg(pairs, ["a", "b"], {"n_shared": ("count", None)})
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), _RARE_MIN_SHARED)
+        )
+
+    return counted.map_batches(threshold, batch_format="pyarrow").sort(["a", "b"])
+
+
+SQL_RARE_SHINGLE_PAIRS = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"
+    " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))"
+    " AS s FROM w WHERE len(ws) >= 3),"
+    " df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),"
+    " r AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)"
+    " WHERE df BETWEEN {lo} AND {hi}),"
+    " p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared"
+    " FROM r x JOIN r y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+    " SELECT a, b, n_shared FROM p WHERE n_shared >= {k} ORDER BY a, b"
+).format(lo=_RARE_DF_MIN, hi=_RARE_DF_MAX, k=_RARE_MIN_SHARED)
+
+
 def q_top_bigrams(sf_dir: str):
     """Global top-{K} bigrams with their component-token counts — the
     integer ingredients of PMI / collocation scoring (kept integer so the
@@ -1875,6 +1973,7 @@ CC_QUERIES = {
     "curation_neardup": q_curation_neardup,
     "doc_zscore": q_doc_zscore,
     "doc_len_rank": q_doc_len_rank,
+    "rare_shingle_pairs": q_rare_shingle_pairs,
 }
 
 CC_ORACLE_SQL = {
@@ -1897,4 +1996,5 @@ CC_ORACLE_SQL = {
     "curation_neardup": SQL_CURATION_NEARDUP,
     "doc_zscore": SQL_DOC_ZSCORE,
     "doc_len_rank": SQL_DOC_LEN_RANK,
+    "rare_shingle_pairs": SQL_RARE_SHINGLE_PAIRS,
 }

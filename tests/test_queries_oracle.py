@@ -38,6 +38,7 @@ PICKS = [
     "linear_probe_train",
     "semantic_dedup",
     "gopher_filter",
+    "rare_shingle_pairs",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
