@@ -252,7 +252,9 @@ def q_gopher_filter(sf_dir: str):
         ndocs = n.size
         flat = split.flatten()
         row_of = np.repeat(np.arange(ndocs, dtype=np.int64), n)
-        lens = np.asarray(pc.binary_length(flat), dtype=np.int64)
+        # utf8_length (CHARACTERS), matching SQL length() — binary_length
+        # counts bytes and diverges on multi-byte text (fuzz regime 3)
+        lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
         sum_len = np.bincount(row_of, weights=lens, minlength=ndocs).astype(np.int64)
         alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
             zero_copy_only=False

@@ -988,6 +988,151 @@ def _sql_linear_probe_train() -> str:
     return "".join(parts)
 
 
+#: adaboost_stumps: boosting rounds (integer weight-doubling variant).
+ADABOOST_ROUNDS = 2
+
+
+def q_adaboost_stumps(sf_dir: str):
+    """Distributed BOOSTED decision-stump training (discrete AdaBoost with
+    integer weight doubling) — the third member of the iterative-training
+    family (with q_kmeans_train / q_linear_probe_train): each round fits
+    the weighted-error-minimizing stump "predict en iff n_chars > thr"
+    over the documents table, then doubles the weight of every
+    misclassified row for the next round (the classic boosting reweight,
+    kept on an INTEGER lattice so the whole loop is bitwise-exact against
+    an unrolled-CTE oracle — weights stay in {1, 2, 4, ...}, bounded by
+    2^rounds).
+
+    Scale shape: per-round weights are RECOMPUTED map-side from the
+    broadcast stump list (never stored per row — one pass, no state
+    column); each round emits per-distinct-value (w1, w0) histogram
+    partials folded through the bucketed kernel, and the driver scans
+    only the distinct-value histogram (value-domain bounded — the
+    q_price_percentiles contract) for the argmin threshold.  Candidate
+    thresholds are the observed distinct values; ties break to the
+    smallest threshold.  Output: one row per round
+    (round, threshold, error, total_weight)."""
+    import ray
+    import ray.data as _rd
+
+    from ..stages.groupagg import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    stumps: list[int] = []  # thresholds of the rounds fitted so far
+    out_rows = []
+    for rnd in range(ADABOOST_ROUNDS):
+        t_ref = ray.put(list(stumps))
+
+        def hist_partial(batch: pa.Table, _tref=t_ref) -> pa.Table:
+            thrs = ray.get(_tref)
+            v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            import pyarrow.compute as pc
+
+            y = pc.equal(batch.column("lang"), "en").to_numpy(
+                zero_copy_only=False
+            )
+            w = np.ones(v.size, dtype=np.int64)
+            for t in thrs:
+                pred = v > t
+                w = np.where(pred == y, w, 2 * w)
+            uv, inv = np.unique(v, return_inverse=True)
+            w1 = np.bincount(
+                inv, weights=np.where(y, w, 0), minlength=uv.size
+            ).astype(np.int64)
+            w0 = np.bincount(
+                inv, weights=np.where(y, 0, w), minlength=uv.size
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "v": pa.array(uv, pa.int64()),
+                    "w1": pa.array(w1, pa.int64()),
+                    "w0": pa.array(w0, pa.int64()),
+                }
+            )
+
+        hist = (
+            bucketed_group_agg(
+                ds.map_batches(hist_partial, batch_format="pyarrow"),
+                ["v"],
+                {"w1": ("sum", "w1"), "w0": ("sum", "w0")},
+            )
+            .to_pandas()
+            .sort_values("v")
+        )  # bounded: one row per DISTINCT n_chars value
+        w1c = hist["w1"].cumsum().to_numpy(dtype=np.int64)
+        w0c = hist["w0"].cumsum().to_numpy(dtype=np.int64)
+        err = w1c + (w0c[-1] - w0c)  # stump predicts en iff v > thr
+        i = int(np.argmin(err))  # first min in ascending v = smallest thr
+        thr = int(hist["v"].iloc[i])
+        stumps.append(thr)
+        out_rows.append(
+            {
+                "round": rnd + 1,
+                "threshold": thr,
+                "error": int(err[i]),
+                "total_weight": int(w1c[-1] + w0c[-1]),
+            }
+        )
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "round": pa.array([r["round"] for r in out_rows], pa.int64()),
+                "threshold": pa.array(
+                    [r["threshold"] for r in out_rows], pa.int64()
+                ),
+                "error": pa.array([r["error"] for r in out_rows], pa.int64()),
+                "total_weight": pa.array(
+                    [r["total_weight"] for r in out_rows], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def _sql_adaboost_stumps() -> str:
+    """Unrolled-CTE boosting oracle: per round, per-distinct-value weighted
+    histogram, window cumsum, argmin threshold (ties to smallest), then a
+    per-row integer weight-doubling reweight for the next round."""
+    parts = [
+        "WITH d0 AS (SELECT n_chars AS v,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,"
+        " CAST(1 AS BIGINT) AS w FROM documents)"
+    ]
+    for i in range(ADABOOST_ROUNDS):
+        parts.append(
+            (
+                ", h{i} AS (SELECT v,"
+                " CAST(coalesce(sum(CASE WHEN y = 1 THEN w END), 0) AS BIGINT) AS w1,"
+                " CAST(coalesce(sum(CASE WHEN y = 0 THEN w END), 0) AS BIGINT) AS w0"
+                " FROM d{i} GROUP BY v)"
+                ", c{i} AS (SELECT v, sum(w1) OVER (ORDER BY v) AS w1c,"
+                " sum(w0) OVER (ORDER BY v) AS w0c FROM h{i})"
+                ", s{i} AS (SELECT v AS thr,"
+                " CAST(w1c + ((SELECT sum(w0) FROM h{i}) - w0c) AS BIGINT) AS err"
+                " FROM c{i} ORDER BY err, thr LIMIT 1)"
+                ", d{j} AS (SELECT v, y, CASE WHEN"
+                " (CASE WHEN v > (SELECT thr FROM s{i}) THEN 1 ELSE 0 END) = y"
+                " THEN w ELSE 2 * w END AS w FROM d{i})"
+            ).format(i=i, j=i + 1)
+        )
+    sel = " UNION ALL ".join(
+        (
+            "SELECT {r} AS round, thr AS threshold, err AS error,"
+            " (SELECT CAST(sum(w) AS BIGINT) FROM d{i}) AS total_weight FROM s{i}"
+        ).format(r=i + 1, i=i)
+        for i in range(ADABOOST_ROUNDS)
+    )
+    parts.append(" " + sel + " ORDER BY round")
+    return "".join(parts)
+
+
+SQL_ADABOOST_STUMPS = _sql_adaboost_stumps()
+
+
 #: zorder_layout: rows per output file and morton bits per dimension.
 ZORDER_FILE_ROWS = 1000
 ZORDER_BITS = 10
@@ -1872,6 +2017,7 @@ TRAIN_QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_train": q_kmeans_train,
     "linear_probe_train": q_linear_probe_train,
+    "adaboost_stumps": q_adaboost_stumps,
     "zorder_layout": q_zorder_layout,
     "value_quantiles_kll": q_value_quantiles_kll,
     "link_graph": q_link_graph,
@@ -1899,6 +2045,7 @@ TRAIN_ORACLE_SQL = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_train": _sql_kmeans_train(),
     "linear_probe_train": _sql_linear_probe_train(),
+    "adaboost_stumps": SQL_ADABOOST_STUMPS,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,

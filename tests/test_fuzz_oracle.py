@@ -138,6 +138,17 @@ FUZZ_QUERIES = [
     "embedding_centroids",
     "kmeans_assign",
     "pq_encode",
+    # round 5, session 7: the new curation/blocking/semantic-dedup ops —
+    # gopher_filter's integer thresholds on arbitrary/unicode/empty text,
+    # rare_shingle_pairs' empty-result path (degenerate regime: every
+    # shingle's df exceeds the cap), semantic_dedup's int-grid contract on
+    # the 16-dim fuzz embeddings
+    "gopher_filter",
+    "rare_shingle_pairs",
+    "semantic_dedup",
+    # the boosting loop's weight-doubling reweight on arbitrary
+    # (n_chars, lang) distributions incl. single-lang degenerate tables
+    "adaboost_stumps",
 ]
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]

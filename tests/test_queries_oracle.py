@@ -39,6 +39,7 @@ PICKS = [
     "semantic_dedup",
     "gopher_filter",
     "rare_shingle_pairs",
+    "adaboost_stumps",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
