@@ -223,6 +223,11 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 session-5: the iterative-training family
         "kmeans_train",
         "linear_probe_train",
+        # round-5 session-7: curation/blocking/semantic-dedup + boosting
+        "semantic_dedup",
+        "gopher_filter",
+        "rare_shingle_pairs",
+        "adaboost_stumps",
     ]
     import ray.data
 
