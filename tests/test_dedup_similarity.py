@@ -411,3 +411,36 @@ def test_semantic_dedup_hand_built(ray_session, tmp_path):
     # of 3, 3 < 9); everything else kept with its argmin cluster
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7,
                    8: 0, 10: 0, 11: 0}
+
+
+def test_rare_shingle_pairs_df_cap_bounds_hot_shingle(ray_session, tmp_path):
+    """A shingle shared by MANY docs (df above the cap) must emit ZERO
+    pairs — the blocking rule's skew bound; a shingle with df in window
+    still pairs its docs when they share >= 2 such shingles."""
+    import pyarrow.parquet as pq_mod
+
+    from ocr_ray.pipelines.queries_cc import q_rare_shingle_pairs
+
+    hot = "alpha beta gamma"          # shared by ALL 40 docs -> df 40 > cap
+    rare_a = "delta eps zeta"         # docs 0 and 1 only
+    rare_b = "eta theta iota"         # docs 0 and 1 only
+    texts = []
+    for i in range(40):
+        if i < 2:
+            texts.append(hot + " x" + " " + rare_a + " y " + rare_b)
+        else:
+            texts.append(hot + " filler%d words here" % i)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq_mod.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = _collect(q_rare_shingle_pairs(str(tmp_path)))
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    # docs 0/1 share the two rare shingle runs (plus window spill), never
+    # any pair induced by the hot shingle alone
+    assert (0, 1) in pairs
+    assert all(a == 0 and b == 1 for a, b in pairs)

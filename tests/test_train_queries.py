@@ -732,3 +732,43 @@ def test_doc_winsorize_bounds_exact(ray_session, tmp_path):
         assert g["n_chars_w"].min() >= lo and g["n_chars_w"].max() <= hi
         clipped = np.clip(sub.sort_values("doc_id")["n_chars"].to_numpy(), lo, hi)
         assert (g.sort_values("doc_id")["n_chars_w"].to_numpy() == clipped).all()
+
+
+def test_adaboost_stumps_matches_brute_force(ray_session):
+    """The distributed 2-round boosting loop equals a single-process
+    brute-force replay (all thresholds, integer weight doubling)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries_train import (
+        ADABOOST_ROUNDS,
+        q_adaboost_stumps,
+    )
+
+    got = q_adaboost_stumps("/root/testdata/sf0.001").to_pandas()
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["n_chars", "lang"]
+    )
+    v = np.asarray(t.column("n_chars").to_pylist(), dtype=np.int64)
+    y = np.asarray([s == "en" for s in t.column("lang").to_pylist()])
+    w = np.ones(v.size, dtype=np.int64)
+    expect = []
+    for rnd in range(ADABOOST_ROUNDS):
+        uv = np.unique(v)
+        errs = np.array(
+            [
+                int(w[y & (v <= thr)].sum() + w[~y & (v > thr)].sum())
+                for thr in uv
+            ],
+            dtype=np.int64,
+        )
+        i = int(np.argmin(errs))
+        thr = int(uv[i])
+        expect.append((rnd + 1, thr, int(errs[i]), int(w.sum())))
+        w = np.where((v > thr) == y, w, 2 * w)
+    assert (
+        list(map(tuple, got[["round", "threshold", "error", "total_weight"]]
+                 .itertuples(index=False, name=None)))
+        == expect
+    )
