@@ -340,6 +340,40 @@ def _value_hash(df: pd.DataFrame) -> str:
 SEED_DEGENERATE = SEED + 1
 SEED_UNICODE = SEED + 2
 SEED_LONGDOC = SEED + 3
+SEED_TIES = SEED + 4
+
+#: the fifth (ties) regime only perturbs embeddings, so only the
+#: embedding-family queries run against it — everything else would just
+#: re-run the base regime at 25% extra suite cost for no new coverage
+TIES_FAMILY = {
+    "knn_cosine",
+    "knn_l2",
+    "knn_multi",
+    "embedding_norms",
+    "embedding_centroids",
+    "kmeans_assign",
+    "pq_encode",
+    "semantic_dedup",
+}
+
+
+def _ties_overrides(out_dir: str) -> None:
+    """Fifth regime: ALL-IDENTICAL embeddings (every vector = 0.5 in every
+    dim) — every distance, cosine, and centroid comparison in the
+    embedding family becomes a TIE, pinning the vec_id / lowest-cluster-id
+    tie-break contracts on both the engine and oracle sides (and, for
+    semantic_dedup, collapsing the whole table into one epsilon-ball:
+    exactly one survivor)."""
+    emb = pq.read_table(os.path.join(out_dir, "embeddings.parquet"))
+    n = emb.num_rows
+    dims = len(emb.column("embedding")[0])
+    const = pa.array([[0.5] * dims] * n, pa.list_(pa.float32()))
+    pq.write_table(
+        emb.set_column(
+            emb.schema.get_field_index("embedding"), "embedding", const
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
 
 
 def _longdoc_overrides(out_dir: str, rng: np.random.Generator) -> None:
@@ -437,7 +471,8 @@ def _degenerate_overrides(out_dir: str) -> None:
 
 
 @pytest.fixture(
-    scope="module", params=[SEED, SEED_DEGENERATE, SEED_UNICODE, SEED_LONGDOC]
+    scope="module",
+    params=[SEED, SEED_DEGENERATE, SEED_UNICODE, SEED_LONGDOC, SEED_TIES],
 )
 def fuzz_dir(tmp_path_factory, request):
     d = tmp_path_factory.mktemp("fuzz_sf_%d_" % request.param)
@@ -449,6 +484,8 @@ def fuzz_dir(tmp_path_factory, request):
         _unicode_overrides(str(d), rng)
     elif request.param == SEED_LONGDOC:
         _longdoc_overrides(str(d), rng)
+    elif request.param == SEED_TIES:
+        _ties_overrides(str(d))
     return str(d)
 
 
@@ -486,6 +523,8 @@ def test_fuzz_query_matches_oracle(ray_session, fuzz_dir, fuzz_con, name):
     seed = int(m.group(1)) if m else -1
     if seed in REGIME_EXEMPT.get(name, ()):
         pytest.skip("oracle function is byte-based; engine is codepoint-based")
+    if seed == SEED_TIES and name not in TIES_FAMILY:
+        pytest.skip("ties regime only perturbs embeddings")
     res = Q.QUERIES[name](fuzz_dir)
     if isinstance(res, ray.data.Dataset):
         got = res.to_pandas()
