@@ -228,6 +228,7 @@ def run_queries(sf_dir: str) -> dict:
         "gopher_filter",
         "rare_shingle_pairs",
         "adaboost_stumps",
+        "record_linkage",
     ]
     import ray.data
 

@@ -573,6 +573,7 @@ _CHANGED_R5 = [
     "gopher_filter",       # NEW r5 session 7: Gopher quality rules (int-exact)
     "rare_shingle_pairs",  # NEW r5 session 7: rare-token blocking pairs
     "adaboost_stumps",     # NEW r5 session 7: boosted-stump training loop
+    "record_linkage",      # NEW r5 session 7: blocking->verify->CC linkage
 ]
 # (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
 _SAMPLED_R04 = [

@@ -1670,6 +1670,63 @@ SQL_RARE_SHINGLE_PAIRS = (
 ).format(lo=_RARE_DF_MIN, hi=_RARE_DF_MAX, k=_RARE_MIN_SHARED)
 
 
+#: record_linkage: exact-Jaccard verify threshold for blocked pairs.
+_LINKAGE_JACCARD = 0.5
+
+
+def q_record_linkage(sf_dir: str):
+    """End-to-end record linkage — the classic entity-resolution composition
+    over the new blocking stage: rare-shingle BLOCKING (q_rare_shingle_pairs)
+    -> distributed exact word-3gram Jaccard VERIFY at 0.5 (the corpus is
+    never driver-materialized; pair ids hash-join back against documents)
+    -> CONNECTED COMPONENTS (size-planned union-find / min-label
+    propagation) -> entity clusters with sizes.  cluster_id is the
+    component's min doc_id (the canonical record).  The whole composition
+    is SQL-expressible: the blocking CTE feeds a Jaccard self-join feeds a
+    recursive reachability CTE — so the linkage output is oracle-checked
+    end to end, like curation_neardup over the MinHash substrate."""
+    from ..stages.dedup import connected_components, verify_pairs_against_corpus
+    from ..stages.groupagg import bucketed_group_agg
+
+    pairs = q_rare_shingle_pairs(sf_dir)
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
+    )
+    verified = verify_pairs_against_corpus(
+        pairs.select_columns(["a", "b"]),
+        docs,
+        threshold=_LINKAGE_JACCARD,
+        pre_shuffle_blocks=table_shuffle_blocks(sf_dir, "documents"),
+    )
+    clusters = connected_components(verified.select_columns(["a", "b"]))
+    sizes = bucketed_group_agg(
+        clusters, ["cluster_id"], {"n_members": ("count", None)}
+    )
+    return sizes.sort("cluster_id")
+
+
+SQL_RECORD_LINKAGE = (
+    SQL_RARE_SHINGLE_PAIRS[: SQL_RARE_SHINGLE_PAIRS.index(" SELECT a, b,")]
+    .replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", bp AS (SELECT a, b FROM p WHERE n_shared >= {k}),"
+    " g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w"
+    " WHERE len(ws) >= 3"
+    " UNION ALL SELECT doc_id, [text] AS sh FROM documents"
+    " WHERE len(string_split(text, ' ')) < 3),"
+    " v AS (SELECT bp.a, bp.b FROM bp"
+    " JOIN g ga ON ga.doc_id = bp.a JOIN g gb ON gb.doc_id = bp.b"
+    " WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /"
+    " len(list_distinct(ga.sh || gb.sh)) >= {j}),"
+    " edges AS (SELECT a AS u, b AS v FROM v UNION ALL SELECT b, a FROM v),"
+    " reach AS (SELECT u AS node, u AS r FROM edges"
+    " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),"
+    " cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"
+    " SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id"
+    " ORDER BY cluster_id"
+).format(k=_RARE_MIN_SHARED, j=_LINKAGE_JACCARD)
+
+
 def q_top_bigrams(sf_dir: str):
     """Global top-{K} bigrams with their component-token counts — the
     integer ingredients of PMI / collocation scoring (kept integer so the
@@ -1974,6 +2031,7 @@ CC_QUERIES = {
     "doc_zscore": q_doc_zscore,
     "doc_len_rank": q_doc_len_rank,
     "rare_shingle_pairs": q_rare_shingle_pairs,
+    "record_linkage": q_record_linkage,
 }
 
 CC_ORACLE_SQL = {
@@ -1997,4 +2055,5 @@ CC_ORACLE_SQL = {
     "doc_zscore": SQL_DOC_ZSCORE,
     "doc_len_rank": SQL_DOC_LEN_RANK,
     "rare_shingle_pairs": SQL_RARE_SHINGLE_PAIRS,
+    "record_linkage": SQL_RECORD_LINKAGE,
 }

@@ -149,6 +149,10 @@ FUZZ_QUERIES = [
     # the boosting loop's weight-doubling reweight on arbitrary
     # (n_chars, lang) distributions incl. single-lang degenerate tables
     "adaboost_stumps",
+    # blocking -> verify -> connected components; the degenerate regime
+    # (every doc identical) drives the whole linkage through its
+    # empty-blocking path
+    "record_linkage",
 ]
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]

@@ -40,6 +40,7 @@ PICKS = [
     "gopher_filter",
     "rare_shingle_pairs",
     "adaboost_stumps",
+    "record_linkage",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
