@@ -229,6 +229,7 @@ def run_queries(sf_dir: str) -> dict:
         "rare_shingle_pairs",
         "adaboost_stumps",
         "record_linkage",
+        "span_corruption",
     ]
     import ray.data
 

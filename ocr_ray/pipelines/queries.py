@@ -574,6 +574,7 @@ _CHANGED_R5 = [
     "rare_shingle_pairs",  # NEW r5 session 7: rare-token blocking pairs
     "adaboost_stumps",     # NEW r5 session 7: boosted-stump training loop
     "record_linkage",      # NEW r5 session 7: blocking->verify->CC linkage
+    "span_corruption",     # NEW r5 session 7: T5 masked-example synthesis
 ]
 # (3) sampled by the r4 driver (CORRECTNESS_r04.json keys) — rotate back
 _SAMPLED_R04 = [

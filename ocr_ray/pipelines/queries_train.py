@@ -988,6 +988,107 @@ def _sql_linear_probe_train() -> str:
     return "".join(parts)
 
 
+#: span_corruption: mask rate (percent) and the two Knuth-style multipliers
+#: of the deterministic position hash (mod 2^31 BEFORE the second multiply
+#: keeps every intermediate inside int64 on both numpy and DuckDB BIGINT).
+SPANCORR_RATE = 15
+_SPANCORR_M1, _SPANCORR_M2, _SPANCORR_MOD = 1315423911, 2654435761, 1 << 31
+
+
+def q_span_corruption(sf_dir: str):
+    """T5-style span-corruption EXAMPLE SYNTHESIS (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4) — the masked-pretraining-example generator a
+    training-data pipeline runs after packing: each token position is
+    masked by a deterministic integer hash at ~15%, and consecutive masked
+    positions merge into spans (the sentinel-token unit).  Emits the
+    per-document example descriptor (n_tokens, n_masked, n_spans,
+    mask_pos_sum — the checksum pins WHICH positions masked, not just how
+    many), all integer-exact with a splitmix-style position hash:
+    x = (d*M1 + i) % 2^31; x ^= x >> 15; x = x*M2 % 2^31; x ^= x >> 13;
+    mask iff x % 100 < rate — the xorshift rounds matter: a plain affine
+    multiplicative hash steps by a CONSTANT mod 100 between consecutive
+    positions, making adjacent masks (and therefore multi-token spans)
+    structurally impossible.  Identical arithmetic in numpy int64 and
+    DuckDB BIGINT (every intermediate < 2^63).  Tokens are split(' ')
+    positions, 1-based.
+
+    Scale shape: embarrassingly parallel — one vectorized pass per batch
+    (split + flat position arithmetic + three bincount folds), zero
+    shuffles, nothing leaves the map task but 5 ints per document."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    M1 = np.int64(_SPANCORR_M1)
+    M2 = np.int64(_SPANCORR_M2)
+    MOD = np.int64(_SPANCORR_MOD)
+
+    def synth_masks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        split = pc.split_pattern(pc.fill_null(arr, ""), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n = np.asarray(split.value_lengths(), dtype=np.int64)
+        ndocs = n.size
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        row_of = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+        starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(n)])[:-1]
+        pos = np.arange(row_of.size, dtype=np.int64) - starts[row_of] + 1
+        x = (ids[row_of] * M1 + pos) % MOD
+        x = x ^ (x >> np.int64(15))
+        x = (x * M2) % MOD
+        x = x ^ (x >> np.int64(13))
+        mk = (x % np.int64(100)) < SPANCORR_RATE
+        prev = np.zeros(mk.size, dtype=bool)
+        if mk.size > 1:
+            prev[1:] = mk[:-1] & (row_of[1:] == row_of[:-1])
+        st = mk & ~prev
+        n_masked = np.bincount(row_of[mk], minlength=ndocs).astype(np.int64)
+        n_spans = np.bincount(row_of[st], minlength=ndocs).astype(np.int64)
+        pos_sum = np.bincount(
+            row_of, weights=np.where(mk, pos, 0), minlength=ndocs
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_masked": pa.array(n_masked, pa.int64()),
+                "n_spans": pa.array(n_spans, pa.int64()),
+                "mask_pos_sum": pa.array(pos_sum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(synth_masks, batch_format="pyarrow")
+
+
+SQL_SPAN_CORRUPTION = (
+    "WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS n"
+    " FROM documents),"
+    " t AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i FROM w),"
+    " x0 AS (SELECT doc_id, n, i,"
+    " xor((doc_id * {m1} + i) % {md},"
+    " ((doc_id * {m1} + i) % {md}) >> 15) AS x1 FROM t),"
+    " x2 AS (SELECT doc_id, n, i,"
+    " xor((x1 * {m2}) % {md}, ((x1 * {m2}) % {md}) >> 13) AS x3 FROM x0),"
+    " m AS (SELECT doc_id, n, i, CASE WHEN x3 % 100 < {rate}"
+    " THEN 1 ELSE 0 END AS mk FROM x2),"
+    " s AS (SELECT doc_id, n, i, mk, CASE WHEN mk = 1 AND"
+    " coalesce(lag(mk) OVER (PARTITION BY doc_id ORDER BY i), 0) = 0"
+    " THEN 1 ELSE 0 END AS st FROM m)"
+    " SELECT doc_id, any_value(n) AS n_tokens,"
+    " CAST(sum(mk) AS BIGINT) AS n_masked,"
+    " CAST(sum(st) AS BIGINT) AS n_spans,"
+    " CAST(coalesce(sum(CASE WHEN mk = 1 THEN i END), 0) AS BIGINT)"
+    " AS mask_pos_sum FROM s GROUP BY doc_id"
+).format(
+    m1=_SPANCORR_M1, m2=_SPANCORR_M2, md=_SPANCORR_MOD, rate=SPANCORR_RATE
+)
+
+
 #: adaboost_stumps: boosting rounds (integer weight-doubling variant).
 ADABOOST_ROUNDS = 2
 
@@ -2018,6 +2119,7 @@ TRAIN_QUERIES = {
     "kmeans_train": q_kmeans_train,
     "linear_probe_train": q_linear_probe_train,
     "adaboost_stumps": q_adaboost_stumps,
+    "span_corruption": q_span_corruption,
     "zorder_layout": q_zorder_layout,
     "value_quantiles_kll": q_value_quantiles_kll,
     "link_graph": q_link_graph,
@@ -2046,6 +2148,7 @@ TRAIN_ORACLE_SQL = {
     "kmeans_train": _sql_kmeans_train(),
     "linear_probe_train": _sql_linear_probe_train(),
     "adaboost_stumps": SQL_ADABOOST_STUMPS,
+    "span_corruption": SQL_SPAN_CORRUPTION,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "link_graph": SQL_LINK_GRAPH,
     "events_ffill": SQL_EVENTS_FFILL,

@@ -153,6 +153,8 @@ FUZZ_QUERIES = [
     # (every doc identical) drives the whole linkage through its
     # empty-blocking path
     "record_linkage",
+    # splitmix position-hash masking on arbitrary/empty/unicode/long text
+    "span_corruption",
 ]
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]

@@ -41,6 +41,7 @@ PICKS = [
     "rare_shingle_pairs",
     "adaboost_stumps",
     "record_linkage",
+    "span_corruption",
     "weighted_sample",
     "events_moving_win",
     "lineitem_cube",
