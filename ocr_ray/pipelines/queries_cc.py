@@ -1577,7 +1577,7 @@ BIGRAM_K = 20
 _RARE_DF_MIN, _RARE_DF_MAX, _RARE_MIN_SHARED = 2, 5, 2
 
 
-def q_rare_shingle_pairs(sf_dir: str):
+def _rare_shingle_pairs_ds(sf_dir: str):
     """Rare-token blocking for candidate-pair generation (the classic
     entity-resolution / plagiarism-detection move, e.g. Papadakis et al.'s
     blocking surveys): two documents become a candidate pair when they
@@ -1653,7 +1653,15 @@ def q_rare_shingle_pairs(sf_dir: str):
             pc.greater_equal(batch.column("n_shared"), _RARE_MIN_SHARED)
         )
 
-    return counted.map_batches(threshold, batch_format="pyarrow").sort(["a", "b"])
+    return counted.map_batches(threshold, batch_format="pyarrow")
+
+
+def q_rare_shingle_pairs(sf_dir: str):
+    """Driver-edge face of :func:`_rare_shingle_pairs_ds` (docstring there):
+    the global sort exists only to match the oracle's ORDER BY — consumers
+    like q_record_linkage take the UNSORTED dataset and avoid the extra
+    all-to-all."""
+    return _rare_shingle_pairs_ds(sf_dir).sort(["a", "b"])
 
 
 SQL_RARE_SHINGLE_PAIRS = (
@@ -1688,7 +1696,7 @@ def q_record_linkage(sf_dir: str):
     from ..stages.dedup import connected_components, verify_pairs_against_corpus
     from ..stages.groupagg import bucketed_group_agg
 
-    pairs = q_rare_shingle_pairs(sf_dir)
+    pairs = _rare_shingle_pairs_ds(sf_dir)  # unsorted: no mid-pipeline sort
     docs = read_table(
         sf_dir, "documents", columns=["doc_id", "text"], min_blocks=cpu_count()
     )
