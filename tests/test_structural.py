@@ -86,3 +86,28 @@ def test_list_column_matrix():
     # ragged lists with a compatible TOTAL size must still raise
     with pytest.raises(ValueError, match="ragged"):
         list_column_matrix(pa.array([[1.0], [2.0, 3.0, 4.0]], pa.list_(pa.float64())))
+
+
+#: approximate-by-design queries pinned by pytest accuracy gates instead
+#: of a DuckDB oracle (README "rows-only" list) — additions to the
+#: registry MUST either ship an oracle_sql() entry or be added here with
+#: an accuracy gate, or this drift gate fails.
+ROWS_ONLY_BY_DESIGN = {
+    "knn_ivf",
+    "knn_ivf_indexed",
+    "distinct_tokens_hll",
+    "distinct_tokens_by_lang",
+    "value_quantiles_kll",
+}
+
+
+def test_registry_oracle_coverage():
+    from ocr_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    missing = set(QUERIES) - set(ORACLE_SQL) - ROWS_ONLY_BY_DESIGN
+    assert not missing, "queries with neither oracle nor rows-only waiver: %s" % sorted(missing)
+    orphans = set(ORACLE_SQL) - set(QUERIES)
+    assert not orphans, "oracles without a query: %s" % sorted(orphans)
+    stale = ROWS_ONLY_BY_DESIGN & set(ORACLE_SQL)
+    assert not stale, "rows-only entries that now HAVE oracles: %s" % sorted(stale)
+    assert ROWS_ONLY_BY_DESIGN <= set(QUERIES)
