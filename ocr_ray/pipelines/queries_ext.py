@@ -352,6 +352,17 @@ def q_semantic_dedup(sf_dir: str):
             list_column_matrix(batch.column("embedding"), dtype="float64") * 100.0
             + 0.5
         ).astype(np.int64)
+        # loud-failure policy (the corr_by_nation validated-lookup rule):
+        # beyond this grid magnitude the squared-cosine test 400*dot^2
+        # would overflow int64 and numpy WRAPS silently while the SQL
+        # side widens to HUGEINT — refuse rather than diverge.
+        # bound: dot <= dims*m^2 must stay < sqrt(2^63/400) ~ 1.52e8,
+        # so m <= sqrt(1.5e8/dims); 1500 is safe for dims <= 64.
+        if x.size and int(np.abs(x).max()) > 1500:
+            raise ValueError(
+                "semantic_dedup: |embedding| > 15 overflows the int64 "
+                "squared-cosine lattice (grid value %d)" % int(np.abs(x).max())
+            )
         planted = ids % 10 == 0
         ids = np.concatenate([ids, ids[planted] + 100000])
         x = np.concatenate([x, x[planted]], axis=0)

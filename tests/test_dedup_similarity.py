@@ -444,3 +444,24 @@ def test_rare_shingle_pairs_df_cap_bounds_hot_shingle(ray_session, tmp_path):
     # any pair induced by the hot shingle alone
     assert (0, 1) in pairs
     assert all(a == 0 and b == 1 for a, b in pairs)
+
+
+def test_semantic_dedup_overflow_guard(ray_session, tmp_path):
+    """Embedding magnitudes beyond the int64 squared-cosine lattice must
+    FAIL LOUDLY (numpy would wrap where DuckDB widens to HUGEINT)."""
+    import pyarrow.parquet as pq_mod
+    import pytest as _pytest
+
+    from ocr_ray.pipelines.queries_ext import q_semantic_dedup
+
+    vecs = [[float(i == j) for j in range(4)] for i in range(4)] * 2
+    vecs.append([999.0, 0.0, 0.0, 0.0])  # grid 99900 >> 1500 bound
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(9)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq_mod.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(Exception, match="squared-cosine lattice"):
+        q_semantic_dedup(str(tmp_path)).to_pandas()
