@@ -1004,7 +1004,8 @@ def q_span_corruption(sf_dir: str):
     per-document example descriptor (n_tokens, n_masked, n_spans,
     mask_pos_sum — the checksum pins WHICH positions masked, not just how
     many), all integer-exact with a splitmix-style position hash:
-    x = (d*M1 + i) % 2^31; x ^= x >> 15; x = x*M2 % 2^31; x ^= x >> 13;
+    x = ((d % 2^31)*M1 + i) % 2^31; x ^= x >> 15; x = x*M2 % 2^31;
+    x ^= x >> 13;
     mask iff x % 100 < rate — the xorshift rounds matter: a plain affine
     multiplicative hash steps by a CONSTANT mod 100 between consecutive
     positions, making adjacent masks (and therefore multi-token spans)
@@ -1038,7 +1039,9 @@ def q_span_corruption(sf_dir: str):
         row_of = np.repeat(np.arange(ndocs, dtype=np.int64), n)
         starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(n)])[:-1]
         pos = np.arange(row_of.size, dtype=np.int64) - starts[row_of] + 1
-        x = (ids[row_of] * M1 + pos) % MOD
+        # doc_id reduced mod 2^31 BEFORE the multiply: at 10^12-doc scale
+        # raw doc_id * M1 would exceed int64 (numpy wraps, DuckDB errors)
+        x = ((ids[row_of] % MOD) * M1 + pos) % MOD
         x = x ^ (x >> np.int64(15))
         x = (x * M2) % MOD
         x = x ^ (x >> np.int64(13))
@@ -1070,8 +1073,8 @@ SQL_SPAN_CORRUPTION = (
     " FROM documents),"
     " t AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i FROM w),"
     " x0 AS (SELECT doc_id, n, i,"
-    " xor((doc_id * {m1} + i) % {md},"
-    " ((doc_id * {m1} + i) % {md}) >> 15) AS x1 FROM t),"
+    " xor(((doc_id % {md}) * {m1} + i) % {md},"
+    " (((doc_id % {md}) * {m1} + i) % {md}) >> 15) AS x1 FROM t),"
     " x2 AS (SELECT doc_id, n, i,"
     " xor((x1 * {m2}) % {md}, ((x1 * {m2}) % {md}) >> 13) AS x3 FROM x0),"
     " m AS (SELECT doc_id, n, i, CASE WHEN x3 % 100 < {rate}"
